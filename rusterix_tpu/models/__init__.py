@@ -1,0 +1,59 @@
+from .assets import Assets, default_palette
+from .batch import (
+    Batch2D,
+    Batch3D,
+    CullMode,
+    GeometrySource,
+    Material,
+    MaterialModifier,
+    MaterialRole,
+    PixelSource,
+    PixelSourceKind,
+    PrimitiveMode,
+    RepeatMode,
+    SampleMode,
+)
+from .camera import D3Camera, D3FirstPCamera, D3IsoCamera, D3OrbitCamera, Ray
+from .hitinfo import HitInfo
+from .light import CompiledLight, Light, LightType, pack_lights
+from .scene import Scene
+from .shader import GridShader, Shader, SolidColorShader, VGrayGradientShader
+from .texture import Texture, TextureAtlas, Tile, TileRole
+from .wavefront import Wavefront
+
+__all__ = [
+    "Assets",
+    "default_palette",
+    "Batch2D",
+    "Batch3D",
+    "CullMode",
+    "GeometrySource",
+    "Material",
+    "MaterialModifier",
+    "MaterialRole",
+    "PixelSource",
+    "PixelSourceKind",
+    "PrimitiveMode",
+    "RepeatMode",
+    "SampleMode",
+    "D3Camera",
+    "D3FirstPCamera",
+    "D3IsoCamera",
+    "D3OrbitCamera",
+    "Ray",
+    "HitInfo",
+    "CompiledLight",
+    "Light",
+    "LightType",
+    "pack_lights",
+    "Scene",
+    "GridShader",
+    "Shader",
+    "SolidColorShader",
+    "VGrayGradientShader",
+    "Texture",
+    "TextureAtlas",
+    "Tile",
+    "TileRole",
+    "Wavefront",
+]

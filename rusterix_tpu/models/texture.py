@@ -1,0 +1,408 @@
+"""Textures, animated tiles, and the device texture atlas.
+
+TPU-first re-design of the reference's `Texture`/`Tile`
+(reference: src/texture.rs; src/map/tile.rs). Host-side a texture is a numpy
+(H, W, 4) uint8 array plus optional packed material/normal `data_ext`
+(format documented at src/texture.rs:27-44). For rendering, every texture the
+scene can reference is packed into **one atlas array** on the host
+(`TextureAtlas.build`); the device shading pass samples the atlas with
+vectorized gathers instead of the reference's per-pixel `Texture::sample`
+virtual dispatch (src/texture.rs:203-232).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .batch import RepeatMode, SampleMode
+
+
+class TileRole(enum.IntEnum):
+    """reference src/map/tile.rs:6-80 (10 editor role colors)."""
+
+    ManMade = 0
+    Nature = 1
+    Mountain = 2
+    Road = 3
+    Water = 4
+    Character = 5
+    Critter = 6
+    Icon = 7
+    UI = 8
+    Effect = 9
+
+    def color(self):
+        colors = [
+            (190, 190, 190, 255),
+            (80, 160, 80, 255),
+            (130, 110, 90, 255),
+            (120, 120, 135, 255),
+            (70, 110, 180, 255),
+            (220, 170, 80, 255),
+            (180, 130, 180, 255),
+            (200, 200, 90, 255),
+            (90, 180, 200, 255),
+            (220, 90, 90, 255),
+        ]
+        return colors[int(self)]
+
+
+class Texture:
+    """RGBA8 texture (+ optional packed material/normal data_ext).
+
+    reference: src/texture.rs:46-199 (constructors) and :203-553 (sampling).
+    """
+
+    def __init__(self, data: np.ndarray, data_ext: Optional[np.ndarray] = None):
+        data = np.asarray(data, np.uint8)
+        assert data.ndim == 3 and data.shape[2] == 4, "texture must be (H, W, 4) u8"
+        self.data = data
+        self.data_ext = data_ext  # (H, W, 4) u8: [mat_lo, mat_hi, nx, ny]
+
+    # -- constructors --
+
+    @staticmethod
+    def new(data, width: int, height: int) -> "Texture":
+        arr = np.asarray(data, np.uint8).reshape(height, width, 4)
+        return Texture(arr)
+
+    @staticmethod
+    def alloc(width: int, height: int) -> "Texture":
+        return Texture(np.zeros((height, width, 4), np.uint8))
+
+    @staticmethod
+    def white() -> "Texture":
+        return Texture(np.full((1, 1, 4), 255, np.uint8))
+
+    @staticmethod
+    def black() -> "Texture":
+        t = np.zeros((1, 1, 4), np.uint8)
+        t[..., 3] = 255
+        return Texture(t)
+
+    @staticmethod
+    def from_color(rgba) -> "Texture":
+        return Texture(np.asarray(rgba, np.uint8).reshape(1, 1, 4))
+
+    @staticmethod
+    def checkerboard(size: int, square_size: int) -> "Texture":
+        """reference src/texture.rs:85-110 (gray/black squares)."""
+        y, x = np.mgrid[0:size, 0:size]
+        is_white = ((x // square_size) + (y // square_size)) % 2 == 0
+        data = np.zeros((size, size, 4), np.uint8)
+        data[..., :3] = np.where(is_white[..., None], 128, 0)
+        data[..., 3] = 255
+        return Texture(data)
+
+    @staticmethod
+    def from_image(path) -> "Texture":
+        from PIL import Image
+
+        img = Image.open(path).convert("RGBA")
+        return Texture(np.asarray(img, np.uint8))
+
+    @staticmethod
+    def from_image_safe(path) -> Optional["Texture"]:
+        try:
+            return Texture.from_image(path)
+        except Exception:
+            return None
+
+    # -- basic properties / edits --
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.data.shape[0]
+
+    def fill(self, rgba) -> None:
+        self.data[:, :] = np.asarray(rgba, np.uint8)
+
+    def get_pixel(self, x: int, y: int):
+        return tuple(int(c) for c in self.data[y, x])
+
+    def set_pixel(self, x: int, y: int, rgba) -> None:
+        self.data[y, x] = np.asarray(rgba, np.uint8)
+
+    def resized(self, width: int, height: int) -> "Texture":
+        from PIL import Image
+
+        img = Image.fromarray(self.data, "RGBA").resize(
+            (width, height), Image.NEAREST
+        )
+        return Texture(np.asarray(img, np.uint8))
+
+    def is_fully_opaque(self) -> bool:
+        return bool((self.data[..., 3] == 255).all())
+
+    # -- sampling (host reference implementation; device uses the atlas) --
+
+    def _apply_repeat(self, u: float, v: float, repeat_mode: RepeatMode):
+        """reference src/texture.rs:203-232"""
+        if repeat_mode == RepeatMode.ClampXY:
+            u = min(1.0, max(0.0, u))
+            v = min(1.0, max(0.0, v))
+        elif repeat_mode == RepeatMode.RepeatXY:
+            u = u - np.floor(u)
+            v = v - np.floor(v)
+        elif repeat_mode == RepeatMode.RepeatX:
+            u = u - np.floor(u)
+            v = min(1.0, max(0.0, v))
+        else:  # RepeatY
+            u = min(1.0, max(0.0, u))
+            v = v - np.floor(v)
+        return float(u), float(v)
+
+    def sample(
+        self,
+        u: float,
+        v: float,
+        sample_mode: SampleMode = SampleMode.Nearest,
+        repeat_mode: RepeatMode = RepeatMode.ClampXY,
+    ):
+        u, v = self._apply_repeat(u, v, repeat_mode)
+        if sample_mode == SampleMode.Nearest:
+            return self.sample_nearest(u, v)
+        return self.sample_linear(u, v)
+
+    def sample_nearest(self, u: float, v: float):
+        """reference src/texture.rs:307-324: round(u*(w-1)), clamped."""
+        tx = int(np.clip(np.round(u * (self.width - 1)), 0, self.width - 1))
+        ty = int(np.clip(np.round(v * (self.height - 1)), 0, self.height - 1))
+        return tuple(int(c) for c in self.data[ty, tx])
+
+    def sample_linear(self, u: float, v: float):
+        """reference src/texture.rs:414-460 bilinear."""
+        x = u * (self.width - 1)
+        y = v * (self.height - 1)
+        x0 = int(np.floor(x))
+        y0 = int(np.floor(y))
+        x1 = min(x0 + 1, self.width - 1)
+        y1 = min(y0 + 1, self.height - 1)
+        dx = x - np.floor(x)
+        dy = y - np.floor(y)
+        c00 = self.data[y0, x0].astype(np.float32)
+        c10 = self.data[y0, x1].astype(np.float32)
+        c01 = self.data[y1, x0].astype(np.float32)
+        c11 = self.data[y1, x1].astype(np.float32)
+        c = (
+            c00 * (1 - dx) * (1 - dy)
+            + c10 * dx * (1 - dy)
+            + c01 * (1 - dx) * dy
+            + c11 * dx * dy
+        )
+        return tuple(int(q) for q in np.round(c).astype(np.int32))
+
+    # -- unified material/normal format (reference src/texture.rs:652-823) --
+
+    def ensure_data_ext(self) -> None:
+        if self.data_ext is None:
+            self.data_ext = np.zeros((self.height, self.width, 4), np.uint8)
+
+    @staticmethod
+    def pack_materials(roughness: float, metallic: float, opacity: float, emissive: float) -> int:
+        r = int(round(np.clip(roughness, 0, 1) * 15))
+        m = int(round(np.clip(metallic, 0, 1) * 15))
+        o = int(round(np.clip(opacity, 0, 1) * 15))
+        e = int(round(np.clip(emissive, 0, 1) * 15))
+        return r | (m << 4) | (o << 8) | (e << 12)
+
+    @staticmethod
+    def unpack_materials(packed: int):
+        return (
+            (packed & 0xF) / 15.0,
+            ((packed >> 4) & 0xF) / 15.0,
+            ((packed >> 8) & 0xF) / 15.0,
+            ((packed >> 12) & 0xF) / 15.0,
+        )
+
+    @staticmethod
+    def pack_normal(nx: float, ny: float) -> int:
+        x = int(round((np.clip(nx, -1, 1) * 0.5 + 0.5) * 255))
+        y = int(round((np.clip(ny, -1, 1) * 0.5 + 0.5) * 255))
+        return x | (y << 8)
+
+    @staticmethod
+    def unpack_normal(packed: int):
+        return (
+            (packed & 0xFF) / 255.0 * 2.0 - 1.0,
+            ((packed >> 8) & 0xFF) / 255.0 * 2.0 - 1.0,
+        )
+
+    def set_materials(self, x: int, y: int, roughness, metallic, opacity, emissive) -> None:
+        self.ensure_data_ext()
+        packed = self.pack_materials(roughness, metallic, opacity, emissive)
+        self.data_ext[y, x, 0] = packed & 0xFF
+        self.data_ext[y, x, 1] = (packed >> 8) & 0xFF
+
+    def get_materials(self, x: int, y: int):
+        if self.data_ext is None:
+            return (0.0, 0.0, 1.0, 0.0)
+        packed = int(self.data_ext[y, x, 0]) | (int(self.data_ext[y, x, 1]) << 8)
+        return self.unpack_materials(packed)
+
+    def set_normal(self, x: int, y: int, nx: float, ny: float) -> None:
+        self.ensure_data_ext()
+        packed = self.pack_normal(nx, ny)
+        self.data_ext[y, x, 2] = packed & 0xFF
+        self.data_ext[y, x, 3] = (packed >> 8) & 0xFF
+
+    def get_normal(self, x: int, y: int):
+        if self.data_ext is None:
+            return (0.0, 0.0)
+        packed = int(self.data_ext[y, x, 2]) | (int(self.data_ext[y, x, 3]) << 8)
+        return self.unpack_normal(packed)
+
+    def generate_normals(self, wrap: bool = False) -> None:
+        """Sobel height→normal baking, vectorized (reference src/texture.rs:558-638)."""
+        self.ensure_data_ext()
+        rgb = self.data[..., :3].astype(np.float32) / 255.0
+        lum = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+
+        mode = "wrap" if wrap else "edge"
+        p = np.pad(lum, 1, mode=mode)
+        tl = p[:-2, :-2]
+        tc = p[:-2, 1:-1]
+        tr = p[:-2, 2:]
+        cl = p[1:-1, :-2]
+        cr = p[1:-1, 2:]
+        bl = p[2:, :-2]
+        bc = p[2:, 1:-1]
+        br = p[2:, 2:]
+        gx = -tl + tr - 2 * cl + 2 * cr - bl + br
+        gy = -tl - 2 * tc - tr + bl + 2 * bc + br
+        nx = -gx
+        ny = -gy
+        nz = np.ones_like(nx)
+        ln = np.sqrt(nx * nx + ny * ny + nz * nz)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nx = np.where(ln > 0, nx / ln, 0.0)
+            ny = np.where(ln > 0, ny / ln, 0.0)
+        px = np.round((np.clip(nx, -1, 1) * 0.5 + 0.5) * 255).astype(np.uint16)
+        py = np.round((np.clip(ny, -1, 1) * 0.5 + 0.5) * 255).astype(np.uint16)
+        self.data_ext[..., 2] = (px & 0xFF).astype(np.uint8)
+        self.data_ext[..., 3] = (py & 0xFF).astype(np.uint8)
+
+
+@dataclass
+class Tile:
+    """Animated texture: frame list + metadata (reference src/map/tile.rs:83-222)."""
+
+    textures: List[Texture] = field(default_factory=list)
+    id: Optional[str] = None
+    role: TileRole = TileRole.ManMade
+    blocking: bool = False
+    scale: float = 1.0
+    tags: str = ""
+    render_mode: int = 0
+
+    @staticmethod
+    def empty() -> "Tile":
+        return Tile()
+
+    @staticmethod
+    def from_texture(texture: Texture) -> "Tile":
+        return Tile(textures=[texture])
+
+    def append(self, texture: Texture) -> None:
+        self.textures.append(texture)
+
+    def set_frames(self, textures: List[Texture]) -> None:
+        self.textures = list(textures)
+
+    def resized(self, width: int, height: int) -> "Tile":
+        return Tile(
+            textures=[t.resized(width, height) for t in self.textures],
+            id=self.id,
+            role=self.role,
+            blocking=self.blocking,
+            scale=self.scale,
+            tags=self.tags,
+        )
+
+    def first(self) -> Texture:
+        return self.textures[0] if self.textures else Texture.white()
+
+
+@dataclass
+class TextureAtlas:
+    """All scene-reachable textures shelf-packed into one device array.
+
+    Device layout (all jnp-convertible numpy):
+      data      : (AH, AW, 4) uint8 atlas texels
+      rects     : (N, 4) int32 per-texture (x, y, w, h)
+      opaque    : (N,) bool per-texture "all alpha == 255"
+      tile_first: (K, ) int32 first texture index of tile k
+      tile_count: (K, ) int32 frame count of tile k
+    The shading pass resolves an animated tile to a texture id with
+    ``tile_first[k] + frame % tile_count[k]`` (reference picks the frame the
+    same way, src/rasterizer.rs:1104-1107).
+    """
+
+    data: np.ndarray
+    rects: np.ndarray
+    opaque: np.ndarray
+    tile_first: np.ndarray
+    tile_count: np.ndarray
+
+    @staticmethod
+    def build(tiles: List[Tile], max_width: int = 2048) -> "TextureAtlas":
+        textures: List[Texture] = []
+        tile_first = []
+        tile_count = []
+        for tile in tiles:
+            frames = tile.textures if tile.textures else [Texture.white()]
+            tile_first.append(len(textures))
+            tile_count.append(len(frames))
+            textures.extend(frames)
+        if not textures:
+            textures = [Texture.white()]
+            tile_first = [0]
+            tile_count = [1]
+
+        # Shelf pack, tallest first, keep original order in rects.
+        order = sorted(range(len(textures)), key=lambda i: -textures[i].height)
+        rects = np.zeros((len(textures), 4), np.int32)
+        shelf_x, shelf_y, shelf_h = 0, 0, 0
+        atlas_w = max(
+            min(max_width, max(t.width for t in textures)),
+            1,
+        )
+        # Try to use a near-square atlas width.
+        total_area = sum(t.width * t.height for t in textures)
+        atlas_w = max(atlas_w, 1 << int(np.ceil(np.log2(max(np.sqrt(total_area), 1)))))
+        atlas_w = min(atlas_w, max_width)
+
+        for i in order:
+            t = textures[i]
+            if shelf_x + t.width > atlas_w:
+                shelf_y += shelf_h
+                shelf_x, shelf_h = 0, 0
+            rects[i] = (shelf_x, shelf_y, t.width, t.height)
+            shelf_x += t.width
+            shelf_h = max(shelf_h, t.height)
+        atlas_h = shelf_y + shelf_h
+
+        data = np.zeros((atlas_h, atlas_w, 4), np.uint8)
+        for i, t in enumerate(textures):
+            x, y, w, h = rects[i]
+            data[y : y + h, x : x + w] = t.data
+
+        return TextureAtlas(
+            data=data,
+            rects=rects,
+            opaque=np.array([t.is_fully_opaque() for t in textures], bool),
+            tile_first=np.asarray(tile_first, np.int32),
+            tile_count=np.asarray(tile_count, np.int32),
+        )
+
+    @staticmethod
+    def empty() -> "TextureAtlas":
+        return TextureAtlas.build([])

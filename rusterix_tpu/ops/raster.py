@@ -1,0 +1,351 @@
+"""Rasterizer facade — the public render API.
+
+Mirrors the reference's `Rasterizer::setup(...).rasterize(scene, ...)`
+(src/rasterizer.rs:92-185) but compiles the whole frame into one jitted
+device function: setup pass -> visibility -> deferred shade -> compose ->
+opacity blend -> ordered 2D pass -> RGBA8 pack. Host work per frame is scene
+packing (numpy) and the final Bresenham line overlay.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.batch import SampleMode
+from ..utils.color import hash_u32
+from .composite import blend_opacity, compose_opaque, d2_pass, frame_to_u8
+from .matrices import invert
+from .scene_pack import PackedScene
+from .setup_pass import setup_pass
+from .shade import resolve_texel, shade_pass, srgb_to_linear_fast, linear_to_srgb_fast
+from .visibility import visibility_pass
+
+
+def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, width, height, sample_mode):
+    """Opacity-pass shading: texel only, no lighting
+    (reference d3_rasterize_opacity, src/rasterizer.rs:1425-1690)."""
+    slot = jnp.maximum(idx, 0)
+    t = jnp.take(tri_id, slot)
+    planes = jnp.take(attr_planes, slot, axis=0)
+
+    px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5, (height, width))
+    py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5, (height, width))
+
+    def interp(i):
+        return planes[..., 3 * i] * px + planes[..., 3 * i + 1] * py + planes[..., 3 * i + 2]
+
+    inv_w = interp(0)
+    u = interp(1) / inv_w
+    v = interp(2) / inv_w
+
+    kind = jnp.take(meta["kind"], t)
+    tex_slot = jnp.take(meta["tex_slot"], t)
+    rgba = jnp.take(meta["rgba"], t, axis=0)
+    repeat = jnp.take(meta["repeat"], t)
+    texel = resolve_texel(kind, tex_slot, rgba, repeat, u, v, atlas, uniforms["anim_frame"], sample_mode)
+
+    # srgb->linear then linear->srgb round trip through the fast polynomials,
+    # matching the reference's pipeline (rasterizer.rs:1634-1676).
+    rgb = linear_to_srgb_fast(srgb_to_linear_fast(texel[..., :3]))
+    out = jnp.concatenate([rgb, texel[..., 3:4]], axis=-1)
+    z_eff = jnp.where(hit, z, 1.0)
+    color = jnp.where(hit[..., None], out, 0.0)
+    return color, z_eff, t
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "sample_mode",
+        "preserve_transparency",
+        "has_ambient",
+        "has_lights",
+        "has_opacity",
+        "has_d2",
+    ),
+)
+def render_frame(
+    d3,
+    d3_op,
+    d2,
+    lights,
+    atlas,
+    uniforms,
+    background,
+    width: int,
+    height: int,
+    sample_mode: int = 0,
+    preserve_transparency: bool = False,
+    has_ambient: bool = False,
+    has_lights: bool = False,
+    has_opacity: bool = False,
+    has_d2: bool = False,
+):
+    """One full frame on device -> (H, W, 4) uint8."""
+    view = uniforms["view"]
+    proj = uniforms["proj"]
+
+    vis, attr, bbox, alive, tri_id = setup_pass(
+        d3["pos"], d3["uv"], d3["nrm"], d3["valid"], d3["cull"], view, proj, width, height
+    )
+    z, idx, hit = visibility_pass(vis, alive.astype(jnp.float32), width, height)
+    shaded, wrote = shade_pass(
+        z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height, sample_mode
+    )
+    frame, z_eff = compose_opaque(shaded, wrote, z, background)
+
+    if has_opacity:
+        vis_o, attr_o, bbox_o, alive_o, tri_id_o = setup_pass(
+            d3_op["pos"], d3_op["uv"], d3_op["nrm"], d3_op["valid"], d3_op["cull"],
+            view, proj, width, height,
+        )
+        z_o, idx_o, hit_o = visibility_pass(vis_o, alive_o.astype(jnp.float32), width, height)
+        color_o, zeff_o, _ = _shade_opacity(
+            z_o, idx_o, hit_o, attr_o, tri_id_o, d3_op, atlas, uniforms, width, height, sample_mode
+        )
+        frame = blend_opacity(frame, z_eff, color_o, zeff_o, preserve_transparency)
+
+    if has_d2:
+        frame = d2_pass(
+            frame,
+            d2,
+            atlas,
+            lights,
+            uniforms,
+            width,
+            height,
+            sample_mode,
+            preserve_transparency,
+            light_count=1 if has_lights else 0,
+            has_ambient=has_ambient,
+        )
+
+    return frame_to_u8(frame)
+
+
+def draw_lines_bresenham(pixels: np.ndarray, segments: np.ndarray, colors: np.ndarray):
+    """Exact port of rasterize_line_bresenham (src/rasterizer.rs:1777-1841)
+    over the full frame (tile union ≡ full frame). Mutates `pixels` (H,W,4)."""
+    h, w = pixels.shape[:2]
+    for (x0f, y0f, x1f, y1f), color in zip(segments, colors):
+        x0, y0, x1, y1 = int(x0f), int(y0f), int(x1f), int(y1f)
+        dx = abs(x1 - x0)
+        dy = abs(y1 - y0)
+        sx = 1 if x0 < x1 else -1
+        sy = 1 if y0 < y1 else -1
+        err = dx - dy
+        x, y = x0, y0
+        while x != x1 or y != y1:
+            if 0 <= x < w and 0 <= y < h:
+                pixels[y, x] = color
+            e2 = err * 2
+            if e2 > -dy:
+                err -= dy
+                x += sx
+            if e2 < dx:
+                err += dx
+                y += sy
+
+
+class Rasterizer:
+    """Public API mirroring the reference (src/rasterizer.rs:92-185)."""
+
+    def __init__(self, projection_matrix_2d, view_matrix, projection_matrix):
+        self.projection_matrix_2d = projection_matrix_2d
+        self.view_matrix = np.asarray(view_matrix, np.float32)
+        self.projection_matrix = np.asarray(projection_matrix, np.float32)
+        self.inverse_view_matrix = invert(self.view_matrix)
+        self.inverse_projection_matrix = invert(self.projection_matrix)
+        self.camera_pos = self.inverse_view_matrix[:3, 3].copy()
+
+        if projection_matrix_2d is not None:
+            m = np.asarray(projection_matrix_2d, np.float32)
+            self.translationd2 = np.array([m[0, 2], m[1, 2]], np.float32)
+            self.scaled2 = float(m[0, 0])
+            self.proj2d = m
+        else:
+            self.translationd2 = np.zeros(2, np.float32)
+            self.scaled2 = 1.0
+            self.proj2d = np.eye(3, dtype=np.float32)
+
+        self.sample_mode = SampleMode.Nearest
+        self.background_color: Optional[tuple] = None
+        self.ambient_color: Optional[np.ndarray] = None
+        self.preserve_transparency = False
+        self.hour = 12.0
+        self.time = 0.0
+        self.sun_dir: Optional[np.ndarray] = None
+        self.day_factor = 0.0
+        self.hash_anim = 0
+        self.render_graph = None
+        self.mapmini = None
+        self.brush_preview = None
+
+        self._bg_cache = {}
+
+    @staticmethod
+    def setup(projection_matrix_2d, view_matrix, projection_matrix) -> "Rasterizer":
+        return Rasterizer(projection_matrix_2d, view_matrix, projection_matrix)
+
+    # builder-style setters (rasterizer.rs:155-182)
+    def background(self, pixel) -> "Rasterizer":
+        self.background_color = tuple(int(c) for c in pixel)
+        return self
+
+    def ambient(self, rgba) -> "Rasterizer":
+        self.ambient_color = np.asarray(rgba, np.float32)
+        return self
+
+    def set_sample_mode(self, mode) -> "Rasterizer":
+        self.sample_mode = mode
+        return self
+
+    def set_time(self, t: float) -> "Rasterizer":
+        self.time = t
+        return self
+
+    # -- helpers --
+
+    def _background_array(self, scene, width, height) -> np.ndarray:
+        """Background fill + optional background shader bake
+        (rasterizer.rs:277-308). Returns (H,W,4) f32 0..1."""
+        key = (id(scene.background), width, height, self.background_color)
+        cached = self._bg_cache.get(key)
+        if cached is not None:
+            return cached
+        if scene.background is not None:
+            bg_u8 = np.asarray(scene.background.shade_grid(width, height, np))
+            bg = bg_u8.astype(np.float32) / 255.0
+        elif self.background_color is not None:
+            bg = np.broadcast_to(
+                np.asarray(self.background_color, np.float32) / 255.0, (height, width, 4)
+            ).copy()
+        else:
+            bg = np.zeros((height, width, 4), np.float32)
+        self._bg_cache[key] = bg
+        return bg
+
+    def _flicker_factors(self, lights) -> np.ndarray:
+        """Per-light flicker factor for this frame
+        (reference light.rs:656-672 — constant per light per frame)."""
+        out = np.ones(len(lights["valid"]), np.float32)
+        for i in range(len(out)):
+            fl = float(lights["flicker"][i])
+            if fl > 0.0:
+                x, y, z = lights["position"][i]
+
+                def as_u32(val):
+                    if not np.isfinite(val) or val <= 0.0:
+                        return 0
+                    return min(int(val), 0xFFFFFFFF)
+
+                combined = (
+                    self.hash_anim + (as_u32(x) + as_u32(y) + as_u32(z)) * 100
+                ) & 0xFFFFFFFF
+                out[i] = 1.0 - min(1.0, combined / 0xFFFFFFFF) * fl
+        return out
+
+    def _uniforms(self, scene) -> dict:
+        amb = (
+            self.ambient_color
+            if self.ambient_color is not None
+            else np.zeros(4, np.float32)
+        )
+        sun = self.sun_dir if self.sun_dir is not None else np.array([0, -1, 0], np.float32)
+        return {
+            "view": jnp.asarray(self.view_matrix),
+            "proj": jnp.asarray(self.projection_matrix),
+            "inv_view": jnp.asarray(self.inverse_view_matrix),
+            "inv_proj": jnp.asarray(self.inverse_projection_matrix),
+            "camera_pos": jnp.asarray(self.camera_pos),
+            "ambient": jnp.asarray(amb, jnp.float32),
+            "has_ambient": jnp.float32(1.0 if self.ambient_color is not None else 0.0),
+            "sun_dir": jnp.asarray(sun, jnp.float32),
+            "day_factor": jnp.float32(self.day_factor),
+            "has_sun": jnp.float32(1.0 if (self.sun_dir is not None and self.day_factor > 0) else 0.0),
+            "anim_frame": jnp.int32(scene.animation_frame),
+            "proj2d": jnp.asarray(self.proj2d),
+            "translationd2": jnp.asarray(self.translationd2),
+            "scaled2": jnp.float32(self.scaled2),
+            "time": jnp.float32(self.time),
+        }
+
+    def rasterize(
+        self,
+        scene,
+        width: int,
+        height: int,
+        tile_size: int = 128,
+        assets=None,
+        packed: Optional[PackedScene] = None,
+    ) -> np.ndarray:
+        """Render the scene -> (H, W, 4) uint8 numpy frame.
+
+        `tile_size` is accepted for API parity; device tiling is chosen by
+        the kernels."""
+        from ..models.assets import Assets
+
+        if assets is None:
+            assets = Assets.default()
+
+        self.hash_anim = hash_u32(scene.animation_frame & 0xFFFFFFFF)
+
+        if packed is None:
+            packed = PackedScene.from_scene(scene, assets)
+
+        lights = dict(packed.lights)
+        lights["flicker_factor"] = self._flicker_factors(lights)
+
+        atlas_np = packed.atlas_index.atlas
+        atlas = {
+            "flat": jnp.asarray(atlas_np.data.reshape(-1, 4)),
+            "w": jnp.int32(atlas_np.data.shape[1]),
+            "rects": jnp.asarray(atlas_np.rects),
+            "tile_first": jnp.asarray(atlas_np.tile_first),
+            "tile_count": jnp.asarray(atlas_np.tile_count),
+        }
+
+        d3 = {k: jnp.asarray(v) for k, v in vars(packed.d3).items()}
+        d3_op = {k: jnp.asarray(v) for k, v in vars(packed.d3_opacity).items()}
+        d2 = {k: jnp.asarray(v) for k, v in vars(packed.d2).items()}
+        lights_dev = {k: jnp.asarray(v) for k, v in lights.items()}
+
+        background = jnp.asarray(self._background_array(scene, width, height))
+
+        frame = render_frame(
+            d3,
+            d3_op,
+            d2,
+            lights_dev,
+            atlas,
+            self._uniforms(scene),
+            background,
+            width,
+            height,
+            int(self.sample_mode),
+            self.preserve_transparency,
+            self.ambient_color is not None,
+            packed.light_count > 0,
+            bool(packed.d3_opacity.valid.any()),
+            bool(packed.d2.valid.any()),
+        )
+        out = np.asarray(frame)
+
+        if len(packed.d2_lines.segments):
+            segs = packed.d2_lines.segments
+            ones = np.ones((len(segs), 1), np.float32)
+            p0 = np.concatenate([segs[:, 0:2], ones], axis=1) @ self.proj2d.T
+            p1 = np.concatenate([segs[:, 2:4], ones], axis=1) @ self.proj2d.T
+            projected = np.concatenate([p0[:, :2], p1[:, :2]], axis=1)
+            out = out.copy()
+            draw_lines_bresenham(out, projected, packed.d2_lines.colors)
+
+        return out

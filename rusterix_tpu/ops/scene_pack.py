@@ -1,0 +1,347 @@
+"""Host-side scene packing: batch lists -> padded SoA device buffers.
+
+This is the bridge between the editable host Scene (models/scene.py) and the
+jitted device pipeline. The reference mutates per-batch `projected_vertices`/
+`edges` in place under rayon (src/scene.rs:154-200); we instead denormalize
+every triangle into flat arrays once per frame (cheap numpy) and let the
+jitted setup pass (ops/setup_pass.py) do all the math on device.
+
+Capacities are padded to powers of two so jit signatures are stable across
+small scene edits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..models.batch import Batch2D, Batch3D, PixelSourceKind, PrimitiveMode
+from ..models.light import pack_lights
+from ..models.texture import TextureAtlas, Tile
+
+# Resolved per-triangle source kinds used on device.
+SRC_OFF = 0
+SRC_TEXTURE = 1  # meta 'tex_slot' indexes atlas tile_first/tile_count
+SRC_PIXEL = 2  # flat RGBA from meta
+SRC_TERRAIN = 3
+
+
+def next_pow2(n: int, lo: int = 16) -> int:
+    n = max(n, lo)
+    return 1 << int(np.ceil(np.log2(n)))
+
+
+@dataclass
+class AtlasIndex:
+    """Maps every PixelSource to a slot in the packed TextureAtlas."""
+
+    atlas: TextureAtlas
+    static_offset: int
+    dynamic_offset: int
+    entity_slots: Dict[Tuple[int, int], int]
+    item_slots: Dict[Tuple[int, int], int]
+
+    @staticmethod
+    def build(assets, scene) -> "AtlasIndex":
+        tiles: List[Tile] = []
+        static_offset = 0
+        tiles.extend(assets.tile_list)
+        dynamic_offset = len(tiles)
+        tiles.extend(scene.dynamic_textures)
+        entity_slots: Dict[Tuple[int, int], int] = {}
+        for ent_id, seqs in assets.entity_tiles.items():
+            for i, tile in enumerate(seqs.values()):
+                entity_slots[(ent_id, i)] = len(tiles)
+                tiles.append(tile)
+        item_slots: Dict[Tuple[int, int], int] = {}
+        for item_id, seqs in assets.item_tiles.items():
+            for i, tile in enumerate(seqs.values()):
+                item_slots[(item_id, i)] = len(tiles)
+                tiles.append(tile)
+        return AtlasIndex(
+            atlas=TextureAtlas.build(tiles),
+            static_offset=static_offset,
+            dynamic_offset=dynamic_offset,
+            entity_slots=entity_slots,
+            item_slots=item_slots,
+        )
+
+    def resolve(self, source) -> Tuple[int, int, Tuple[float, float, float, float]]:
+        """-> (kind, tex_slot, rgba[0..1]) for the device meta arrays.
+
+        Mirrors the reference's per-pixel `match batch.source` dispatch
+        (src/rasterizer.rs:1101-1222) resolved once at pack time."""
+        k = source.kind
+        if k == PixelSourceKind.StaticTileIndex:
+            return SRC_TEXTURE, self.static_offset + source.index, (0, 0, 0, 1)
+        if k == PixelSourceKind.DynamicTileIndex:
+            return SRC_TEXTURE, self.dynamic_offset + source.index, (0, 0, 0, 1)
+        if k in (PixelSourceKind.Pixel, PixelSourceKind.Color):
+            r, g, b, a = source.pixel
+            return SRC_PIXEL, -1, (r / 255.0, g / 255.0, b / 255.0, a / 255.0)
+        if k == PixelSourceKind.EntityTile:
+            slot = self.entity_slots.get((source.entity_id, source.index))
+            if slot is None:
+                return SRC_PIXEL, -1, (0.0, 0.0, 0.0, 0.0)
+            return SRC_TEXTURE, slot, (0, 0, 0, 1)
+        if k == PixelSourceKind.ItemTile:
+            slot = self.item_slots.get((source.entity_id, source.index))
+            if slot is None:
+                return SRC_PIXEL, -1, (0.0, 0.0, 0.0, 0.0)
+            return SRC_TEXTURE, slot, (0, 0, 0, 1)
+        if k == PixelSourceKind.Terrain:
+            return SRC_TERRAIN, -1, (1.0, 0.0, 0.0, 1.0)
+        # Off and unsupported kinds fall back to opaque black
+        # (src/rasterizer.rs:1222 `_ => ([0, 0, 0, 255], false)`).
+        return SRC_OFF, -1, (0.0, 0.0, 0.0, 1.0)
+
+
+@dataclass
+class PackedTriangles3D:
+    """Padded SoA of world-space triangles + per-triangle render meta."""
+
+    pos: np.ndarray  # (T, 3, 4)
+    uv: np.ndarray  # (T, 3, 2)
+    nrm: np.ndarray  # (T, 3, 3)
+    valid: np.ndarray  # (T,) f32
+    has_normals: np.ndarray  # (T,) f32
+    cull: np.ndarray  # (T,) i32
+    kind: np.ndarray  # (T,) i32 SRC_*
+    tex_slot: np.ndarray  # (T,) i32
+    rgba: np.ndarray  # (T, 4) f32
+    repeat: np.ndarray  # (T,) i32
+    receives_light: np.ndarray  # (T,) f32
+    shader: np.ndarray  # (T,) i32 (-1 none)
+    ambient: np.ndarray  # (T, 3) f32
+    profile: np.ndarray  # (T,) i32 (-1 none)
+    cutout: np.ndarray  # (T,) f32 — 1 when the source texture has any alpha<255
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[0]
+
+
+def pack_batches_3d(
+    batches: List[Batch3D], atlas_index: AtlasIndex, capacity: Optional[int] = None
+) -> PackedTriangles3D:
+    tris = []
+    for batch in batches:
+        if batch.mode != PrimitiveMode.Triangles or len(batch.indices) == 0:
+            continue
+        # Fold the per-batch model transform host-side (cheap; the reference
+        # folds it into view_model per frame, src/batch/batch3d.rs:555-559).
+        verts = batch.vertices
+        tf = batch.transform_3d
+        if not np.allclose(tf, np.eye(4)):
+            verts = verts @ tf.T.astype(np.float32)
+        kind, tex_slot, rgba = atlas_index.resolve(batch.source)
+        opaque = True
+        if kind == SRC_TEXTURE:
+            first = int(atlas_index.atlas.tile_first[tex_slot])
+            count = int(atlas_index.atlas.tile_count[tex_slot])
+            opaque = bool(atlas_index.atlas.opaque[first : first + count].all())
+        elif kind == SRC_PIXEL:
+            opaque = rgba[3] >= 1.0
+        has_n = len(batch.normals) == len(batch.vertices) and len(batch.normals) > 0
+        for i0, i1, i2 in batch.indices:
+            tri_pos = verts[[i0, i1, i2]]
+            tri_uv = batch.uvs[[i0, i1, i2]]
+            tri_n = (
+                batch.normals[[i0, i1, i2]] if has_n else np.zeros((3, 3), np.float32)
+            )
+            tris.append(
+                (
+                    tri_pos,
+                    tri_uv,
+                    tri_n,
+                    1.0 if has_n else 0.0,
+                    int(batch.cull_mode),
+                    kind,
+                    tex_slot,
+                    rgba,
+                    int(batch.repeat_mode),
+                    1.0 if batch.receives_light else 0.0,
+                    -1 if batch.shader is None else int(batch.shader),
+                    batch.ambient_color,
+                    -1 if batch.profile_id is None else int(batch.profile_id),
+                    0.0 if opaque else 1.0,
+                )
+            )
+
+    n = len(tris)
+    cap = capacity if capacity is not None else next_pow2(n)
+    out = PackedTriangles3D(
+        pos=np.zeros((cap, 3, 4), np.float32),
+        uv=np.zeros((cap, 3, 2), np.float32),
+        nrm=np.zeros((cap, 3, 3), np.float32),
+        valid=np.zeros(cap, np.float32),
+        has_normals=np.zeros(cap, np.float32),
+        cull=np.zeros(cap, np.int32),
+        kind=np.zeros(cap, np.int32),
+        tex_slot=np.zeros(cap, np.int32),
+        rgba=np.zeros((cap, 4), np.float32),
+        repeat=np.zeros(cap, np.int32),
+        receives_light=np.zeros(cap, np.float32),
+        shader=np.full(cap, -1, np.int32),
+        ambient=np.zeros((cap, 3), np.float32),
+        profile=np.full(cap, -1, np.int32),
+        cutout=np.zeros(cap, np.float32),
+    )
+    for t, tri in enumerate(tris[:cap]):
+        (pos, uv, nrm, has_n, cull, kind, tex_slot, rgba, repeat, rl, sh, amb, prof, cut) = tri
+        out.pos[t] = pos
+        out.uv[t] = uv
+        out.nrm[t] = nrm
+        out.valid[t] = 1.0
+        out.has_normals[t] = has_n
+        out.cull[t] = cull
+        out.kind[t] = kind
+        out.tex_slot[t] = tex_slot
+        out.rgba[t] = rgba
+        out.repeat[t] = repeat
+        out.receives_light[t] = rl
+        out.shader[t] = sh
+        out.ambient[t] = amb
+        out.profile[t] = prof
+        out.cutout[t] = cut
+    return out
+
+
+@dataclass
+class PackedTriangles2D:
+    """Padded SoA of 2D triangles in painter's order."""
+
+    pos: np.ndarray  # (T, 3, 2) — raw vertex coords (pre-projection)
+    uv: np.ndarray  # (T, 3, 2)
+    valid: np.ndarray  # (T,)
+    kind: np.ndarray
+    tex_slot: np.ndarray
+    rgba: np.ndarray
+    repeat: np.ndarray
+    receives_light: np.ndarray
+    shader: np.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[0]
+
+
+@dataclass
+class PackedLines2D:
+    """2D line primitives for the host Bresenham pass
+    (reference src/rasterizer.rs:901-955)."""
+
+    segments: np.ndarray  # (N, 4): x0, y0, x1, y1 (pre-projection coords)
+    colors: np.ndarray  # (N, 4) u8
+
+
+def pack_batches_2d(
+    batches: List[Batch2D], atlas_index: AtlasIndex, capacity: Optional[int] = None
+) -> Tuple[PackedTriangles2D, PackedLines2D]:
+    tris = []
+    seg_list = []
+    seg_colors = []
+    for batch in batches:
+        kind, tex_slot, rgba = atlas_index.resolve(batch.source)
+        if batch.mode == PrimitiveMode.Triangles:
+            for i0, i1, i2 in batch.indices:
+                tris.append(
+                    (
+                        batch.vertices[[i0, i1, i2]],
+                        batch.uvs[[i0, i1, i2]],
+                        kind,
+                        tex_slot,
+                        rgba,
+                        int(batch.repeat_mode),
+                        1.0 if batch.receives_light else 0.0,
+                        -1 if batch.shader is None else int(batch.shader),
+                    )
+                )
+        else:
+            # Line primitives: color is PixelSource::Pixel or WHITE
+            # (src/rasterizer.rs:914-920).
+            color = np.array(
+                [int(c * 255) for c in rgba] if kind == SRC_PIXEL else [255, 255, 255, 255],
+                np.uint8,
+            )
+            pts = batch.vertices
+            if batch.mode == PrimitiveMode.Lines:
+                pairs = [(batch.indices[i][0], batch.indices[i][1]) for i in range(len(batch.indices))]
+            elif batch.mode == PrimitiveMode.LineStrip:
+                pairs = [(i, i + 1) for i in range(len(pts) - 1)]
+            else:  # LineLoop
+                pairs = [(i, (i + 1) % len(pts)) for i in range(len(pts))]
+            for a, b in pairs:
+                seg_list.append([pts[a][0], pts[a][1], pts[b][0], pts[b][1]])
+                seg_colors.append(color)
+
+    n = len(tris)
+    cap = capacity if capacity is not None else next_pow2(n, lo=4)
+    out = PackedTriangles2D(
+        pos=np.zeros((cap, 3, 2), np.float32),
+        uv=np.zeros((cap, 3, 2), np.float32),
+        valid=np.zeros(cap, np.float32),
+        kind=np.zeros(cap, np.int32),
+        tex_slot=np.zeros(cap, np.int32),
+        rgba=np.zeros((cap, 4), np.float32),
+        repeat=np.zeros(cap, np.int32),
+        receives_light=np.zeros(cap, np.float32),
+        shader=np.full(cap, -1, np.int32),
+    )
+    for t, tri in enumerate(tris[:cap]):
+        pos, uv, kind, tex_slot, rgba, repeat, rl, sh = tri
+        out.pos[t] = pos
+        out.uv[t] = uv
+        out.valid[t] = 1.0
+        out.kind[t] = kind
+        out.tex_slot[t] = tex_slot
+        out.rgba[t] = rgba
+        out.repeat[t] = repeat
+        out.receives_light[t] = rl
+        out.shader[t] = sh
+    lines = PackedLines2D(
+        segments=np.asarray(seg_list, np.float32).reshape(-1, 4),
+        colors=np.asarray(seg_colors, np.uint8).reshape(-1, 4),
+    )
+    return out, lines
+
+
+@dataclass
+class PackedScene:
+    """Everything the jitted frame function needs, as numpy (device-convertible)."""
+
+    d3: PackedTriangles3D
+    d3_opacity: PackedTriangles3D
+    d2: PackedTriangles2D
+    d2_lines: PackedLines2D
+    lights: dict  # SoA from pack_lights
+    atlas_index: AtlasIndex = None
+    light_count: int = 0
+
+    @staticmethod
+    def from_scene(
+        scene,
+        assets,
+        d3_capacity: Optional[int] = None,
+        d2_capacity: Optional[int] = None,
+        light_capacity: Optional[int] = None,
+    ) -> "PackedScene":
+        atlas_index = AtlasIndex.build(assets, scene)
+        d3 = pack_batches_3d(scene.all_d3_batches(), atlas_index, d3_capacity)
+        d3_op = pack_batches_3d(scene.all_d3_opacity_batches(), atlas_index, None)
+        d2, lines = pack_batches_2d(scene.all_d2_batches(), atlas_index, d2_capacity)
+        lights = scene.all_lights()
+        packed_lights = pack_lights(
+            lights, light_capacity if light_capacity is not None else next_pow2(len(lights), lo=4)
+        )
+        return PackedScene(
+            d3=d3,
+            d3_opacity=d3_op,
+            d2=d2,
+            d2_lines=lines,
+            lights=packed_lights,
+            atlas_index=atlas_index,
+            light_count=len(lights),
+        )

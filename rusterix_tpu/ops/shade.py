@@ -1,0 +1,398 @@
+"""Deferred shading pass.
+
+Consumes the visibility result (per-pixel winning triangle) and evaluates the
+reference's per-pixel shading pipeline (src/rasterizer.rs:1062-1412) as fused
+whole-frame tensor ops: perspective-correct UV, world-position
+reconstruction, normal interpolation, texture-atlas sampling, the fast
+Blinn-Phong BRDF (rasterizer.rs:1874-1951) and the per-type light falloffs
+(src/map/light.rs:491-653) vectorized over a padded light array.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.color import linear_to_srgb_fast, srgb_to_linear_fast
+from .scene_pack import SRC_PIXEL, SRC_TEXTURE
+
+# light type codes (models/light.py LightType)
+LT_POINT = 0
+LT_AMBIENT = 1
+LT_AMBIENT_DAYLIGHT = 2
+LT_SPOT = 3
+LT_AREA = 4
+LT_DAYLIGHT = 5
+
+REPEAT_CLAMP = 0
+REPEAT_XY = 1
+REPEAT_X = 2
+REPEAT_Y = 3
+
+
+def _round_half_away(x):
+    """Rust f32::round (half away from zero) for non-negative inputs."""
+    return jnp.floor(x + 0.5)
+
+
+def apply_repeat(u, v, repeat):
+    """reference src/texture.rs:203-232 (vectorized select)."""
+    u_clamp = jnp.clip(u, 0.0, 1.0)
+    v_clamp = jnp.clip(v, 0.0, 1.0)
+    u_rep = u - jnp.floor(u)
+    v_rep = v - jnp.floor(v)
+    u_out = jnp.where(
+        (repeat == REPEAT_XY) | (repeat == REPEAT_X), u_rep, u_clamp
+    )
+    v_out = jnp.where(
+        (repeat == REPEAT_XY) | (repeat == REPEAT_Y), v_rep, v_clamp
+    )
+    return u_out, v_out
+
+
+def sample_atlas_nearest(atlas_flat, atlas_w, rects, tex_id, u, v):
+    """Nearest texel (reference src/texture.rs:307-324): round(u*(w-1)), clamp.
+
+    atlas_flat: (AH*AW, 4) uint8; rects: (N,4) int32 (x,y,w,h)."""
+    r = rects[tex_id]  # (..., 4)
+    rx, ry, rw, rh = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
+    tx = jnp.clip(
+        _round_half_away(u * (rw.astype(jnp.float32) - 1.0)).astype(jnp.int32), 0, rw - 1
+    )
+    ty = jnp.clip(
+        _round_half_away(v * (rh.astype(jnp.float32) - 1.0)).astype(jnp.int32), 0, rh - 1
+    )
+    flat = (ry + ty) * atlas_w + (rx + tx)
+    texel = jnp.take(atlas_flat, flat, axis=0)
+    return texel.astype(jnp.float32)  # 0..255
+
+
+def sample_atlas_linear(atlas_flat, atlas_w, rects, tex_id, u, v):
+    """Bilinear (reference src/texture.rs:414-460)."""
+    r = rects[tex_id]
+    rx, ry, rw, rh = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
+    x = u * (rw.astype(jnp.float32) - 1.0)
+    y = v * (rh.astype(jnp.float32) - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, rw - 1)
+    y1 = jnp.minimum(y0 + 1, rh - 1)
+    x0 = jnp.clip(x0, 0, rw - 1)
+    y0 = jnp.clip(y0, 0, rh - 1)
+    dx = (x - jnp.floor(x))[..., None]
+    dy = (y - jnp.floor(y))[..., None]
+
+    def tex(xx, yy):
+        return jnp.take(atlas_flat, (ry + yy) * atlas_w + (rx + xx), axis=0).astype(
+            jnp.float32
+        )
+
+    c00 = tex(x0, y0)
+    c10 = tex(x1, y0)
+    c01 = tex(x0, y1)
+    c11 = tex(x1, y1)
+    c = (
+        c00 * (1 - dx) * (1 - dy)
+        + c10 * dx * (1 - dy)
+        + c01 * (1 - dx) * dy
+        + c11 * dx * dy
+    )
+    return _round_half_away(c)
+
+
+def resolve_texel(
+    kind, tex_slot, rgba, repeat, u, v, atlas, anim_frame, sample_mode: int,
+    default_alpha: float = 1.0,
+):
+    """Per-pixel texel resolve for all source kinds at once -> RGBA in 0..1.
+
+    atlas: dict with 'flat' (AH*AW,4) u8, 'w' int, 'rects' (N,4),
+    'tile_first' (K,), 'tile_count' (K,)."""
+    uu, vv = apply_repeat(u, v, repeat)
+    slot = jnp.maximum(tex_slot, 0)
+    tex_id = atlas["tile_first"][slot] + jnp.remainder(
+        anim_frame, jnp.maximum(atlas["tile_count"][slot], 1)
+    )
+    if sample_mode == 0:
+        tx = sample_atlas_nearest(atlas["flat"], atlas["w"], atlas["rects"], tex_id, uu, vv)
+    else:
+        tx = sample_atlas_linear(atlas["flat"], atlas["w"], atlas["rects"], tex_id, uu, vv)
+    tx = tx * (1.0 / 255.0)
+
+    texel = jnp.where((kind == SRC_TEXTURE)[..., None], tx, 0.0)
+    texel = jnp.where((kind == SRC_PIXEL)[..., None], rgba, texel)
+    # SRC_OFF / unsupported -> opaque black in 3D (rasterizer.rs:1222),
+    # transparent in 2D (rasterizer.rs:758 `_ => [0, 0, 0, 0]`).
+    is_other = (kind != SRC_TEXTURE) & (kind != SRC_PIXEL)
+    black = jnp.zeros_like(rgba).at[..., 3].set(default_alpha)
+    texel = jnp.where(is_other[..., None], black, texel)
+    return texel
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _normalize(v, eps=1e-30):
+    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return v / jnp.maximum(n, eps)
+
+
+def _smoothstep(edge0, edge1, x):
+    t = jnp.clip((x - edge0) / (edge1 - edge0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def shade_fast_brdf(base, roughness, metallic, emissive, n, v, l, radiance):
+    """Blinn-Phong with Schlick Fresnel (reference rasterizer.rs:1906-1951).
+
+    base/emissive/n/v/l/radiance carry a trailing 3-axis; roughness/metallic
+    are scalar fields (no trailing axis)."""
+    n_dot_l = jnp.maximum(_dot(n, l), 0.0)
+
+    f0 = 0.04 + (base - 0.04) * metallic[..., None]
+    kd = base * (1.0 - metallic[..., None])
+    kd = kd * (1.0 - jnp.max(f0, axis=-1, keepdims=True))
+
+    a = jnp.maximum(roughness * roughness, 1e-4)
+    shininess = jnp.clip(2.0 / a - 2.0, 1.0, 2048.0)
+
+    h = _normalize(l + v)
+    n_dot_h = jnp.maximum(_dot(n, h), 0.0)
+    # pow32_fast: exp2(y*log2(x)), 0 for x<=0 (rasterizer.rs:1887-1894)
+    spec_b = jnp.where(
+        n_dot_h > 0.0,
+        jnp.exp2(shininess * jnp.log2(jnp.maximum(n_dot_h, 1e-38))),
+        0.0,
+    )
+
+    n_dot_v = jnp.maximum(_dot(n, v), 0.0)
+    x5 = (1.0 - jnp.clip(n_dot_v, 0.0, 1.0)) ** 5
+    f = f0 + (1.0 - f0) * x5[..., None]
+
+    diffuse = kd * n_dot_l[..., None]
+    specular = f * (spec_b * n_dot_l)[..., None]
+    lit = (diffuse + specular) * radiance + emissive
+    return jnp.where((n_dot_l <= 0.0)[..., None], emissive, lit)
+
+
+def light_radiance(lights, world, normal, d2: bool = False):
+    """Vectorized `CompiledLight::radiance_at` over all pixels × lights.
+
+    lights: SoA dict with (L,) / (L,3) arrays + 'flicker_factor' (L,)
+    world: (..., 3); normal: (..., 3) or None.
+    Returns radiance (..., L, 3) with invalid/None contributions zeroed.
+    """
+    lp = lights["position"]  # (L,3)
+    lt = lights["type"]  # (L,)
+    w = world[..., None, :]  # (...,1,3)
+    to_point = w - lp  # (...,L,3)
+    dist = jnp.sqrt(jnp.sum(to_point * to_point, axis=-1))  # (...,L)
+
+    start = lights["start"]
+    end = lights["end"]
+    intensity = lights["intensity"] * lights["flicker_factor"]
+    color = lights["color"]  # (L,3)
+
+    in_range = dist < end
+    smooth_att = jnp.where(dist <= start, 1.0, _smoothstep(end, start, dist))
+
+    # Point (light.rs:535-552)
+    point_c = intensity * smooth_att
+
+    # Ambient / AmbientDaylight (light.rs:554-557)
+    ambient_c = jnp.broadcast_to(intensity, dist.shape)
+
+    # Spot (light.rs:559-580)
+    lin_att = jnp.where(
+        dist <= start,
+        1.0,
+        1.0 - (dist - start) / jnp.maximum(end - start, 1e-20),
+    )
+    dir_to_point = to_point / jnp.maximum(dist, 1e-20)[..., None]
+    cosang = jnp.clip(_dot(jnp.broadcast_to(lights["direction"], dir_to_point.shape), dir_to_point), -1.0, 1.0)
+    angle = jnp.arccos(cosang)
+    spot_ok = angle <= lights["cone_angle"]
+    spot_c = jnp.where(spot_ok, intensity * lin_att, 0.0)
+
+    # Area (light.rs:582-628)
+    area = lights["width"] * lights["height"]
+    nrm_l = jnp.broadcast_to(lights["normal"], dir_to_point.shape)
+    angle_att = jnp.maximum(_dot(nrm_l, dir_to_point), 0.0)
+    if d2:
+        ax = jnp.maximum(0.0, 1.0 - jnp.abs(to_point[..., 0] / (lights["width"] * 0.5)))
+        ay = jnp.maximum(0.0, 1.0 - jnp.abs(to_point[..., 1] / (lights["height"] * 0.5)))
+        area_main = ax * ay * smooth_att * lights["intensity"]
+    else:
+        area_main = angle_att * smooth_att * area * lights["intensity"]
+    area_linedef = smooth_att * area * lights["intensity"]
+    area_c = jnp.where(lights["from_linedef"] > 0.5, area_linedef, area_main)
+    # inside 0.1 radius: raw color (light.rs:590-592)
+    area_c = jnp.where(dist < 0.1, 1.0, area_c)
+
+    # Daylight (light.rs:630-653)
+    day_c = angle_att * smooth_att * lights["intensity"]
+
+    scale = jnp.where(
+        lt == LT_POINT,
+        point_c,
+        jnp.where(
+            (lt == LT_AMBIENT) | (lt == LT_AMBIENT_DAYLIGHT),
+            ambient_c,
+            jnp.where(
+                lt == LT_SPOT,
+                spot_c,
+                jnp.where(lt == LT_AREA, area_c, day_c),
+            ),
+        ),
+    )
+
+    valid = (lights["valid"] > 0.5) & in_range
+    # ambient types ignore the range check? No: ambient has no distance check
+    # (light.rs:554-557) — they always contribute.
+    valid = jnp.where((lt == LT_AMBIENT) | (lt == LT_AMBIENT_DAYLIGHT), lights["valid"] > 0.5, valid)
+    # spot adds the cone check; point/area/daylight use in_range (already).
+    valid = valid & jnp.where(lt == LT_SPOT, spot_ok, True)
+
+    incoming = color * scale[..., None]  # (...,L,3)
+
+    # Lambert for point/spot/area (radiance_at, light.rs:504-533)
+    if normal is not None:
+        ldir = _normalize(lp - w)
+        lambert = jnp.maximum(_dot(normal[..., None, :], ldir), 0.0)
+        needs_lambert = ~(
+            (lt == LT_AMBIENT) | (lt == LT_AMBIENT_DAYLIGHT) | (lt == LT_DAYLIGHT)
+        )
+        incoming = incoming * jnp.where(needs_lambert, lambert, 1.0)[..., None]
+
+    return jnp.where(valid[..., None], incoming, 0.0)
+
+
+def screen_to_world(px, py, z_ndc, inv_proj, inv_view, width, height):
+    """reference rasterizer.rs:1707-1728."""
+    x_ndc = 2.0 * (px / width) - 1.0
+    y_ndc = 1.0 - 2.0 * (py / height)
+    ndc = jnp.stack([x_ndc, y_ndc, z_ndc, jnp.ones_like(px)], axis=-1)
+    view = jnp.einsum("ij,...j->...i", inv_proj, ndc, precision=jax.lax.Precision.HIGHEST)
+    view = view / view[..., 3:4]
+    world = jnp.einsum("ij,...j->...i", inv_view, view, precision=jax.lax.Precision.HIGHEST)
+    return world[..., :3]
+
+
+def shade_pass(
+    z,
+    idx,
+    hit,
+    attr_planes,
+    tri_id,
+    meta,
+    atlas,
+    lights,
+    uniforms,
+    width: int,
+    height: int,
+    sample_mode: int = 0,
+):
+    """Shade every pixel from its winning triangle.
+
+    Returns (rgba_f32 (H,W,4) in 0..1, wrote (H,W) bool).
+    `wrote` is hit AND final alpha == 255 — the reference's opaque-pass write
+    condition (rasterizer.rs:1404-1409)."""
+    slot = jnp.maximum(idx, 0)
+    t = jnp.take(tri_id, slot)  # (H,W) source triangle index
+
+    planes = jnp.take(attr_planes, slot, axis=0)  # (H,W,18)
+
+    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+    px = jnp.broadcast_to(px, (height, width))
+    py = jnp.broadcast_to(py, (height, width))
+
+    def interp(i):
+        return planes[..., 3 * i] * px + planes[..., 3 * i + 1] * py + planes[..., 3 * i + 2]
+
+    inv_w = interp(0)
+    u = interp(1) / inv_w
+    v = interp(2) / inv_w
+    nx, ny, nz = interp(3), interp(4), interp(5)
+
+    world = screen_to_world(
+        px, py, z, uniforms["inv_proj"], uniforms["inv_view"], jnp.float32(width), jnp.float32(height)
+    )
+
+    # normal: interpolate + flip toward viewer (rasterizer.rs:1083-1099)
+    has_n = jnp.take(meta["has_normals"], t)
+    n_raw = jnp.stack([nx, ny, nz], axis=-1)
+    n_unit = _normalize(n_raw)
+    view_dir = _normalize(uniforms["camera_pos"] - world)
+    n_flip = jnp.where((_dot(n_unit, view_dir) < 0.0)[..., None], -n_unit, n_unit)
+    normal = jnp.where(has_n[..., None] > 0.5, n_flip, 0.0)
+
+    # texel
+    kind = jnp.take(meta["kind"], t)
+    tex_slot = jnp.take(meta["tex_slot"], t)
+    rgba = jnp.take(meta["rgba"], t, axis=0)
+    repeat = jnp.take(meta["repeat"], t)
+    texel = resolve_texel(
+        kind, tex_slot, rgba, repeat, u, v, atlas, uniforms["anim_frame"], sample_mode
+    )
+
+    base = srgb_to_linear_fast(texel[..., :3])
+    opacity = texel[..., 3]
+    roughness = jnp.full_like(opacity, 0.5)
+    metallic = jnp.zeros_like(opacity)
+    emissive = jnp.zeros_like(base)
+
+    # --- lighting (rasterizer.rs:1319-1398) ---
+    lit = jnp.zeros_like(base)
+    occlusion = jnp.ones_like(opacity)  # mapmini/chunk occlusion: phase M5
+
+    hemi = 0.5 * (normal[..., 1] + 1.0)
+    kd = base * (1.0 - metallic[..., None]) * (1.0 - 0.04)
+
+    has_ambient = uniforms["has_ambient"]
+    sky = uniforms["ambient"][:3]
+    lit = lit + has_ambient * sky * kd * hemi[..., None]
+
+    sun = shade_fast_brdf(
+        base,
+        roughness,
+        metallic,
+        jnp.zeros_like(base),
+        normal,
+        view_dir,
+        _normalize(-uniforms["sun_dir"][None, None, :]),
+        uniforms["day_factor"],
+    )
+    lit = lit + jnp.where(uniforms["has_sun"] > 0.5, sun, 0.0)
+    lit = lit * occlusion[..., None]
+
+    # batch ambient (rasterizer.rs:1368-1371)
+    batch_ambient = jnp.take(meta["ambient"], t, axis=0)
+    lit = lit + batch_ambient * kd * hemi[..., None]
+
+    # direct lights
+    radiance = light_radiance(lights, world, normal)  # (H,W,L,3)
+    ldir = _normalize(lights["position"] - world[..., None, :])
+    contrib = shade_fast_brdf(
+        base[..., None, :],
+        roughness[..., None],
+        metallic[..., None],
+        jnp.zeros_like(base[..., None, :]),
+        normal[..., None, :],
+        view_dir[..., None, :],
+        ldir,
+        radiance,
+    )
+    has_radiance = jnp.any(radiance != 0.0, axis=-1, keepdims=True)
+    lit = lit + jnp.sum(jnp.where(has_radiance, contrib, 0.0), axis=-2)
+
+    lit = lit + emissive
+
+    out_rgb = linear_to_srgb_fast(lit)
+    out = jnp.concatenate([out_rgb, opacity[..., None]], axis=-1)
+
+    # u8 quantization decides the alpha==255 write test (rasterizer.rs:1404)
+    a_u8 = jnp.floor(jnp.clip(opacity, 0.0, 1.0) * 255.0 + 0.5)
+    wrote = hit & (a_u8 >= 255.0)
+    return out, wrote

