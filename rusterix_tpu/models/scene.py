@@ -30,6 +30,9 @@ class Scene:
     d2_dynamic: List[Batch2D] = field(default_factory=list)
     dynamic_textures: List[Tile] = field(default_factory=list)
     animation_frame: int = 1
+    #: bump (or call touch()) after editing batches/lights so cached device
+    #: buffers are re-uploaded; animation_frame changes do NOT require it
+    revision: int = 0
     mapmini: object = None
     shaders: List[object] = field(default_factory=list)  # compiled shader programs
     shaders_with_opacity: List[bool] = field(default_factory=list)
@@ -72,6 +75,10 @@ class Scene:
     def anim_tick(self) -> None:
         """reference scene.rs:149-151"""
         self.animation_frame += 1
+
+    def touch(self) -> None:
+        """Mark scene content changed (device buffers will be re-uploaded)."""
+        self.revision += 1
 
     def compute_static_normals(self) -> None:
         for b in self.d3_static:

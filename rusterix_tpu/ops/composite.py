@@ -58,11 +58,13 @@ def d2_pass(
     preserve_transparency: bool = False,
     light_count: int = 0,
     has_ambient: bool = False,
+    y0=0,
 ):
     """Ordered 2D rasterization (reference rasterizer.rs:584-899).
 
     tris: device dict of the PackedTriangles2D arrays.
-    frame: (H,W,4) f32 0..1 working buffer. Returns updated frame."""
+    frame: (H,W,4) f32 0..1 working buffer. Returns updated frame.
+    `y0` offsets pixel rows for row-sharded framebuffers."""
     t2 = tris["pos"].shape[0]
     if t2 == 0:
         return frame
@@ -77,7 +79,7 @@ def d2_pass(
     )[..., :2]  # (T,3,2)
 
     px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
-    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+    py = jnp.arange(height, dtype=jnp.float32)[:, None] + jnp.float32(y0) + 0.5
     px = jnp.broadcast_to(px, (height, width))
     py = jnp.broadcast_to(py, (height, width))
     # integer pixel coords used for 2D world/grid mapping (rasterizer.rs:666)

@@ -190,6 +190,10 @@ class Rasterizer:
         self.brush_preview = None
 
         self._bg_cache = {}
+        self._bg_dev = None
+        self._bg_dev_key = None
+        self._scene_cache = None
+        self._scene_cache_key = None
 
     @staticmethod
     def setup(projection_matrix_2d, view_matrix, projection_matrix) -> "Rasterizer":
@@ -298,27 +302,47 @@ class Rasterizer:
 
         self.hash_anim = hash_u32(scene.animation_frame & 0xFFFFFFFF)
 
-        if packed is None:
-            packed = PackedScene.from_scene(scene, assets)
+        # Device-resident scene cache: packing + upload happen only when the
+        # scene content changes (scene.touch()); per-frame re-uploads are the
+        # tunnel-latency killer the reference never had to think about.
+        key = (id(scene), scene.revision, id(assets))
+        cache = self._scene_cache if self._scene_cache_key == key else None
+        if cache is None or packed is not None:
+            if packed is None:
+                packed = PackedScene.from_scene(scene, assets)
+            atlas_np = packed.atlas_index.atlas
+            cache = {
+                "packed": packed,
+                "atlas": {
+                    "flat": jnp.asarray(atlas_np.data.reshape(-1, 4)),
+                    "w": jnp.int32(atlas_np.data.shape[1]),
+                    "rects": jnp.asarray(atlas_np.rects),
+                    "tile_first": jnp.asarray(atlas_np.tile_first),
+                    "tile_count": jnp.asarray(atlas_np.tile_count),
+                },
+                "d3": {k: jnp.asarray(v) for k, v in vars(packed.d3).items()},
+                "d3_op": {
+                    k: jnp.asarray(v) for k, v in vars(packed.d3_opacity).items()
+                },
+                "d2": {k: jnp.asarray(v) for k, v in vars(packed.d2).items()},
+            }
+            self._scene_cache = cache
+            self._scene_cache_key = key
+        packed = cache["packed"]
+        atlas = cache["atlas"]
+        d3 = cache["d3"]
+        d3_op = cache["d3_op"]
+        d2 = cache["d2"]
 
         lights = dict(packed.lights)
         lights["flicker_factor"] = self._flicker_factors(lights)
-
-        atlas_np = packed.atlas_index.atlas
-        atlas = {
-            "flat": jnp.asarray(atlas_np.data.reshape(-1, 4)),
-            "w": jnp.int32(atlas_np.data.shape[1]),
-            "rects": jnp.asarray(atlas_np.rects),
-            "tile_first": jnp.asarray(atlas_np.tile_first),
-            "tile_count": jnp.asarray(atlas_np.tile_count),
-        }
-
-        d3 = {k: jnp.asarray(v) for k, v in vars(packed.d3).items()}
-        d3_op = {k: jnp.asarray(v) for k, v in vars(packed.d3_opacity).items()}
-        d2 = {k: jnp.asarray(v) for k, v in vars(packed.d2).items()}
         lights_dev = {k: jnp.asarray(v) for k, v in lights.items()}
 
-        background = jnp.asarray(self._background_array(scene, width, height))
+        bg_np = self._background_array(scene, width, height)
+        if self._bg_dev_key != (id(bg_np),):
+            self._bg_dev = jnp.asarray(bg_np)
+            self._bg_dev_key = (id(bg_np),)
+        background = self._bg_dev
 
         frame = render_frame(
             d3,

@@ -292,19 +292,24 @@ def shade_pass(
     width: int,
     height: int,
     sample_mode: int = 0,
+    y0=0,
+    full_height: int = None,
 ):
     """Shade every pixel from its winning triangle.
 
     Returns (rgba_f32 (H,W,4) in 0..1, wrote (H,W) bool).
     `wrote` is hit AND final alpha == 255 — the reference's opaque-pass write
-    condition (rasterizer.rs:1404-1409)."""
+    condition (rasterizer.rs:1404-1409). `y0`/`full_height` support
+    row-sharded framebuffers (height = local rows, full_height = screen)."""
+    if full_height is None:
+        full_height = height
     slot = jnp.maximum(idx, 0)
     t = jnp.take(tri_id, slot)  # (H,W) source triangle index
 
     planes = jnp.take(attr_planes, slot, axis=0)  # (H,W,18)
 
     px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
-    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+    py = jnp.arange(height, dtype=jnp.float32)[:, None] + jnp.float32(y0) + 0.5
     px = jnp.broadcast_to(px, (height, width))
     py = jnp.broadcast_to(py, (height, width))
 
@@ -317,7 +322,8 @@ def shade_pass(
     nx, ny, nz = interp(3), interp(4), interp(5)
 
     world = screen_to_world(
-        px, py, z, uniforms["inv_proj"], uniforms["inv_view"], jnp.float32(width), jnp.float32(height)
+        px, py, z, uniforms["inv_proj"], uniforms["inv_view"],
+        jnp.float32(width), jnp.float32(full_height),
     )
 
     # normal: interpolate + flip toward viewer (rasterizer.rs:1083-1099)

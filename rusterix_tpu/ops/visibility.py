@@ -7,10 +7,13 @@ ties, exactly the reference's sequential semantics since candidates are
 scanned in draw order).
 
 Coverage is three edge half-plane tests (src/edge.rs:28-36); depth is the
-interpolated 1/z plane, z = 1/interp (rasterizer.rs:1049-1060). All per-pixel
-work is fused-multiply-add broadcasting over (H, W, C) chunks so XLA keeps it
-in registers; the Pallas tile kernel (visibility_pallas.py) is the
-performance path for large triangle counts.
+interpolated 1/z plane, z = 1/interp (rasterizer.rs:1049-1060).
+
+Layout note (TPU): all per-pixel intermediates are full (H, W) arrays so the
+VPU's (8, 128) lanes stay saturated — a (H, W, C) layout with small C as the
+minor dimension runs ~50x slower. The triangle loop is a `lax.scan` over
+chunks with a small unrolled inner loop; XLA fuses each chunk into one pass
+over the framebuffer.
 """
 
 from __future__ import annotations
@@ -22,11 +25,15 @@ import jax.numpy as jnp
 
 
 @partial(jax.jit, static_argnames=("width", "height", "chunk"))
-def visibility_pass(vis_planes, alive, width: int, height: int, chunk: int = 8):
+def visibility_pass(vis_planes, alive, width: int, height: int, chunk: int = 8, y0=0):
     """vis_planes (T2, 12), alive (T2,) -> (z (H,W), idx (H,W) int32, hit (H,W)).
 
     z is initialized to 1.0 (reference z_buffer init, rasterizer.rs:287);
-    idx = -1 where no triangle won.
+    idx = -1 where no triangle won. `y0` offsets the pixel rows (used when
+    the framebuffer is row-sharded across devices).
+
+    Dead slots carry the impossible edge (0,0,-1) from the setup pass, so
+    `alive` only needs to kill padding rows beyond the packed capacity.
     """
     t2 = vis_planes.shape[0]
     if t2 % chunk != 0:
@@ -35,11 +42,16 @@ def visibility_pass(vis_planes, alive, width: int, height: int, chunk: int = 8):
         alive = jnp.pad(alive, (0, pad))
         t2 += pad
 
-    px = jnp.arange(width, dtype=jnp.float32) + 0.5  # pixel centers
-    py = jnp.arange(height, dtype=jnp.float32) + 0.5
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
+    py = (jnp.arange(height, dtype=jnp.float32) + jnp.float32(y0) + 0.5)[:, None]
+    px = jnp.broadcast_to(px, (height, width))
+    py = jnp.broadcast_to(py, (height, width))
 
-    planes = vis_planes.reshape(t2 // chunk, chunk, 12)
-    alive_c = alive.reshape(t2 // chunk, chunk)
+    # fold `alive` into the planes once: dead rows get the impossible edge
+    dead = jnp.array([0.0, 0.0, -1.0] * 3 + [0.0, 0.0, 1.0], jnp.float32)
+    planes = jnp.where((alive > 0.5)[:, None], vis_planes, dead[None, :])
+
+    planes_c = planes.reshape(t2 // chunk, chunk, 12)
     starts = jnp.arange(0, t2, chunk, dtype=jnp.int32)
 
     z0 = jnp.ones((height, width), jnp.float32)
@@ -47,31 +59,19 @@ def visibility_pass(vis_planes, alive, width: int, height: int, chunk: int = 8):
 
     def step(carry, xs):
         zbest, ibest = carry
-        pl, al, base = xs  # (C,12), (C,), scalar
-        a = pl[:, 0][None, None, :]
-        b = pl[:, 1][None, None, :]
-        c = pl[:, 2][None, None, :]
-        x = px[None, :, None]
-        y = py[:, None, None]
-        e0 = a * x + b * y + c
-        e1 = pl[:, 3][None, None, :] * x + pl[:, 4][None, None, :] * y + pl[:, 5][None, None, :]
-        e2 = pl[:, 6][None, None, :] * x + pl[:, 7][None, None, :] * y + pl[:, 8][None, None, :]
-        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (al > 0.5)[None, None, :]
-        invz = (
-            pl[:, 9][None, None, :] * x
-            + pl[:, 10][None, None, :] * y
-            + pl[:, 11][None, None, :]
-        )
-        z = 1.0 / invz
-        zm = jnp.where(cov & jnp.isfinite(z), z, jnp.inf)
-        # first-wins tie-break inside the chunk: argmin returns first minimum
-        local = jnp.argmin(zm, axis=-1)
-        zmin = jnp.take_along_axis(zm, local[..., None], axis=-1)[..., 0]
-        better = zmin < zbest  # strict: earlier chunks win ties
-        zbest = jnp.where(better, zmin, zbest)
-        ibest = jnp.where(better, base + local.astype(jnp.int32), ibest)
+        pl, base = xs  # (C, 12), scalar
+        for c in range(pl.shape[0]):
+            e0 = pl[c, 0] * px + pl[c, 1] * py + pl[c, 2]
+            e1 = pl[c, 3] * px + pl[c, 4] * py + pl[c, 5]
+            e2 = pl[c, 6] * px + pl[c, 7] * py + pl[c, 8]
+            invz = pl[c, 9] * px + pl[c, 10] * py + pl[c, 11]
+            z = 1.0 / invz
+            cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+            better = cov & (z < zbest) & (invz != 0.0)
+            zbest = jnp.where(better, z, zbest)
+            ibest = jnp.where(better, base + c, ibest)
         return (zbest, ibest), None
 
-    (z, idx), _ = jax.lax.scan(step, (z0, i0), (planes, alive_c, starts))
+    (z, idx), _ = jax.lax.scan(step, (z0, i0), (planes_c, starts))
     hit = idx >= 0
     return z, idx, hit

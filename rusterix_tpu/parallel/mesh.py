@@ -1,0 +1,135 @@
+"""Multi-chip rendering over a jax.sharding.Mesh.
+
+The reference scales with rayon threads over framebuffer tiles inside one
+process (src/rasterizer.rs:273, SURVEY.md §2.5 P1). The TPU-native scaling
+levers are:
+
+  * geometry parallelism ("dp" over triangles): the setup pass
+    (clip/project/plane build) runs on a 1/N shard of the triangles per
+    device, then one tiled `all_gather` over ICI replicates the tiny plane
+    buffers to every chip;
+  * framebuffer parallelism ("sp" over pixel rows): visibility, shading,
+    opacity blend and the 2D pass each run on a 1/N row-slab of the screen,
+    fully local — pixel ownership is disjoint exactly like the reference's
+    tile buffers, so no collective is needed on the output path.
+
+Both are expressed with `shard_map` over a 1-D mesh; the same code runs on a
+virtual CPU mesh (tests / driver dry-run) and a real TPU pod slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.composite import compose_opaque, d2_pass, frame_to_u8
+from ..ops.setup_pass import setup_pass
+from ..ops.shade import shade_pass
+from ..ops.visibility import visibility_pass
+
+AXIS = "px"
+
+
+def make_mesh(n_devices: int = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def render_frame_sharded(
+    mesh: Mesh,
+    d3,
+    d2,
+    lights,
+    atlas,
+    uniforms,
+    background,
+    width: int,
+    height: int,
+    sample_mode: int = 0,
+    has_ambient: bool = False,
+    has_lights: bool = False,
+    has_d2: bool = False,
+):
+    """Render one frame with triangles+rows sharded over `mesh`.
+
+    Requirements: height % n_devices == 0 and d3 capacity % n_devices == 0
+    (both are padded powers of two in practice).
+    """
+    n = mesh.devices.size
+
+    def shard_fn(d3_l, d2_r, lights_r, atlas_r, uniforms_r, background_l):
+        row = jax.lax.axis_index(AXIS)
+        rows_local = height // n
+        y0 = row * rows_local
+
+        # --- setup on the local triangle shard, then all_gather planes ---
+        vis_l, attr_l, bbox_l, ok_l, _ = setup_pass(
+            d3_l["pos"], d3_l["uv"], d3_l["nrm"], d3_l["valid"], d3_l["cull"],
+            uniforms_r["view"], uniforms_r["proj"], width, height,
+        )
+        vis = jax.lax.all_gather(vis_l, AXIS, axis=0, tiled=True)
+        attr = jax.lax.all_gather(attr_l, AXIS, axis=0, tiled=True)
+        ok = jax.lax.all_gather(ok_l, AXIS, axis=0, tiled=True)
+        t_total = vis.shape[0] // 2
+        tri_id = jnp.repeat(jnp.arange(t_total, dtype=jnp.int32), 2)
+
+        # but meta arrays live in original order: slots of shard k map to
+        # triangles [k*T/n, (k+1)*T/n) — tiled all_gather preserves order.
+
+        z, idx, hit = visibility_pass(
+            vis, ok.astype(jnp.float32), width, rows_local, y0=y0
+        )
+        d3_full = {
+            k: jax.lax.all_gather(v, AXIS, axis=0, tiled=True)
+            for k, v in d3_l.items()
+        }
+        shaded, wrote = shade_pass(
+            z, idx, hit, attr, tri_id, d3_full, atlas_r, lights_r,
+            uniforms_r, width, rows_local, sample_mode,
+            y0=y0, full_height=height,
+        )
+        frame, z_eff = compose_opaque(shaded, wrote, z, background_l)
+        if has_d2:
+            frame = d2_pass(
+                frame, d2_r, atlas_r, lights_r, uniforms_r, width, rows_local,
+                sample_mode, False,
+                light_count=1 if has_lights else 0,
+                has_ambient=has_ambient, y0=y0,
+            )
+        return frame_to_u8(frame)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS),      # d3 triangle shard (leading axis)
+            P(),          # d2 replicated
+            P(),          # lights replicated
+            P(),          # atlas replicated
+            P(),          # uniforms replicated
+            P(AXIS),      # background rows
+        ),
+        out_specs=P(AXIS),
+        check_rep=False,
+    )
+    return fn(d3, d2, lights, atlas, uniforms, background)
+
+
+def render_sharded_jit(mesh, width, height, sample_mode, has_ambient, has_lights, has_d2):
+    """jitted closure for a fixed config."""
+
+    @jax.jit
+    def run(d3, d2, lights, atlas, uniforms, background):
+        return render_frame_sharded(
+            mesh, d3, d2, lights, atlas, uniforms, background,
+            width, height, sample_mode, has_ambient, has_lights, has_d2,
+        )
+
+    return run
