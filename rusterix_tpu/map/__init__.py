@@ -1,0 +1,26 @@
+from .elements import CompiledLinedef, Linedef, Sector, Vertex
+from .geometry import earcut, polygon_area, triangulate_polygon
+from .mini import MapMini
+from .terrain import Terrain, TerrainBlendMode, TerrainChunk
+from .value import Value, ValueContainer, ValueKind
+from .worldmap import Map, MapCamera, MapToolType
+
+__all__ = [
+    "CompiledLinedef",
+    "Linedef",
+    "Sector",
+    "Vertex",
+    "earcut",
+    "polygon_area",
+    "triangulate_polygon",
+    "MapMini",
+    "Terrain",
+    "TerrainBlendMode",
+    "TerrainChunk",
+    "Value",
+    "ValueContainer",
+    "ValueKind",
+    "Map",
+    "MapCamera",
+    "MapToolType",
+]

@@ -1,0 +1,196 @@
+"""Map elements: Vertex, Linedef, Sector (reference src/map/vertex.rs,
+linedef.rs, sector.rs)."""
+
+from __future__ import annotations
+
+import math
+import uuid as uuid_mod
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.rect import Rect
+from .value import ValueContainer
+
+
+@dataclass
+class Vertex:
+    """reference src/map/vertex.rs:5 — id, x, y (+z world height)."""
+
+    id: int
+    x: float
+    y: float
+    z: float = 0.0
+    properties: ValueContainer = field(default_factory=ValueContainer)
+
+    def as_vec2(self):
+        return np.array([self.x, self.y], np.float32)
+
+    def as_vec3_world(self):
+        """2D map coords (x, y) map to world (x, z); vertex z is world height."""
+        return np.array([self.x, self.z, self.y], np.float32)
+
+
+@dataclass
+class Linedef:
+    """reference src/map/linedef.rs:5-114."""
+
+    id: int
+    start_vertex: int
+    end_vertex: int
+    name: str = ""
+    sector_ids: List[int] = field(default_factory=list)
+    properties: ValueContainer = field(default_factory=ValueContainer)
+    creator_id: str = field(default_factory=lambda: str(uuid_mod.uuid4()))
+
+    def signed_distance(self, map_, point) -> Optional[float]:
+        """Negative on the front (normal-facing) side (linedef.rs:38-57)."""
+        v0 = map_.get_vertex(self.start_vertex)
+        v1 = map_.get_vertex(self.end_vertex)
+        if v0 is None or v1 is None:
+            return None
+        p = np.asarray(point, np.float32)
+        a = v0.as_vec2()
+        b = v1.as_vec2()
+        edge = b - a
+        t = float(np.dot(p - a, edge) / max(np.dot(edge, edge), 1e-20))
+        t = min(1.0, max(0.0, t))
+        closest = a + edge * t
+        dist = float(np.linalg.norm(p - closest))
+        normal = np.array([-edge[1], edge[0]], np.float32)
+        n = np.linalg.norm(normal)
+        if n > 0:
+            normal = normal / n
+        side = float(np.dot(p - closest, normal))
+        return -dist if side < 0.0 else dist
+
+    def length(self, map_) -> Optional[float]:
+        v0 = map_.get_vertex(self.start_vertex)
+        v1 = map_.get_vertex(self.end_vertex)
+        if v0 is None or v1 is None:
+            return None
+        return float(np.linalg.norm(v1.as_vec2() - v0.as_vec2()))
+
+    def bounding_box(self, map_) -> Rect:
+        v0 = map_.get_vertex(self.start_vertex)
+        v1 = map_.get_vertex(self.end_vertex)
+        a = v0.as_vec2() if v0 is not None else np.zeros(2)
+        b = v1.as_vec2() if v1 is not None else np.zeros(2)
+        x0, y0 = min(a[0], b[0]), min(a[1], b[1])
+        x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+        return Rect(x0, y0, x1 - x0, y1 - y0)
+
+    def same_edge(self, other: "Linedef") -> bool:
+        return (
+            self.start_vertex == other.start_vertex
+            and self.end_vertex == other.end_vertex
+        ) or (
+            self.start_vertex == other.end_vertex
+            and self.end_vertex == other.start_vertex
+        )
+
+
+@dataclass
+class CompiledLinedef:
+    """Flat wall segment for lighting/collision (linedef.rs:117-133)."""
+
+    start: np.ndarray
+    end: np.ndarray
+    wall_width: float = 0.0
+    wall_height: float = 0.0
+
+
+@dataclass
+class Sector:
+    """reference src/map/sector.rs:6-24 — ordered linedef loop + properties."""
+
+    id: int
+    linedefs: List[int] = field(default_factory=list)
+    name: str = ""
+    layer: Optional[int] = None
+    properties: ValueContainer = field(default_factory=ValueContainer)
+    creator_id: str = field(default_factory=lambda: str(uuid_mod.uuid4()))
+
+    def __post_init__(self):
+        if not self.properties.contains("source"):
+            from ..models.batch import PixelSource
+
+            self.properties.set("source", PixelSource.off())
+
+    def polygon(self, map_) -> List[np.ndarray]:
+        """Unique boundary vertices in loop order (sector.rs:196-211)."""
+        out = []
+        seen = []
+        for lid in self.linedefs:
+            ld = map_.find_linedef(lid)
+            if ld is None:
+                return []
+            v = map_.get_vertex(ld.start_vertex)
+            if v is None:
+                return []
+            p = (float(v.x), float(v.y))
+            if p not in seen:
+                seen.append(p)
+                out.append(v.as_vec2())
+        return out
+
+    def generate_geometry(self, map_) -> Optional[Tuple[list, list]]:
+        """Earcut triangulation of the floor polygon (sector.rs:194-232).
+
+        Returns ([ [x, y], ... ], [(i0, i1, i2), ...]) with reversed winding
+        like the reference (chunk[2], chunk[1], chunk[0])."""
+        from .geometry import triangulate_polygon
+
+        poly = self.polygon(map_)
+        if len(poly) < 3:
+            return None
+        pts = [(float(p[0]), float(p[1])) for p in poly]
+        _, tris = triangulate_polygon(pts)
+        tris = [(c, b, a) for (a, b, c) in tris]
+        return [list(p) for p in pts], tris
+
+    def bounding_box(self, map_) -> Rect:
+        xs, ys = [], []
+        for lid in self.linedefs:
+            ld = map_.find_linedef(lid)
+            if ld is None:
+                continue
+            for vid in (ld.start_vertex, ld.end_vertex):
+                v = map_.get_vertex(vid)
+                if v is not None:
+                    xs.append(v.x)
+                    ys.append(v.y)
+        if not xs:
+            return Rect()
+        return Rect(min(xs), min(ys), max(xs) - min(xs), max(ys) - min(ys))
+
+    def center(self, map_) -> Optional[np.ndarray]:
+        poly = self.polygon(map_)
+        if not poly:
+            return None
+        return np.mean(np.stack(poly), axis=0)
+
+    def area(self, map_) -> float:
+        from .geometry import polygon_area
+
+        poly = self.polygon(map_)
+        if len(poly) < 3:
+            return 0.0
+        return abs(polygon_area([(p[0], p[1]) for p in poly]))
+
+    def is_inside(self, map_, point) -> bool:
+        """Ray casting point-in-polygon (sector.rs:272-300)."""
+        poly = self.polygon(map_)
+        if len(poly) < 3:
+            return False
+        x, y = float(point[0]), float(point[1])
+        inside = False
+        j = len(poly) - 1
+        for i in range(len(poly)):
+            xi, yi = poly[i]
+            xj, yj = poly[j]
+            if (yi > y) != (yj > y) and x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+                inside = not inside
+            j = i
+        return inside

@@ -1,0 +1,173 @@
+"""Sparse heightmap terrain (reference src/terrain/mod.rs, src/terrain/chunk.rs).
+
+Heights live in per-chunk dense grids created on write; sampling is bilinear
+(mod.rs:148-175), normals via central differences (mod.rs:301+). Mesh
+generation emits one quad per tile (chunk.rs:253+); `bake_chunk`-style
+texture baking happens in the chunk builder. Device-side the heightmap is a
+padded array for the Terrain pixel source.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+class TerrainBlendMode(enum.IntEnum):
+    """reference src/terrain/chunk.rs:13"""
+
+    Smooth = 0
+    Sharp = 1
+
+
+CHUNK_SIZE = 16
+
+
+@dataclass
+class TerrainChunk:
+    """reference src/terrain/chunk.rs:21-35 — per-tile height + source maps."""
+
+    origin: Tuple[int, int]
+    heights: np.ndarray = None  # (CHUNK_SIZE+1, CHUNK_SIZE+1) control heights
+    sources: Dict[Tuple[int, int], object] = field(default_factory=dict)
+    blend_modes: Dict[Tuple[int, int], TerrainBlendMode] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.heights is None:
+            self.heights = np.zeros((CHUNK_SIZE + 1, CHUNK_SIZE + 1), np.float32)
+
+
+@dataclass
+class Terrain:
+    chunks: Dict[Tuple[int, int], TerrainChunk] = field(default_factory=dict)
+    scale: float = 1.0
+
+    def is_empty(self) -> bool:
+        return not self.chunks or all(
+            not c.heights.any() and not c.sources for c in self.chunks.values()
+        )
+
+    def _chunk_for(self, tx: int, ty: int, create: bool = False) -> Optional[TerrainChunk]:
+        key = (tx // CHUNK_SIZE, ty // CHUNK_SIZE)
+        c = self.chunks.get(key)
+        if c is None and create:
+            c = TerrainChunk(origin=(key[0] * CHUNK_SIZE, key[1] * CHUNK_SIZE))
+            self.chunks[key] = c
+        return c
+
+    def set_height(self, tx: int, ty: int, h: float) -> None:
+        c = self._chunk_for(tx, ty, create=True)
+        c.heights[ty - c.origin[1], tx - c.origin[0]] = h
+
+    def get_height(self, tx: int, ty: int) -> float:
+        c = self._chunk_for(tx, ty)
+        if c is None:
+            return 0.0
+        lx = tx - c.origin[0]
+        ly = ty - c.origin[1]
+        if 0 <= lx <= CHUNK_SIZE and 0 <= ly <= CHUNK_SIZE:
+            return float(c.heights[ly, lx])
+        return 0.0
+
+    def set_source(self, tx: int, ty: int, source) -> None:
+        c = self._chunk_for(tx, ty, create=True)
+        c.sources[(tx, ty)] = source
+
+    def get_source(self, tx: int, ty: int):
+        c = self._chunk_for(tx, ty)
+        return None if c is None else c.sources.get((tx, ty))
+
+    def sample_height(self, x: float, y: float) -> float:
+        """Bilinear height (reference mod.rs:148-175)."""
+        gx = x / self.scale
+        gy = y / self.scale
+        x0 = int(np.floor(gx))
+        y0 = int(np.floor(gy))
+        fx = gx - x0
+        fy = gy - y0
+        h00 = self.get_height(x0, y0)
+        h10 = self.get_height(x0 + 1, y0)
+        h01 = self.get_height(x0, y0 + 1)
+        h11 = self.get_height(x0 + 1, y0 + 1)
+        return float(
+            (h00 * (1 - fx) + h10 * fx) * (1 - fy) + (h01 * (1 - fx) + h11 * fx) * fy
+        )
+
+    def sample_normal(self, x: float, y: float, eps: float = 0.1) -> np.ndarray:
+        """Central-difference normal (reference mod.rs:301+)."""
+        hx0 = self.sample_height(x - eps, y)
+        hx1 = self.sample_height(x + eps, y)
+        hy0 = self.sample_height(x, y - eps)
+        hy1 = self.sample_height(x, y + eps)
+        n = np.array([hx0 - hx1, 2.0 * eps, hy0 - hy1], np.float32)
+        ln = np.linalg.norm(n)
+        return n / ln if ln > 0 else np.array([0, 1, 0], np.float32)
+
+    def bounds(self) -> Optional[Tuple[int, int, int, int]]:
+        if not self.chunks:
+            return None
+        xs = [c.origin[0] for c in self.chunks.values()]
+        ys = [c.origin[1] for c in self.chunks.values()]
+        return (
+            min(xs),
+            min(ys),
+            max(xs) + CHUNK_SIZE,
+            max(ys) + CHUNK_SIZE,
+        )
+
+    def ray_hit(self, origin, direction, max_dist: float = 100.0, step: float = 0.1):
+        """Ray-march against the heightfield (reference mod.rs:427+)."""
+        o = np.asarray(origin, np.float32)
+        d = np.asarray(direction, np.float32)
+        n = np.linalg.norm(d)
+        if n == 0:
+            return None
+        d = d / n
+        t = 0.0
+        while t < max_dist:
+            p = o + d * t
+            h = self.sample_height(p[0], p[2])
+            if p[1] <= h:
+                return p, t
+            t += step
+        return None
+
+    def build_mesh(self, chunk_key: Tuple[int, int]):
+        """One quad per tile of a chunk -> (verts4, indices, uvs, normals)
+        (reference chunk.rs:253+)."""
+        c = self.chunks.get(chunk_key)
+        if c is None:
+            return None
+        ox, oy = c.origin
+        verts, uvs, normals, indices = [], [], [], []
+        for ly in range(CHUNK_SIZE):
+            for lx in range(CHUNK_SIZE):
+                tx, ty = ox + lx, oy + ly
+                h00 = self.get_height(tx, ty)
+                h10 = self.get_height(tx + 1, ty)
+                h01 = self.get_height(tx, ty + 1)
+                h11 = self.get_height(tx + 1, ty + 1)
+                base = len(verts)
+                s = self.scale
+                verts.extend(
+                    [
+                        [tx * s, h00, ty * s, 1.0],
+                        [(tx + 1) * s, h10, ty * s, 1.0],
+                        [(tx + 1) * s, h11, (ty + 1) * s, 1.0],
+                        [tx * s, h01, (ty + 1) * s, 1.0],
+                    ]
+                )
+                uvs.extend([[0, 0], [1, 0], [1, 1], [0, 1]])
+                for vx, vy in ((tx, ty), (tx + 1, ty), (tx + 1, ty + 1), (tx, ty + 1)):
+                    normals.append(self.sample_normal(vx * s, vy * s))
+                indices.append((base, base + 2, base + 1))
+                indices.append((base, base + 3, base + 2))
+        return (
+            np.asarray(verts, np.float32),
+            np.asarray(indices, np.int32),
+            np.asarray(uvs, np.float32),
+            np.asarray(normals, np.float32),
+        )

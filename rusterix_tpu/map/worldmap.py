@@ -1,0 +1,339 @@
+"""The editable Doom-style world map (reference src/map/mod.rs:55-143).
+
+Vertices + linedefs + sectors with rich editing operations; lights, entities
+and items live on the map; `as_mini` compiles the slim occlusion/collision
+view. The camera mode selects how the client renders the map.
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+import uuid as uuid_mod
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.rect import Rect
+from .elements import CompiledLinedef, Linedef, Sector, Vertex
+from .mini import MapMini
+from .value import ValueContainer
+
+
+class MapCamera(enum.IntEnum):
+    """reference src/map/mod.rs:34-39"""
+
+    TwoD = 0
+    ThreeDIso = 1
+    ThreeDFirstPerson = 2
+
+
+class MapToolType(enum.IntEnum):
+    """reference src/map/mod.rs:41-52"""
+
+    General = 0
+    Selection = 1
+    Vertex = 2
+    Linedef = 3
+    Sector = 4
+    Rect = 5
+    Effects = 6
+    Game = 7
+    MiniMap = 8
+    World = 9
+    Material = 10
+
+
+@dataclass
+class Map:
+    id: str = field(default_factory=lambda: str(uuid_mod.uuid4()))
+    name: str = ""
+    offset: np.ndarray = field(default_factory=lambda: np.zeros(2, np.float32))
+    grid_size: float = 30.0
+    subdivisions: float = 1.0
+
+    vertices: List[Vertex] = field(default_factory=list)
+    linedefs: List[Linedef] = field(default_factory=list)
+    sectors: List[Sector] = field(default_factory=list)
+
+    terrain: object = None
+    sky_texture: Optional[str] = None
+    camera: MapCamera = MapCamera.TwoD
+    camera_xz: Optional[np.ndarray] = None
+    look_at_xz: Optional[np.ndarray] = None
+
+    lights: List[object] = field(default_factory=list)
+    entities: List[object] = field(default_factory=list)
+    items: List[object] = field(default_factory=list)
+
+    selected_vertices: List[int] = field(default_factory=list)
+    selected_linedefs: List[int] = field(default_factory=list)
+    selected_sectors: List[int] = field(default_factory=list)
+    selected_entity_item: Optional[str] = None
+
+    properties: ValueContainer = field(default_factory=ValueContainer)
+    shapefx_graphs: Dict[str, object] = field(default_factory=dict)
+    softrigs: Dict[str, object] = field(default_factory=dict)
+    editing_rig: Optional[str] = None
+    soft_animator: Optional[object] = None
+    surfaces: Dict[str, object] = field(default_factory=dict)
+    profiles: Dict[str, "Map"] = field(default_factory=dict)
+    shaders: Dict[str, object] = field(default_factory=dict)
+    changed: int = 0
+
+    possible_polygon: List[int] = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.terrain is None:
+            from .terrain import Terrain
+
+            self.terrain = Terrain()
+
+    # ---- lookups ----
+
+    def get_vertex(self, vid: int) -> Optional[Vertex]:
+        for v in self.vertices:
+            if v.id == vid:
+                return v
+        return None
+
+    find_vertex = get_vertex
+
+    def find_linedef(self, lid: int) -> Optional[Linedef]:
+        for l in self.linedefs:
+            if l.id == lid:
+                return l
+        return None
+
+    def find_sector(self, sid: int) -> Optional[Sector]:
+        for s in self.sectors:
+            if s.id == sid:
+                return s
+        return None
+
+    def _free_id(self, items) -> int:
+        used = {x.id for x in items}
+        i = 0
+        while i in used:
+            i += 1
+        return i
+
+    # ---- editing (reference map/mod.rs:538-1195) ----
+
+    def add_vertex_at(self, x: float, y: float) -> int:
+        """Find-or-create a vertex at (x, y) (mod.rs:538-558)."""
+        existing = self.find_vertex_at(x, y)
+        if existing is not None:
+            return existing
+        vid = self._free_id(self.vertices)
+        self.vertices.append(Vertex(vid, x, y))
+        return vid
+
+    def find_vertex_at(self, x: float, y: float) -> Optional[int]:
+        for v in self.vertices:
+            if abs(v.x - x) < 1e-6 and abs(v.y - y) < 1e-6:
+                return v.id
+        return None
+
+    def create_linedef(self, start_vertex: int, end_vertex: int) -> Tuple[int, Optional[int]]:
+        """Create/reuse a linedef; auto-close a sector on a directed cycle
+        (mod.rs:632-676)."""
+        for l in self.linedefs:
+            if l.start_vertex == start_vertex and l.end_vertex == end_vertex:
+                cycle = self._find_directed_cycle_from_edge(l.id)
+                sid = None
+                if cycle:
+                    self.possible_polygon = cycle
+                    sid = self.create_sector_from_polygon()
+                return l.id, sid
+
+        lid = self._free_id(self.linedefs)
+        self.linedefs.append(Linedef(lid, start_vertex, end_vertex))
+        sid = None
+        cycle = self._find_directed_cycle_from_edge(lid)
+        if cycle:
+            self.possible_polygon = cycle
+            sid = self.create_sector_from_polygon()
+            if sid is not None:
+                ld = self.find_linedef(lid)
+                if ld is not None and sid not in ld.sector_ids:
+                    ld.sector_ids.append(sid)
+        return lid, sid
+
+    def create_linedef_manual(self, start_vertex: int, end_vertex: int) -> int:
+        """No auto-close; track in possible_polygon (mod.rs:677-712)."""
+        for l in self.linedefs:
+            if l.start_vertex == start_vertex and l.end_vertex == end_vertex:
+                if l.id not in self.possible_polygon:
+                    self.possible_polygon.append(l.id)
+                return l.id
+        lid = self._free_id(self.linedefs)
+        self.linedefs.append(Linedef(lid, start_vertex, end_vertex))
+        self.possible_polygon.append(lid)
+        return lid
+
+    def close_polygon_manual(self) -> Optional[int]:
+        if self._test_for_closed_polygon():
+            return self.create_sector_from_polygon()
+        return None
+
+    def _find_directed_cycle_from_edge(self, lid: int) -> Optional[List[int]]:
+        """Walk successor edges from lid's end back to its start."""
+        start_ld = self.find_linedef(lid)
+        if start_ld is None:
+            return None
+        path = [lid]
+        current = start_ld.end_vertex
+        target = start_ld.start_vertex
+        visited = {lid}
+        for _ in range(len(self.linedefs) + 1):
+            if current == target:
+                return path
+            nxt = None
+            for l in self.linedefs:
+                if l.id in visited:
+                    continue
+                if l.start_vertex == current:
+                    nxt = l
+                    break
+            if nxt is None:
+                return None
+            path.append(nxt.id)
+            visited.add(nxt.id)
+            current = nxt.end_vertex
+        return None
+
+    def _test_for_closed_polygon(self) -> bool:
+        if len(self.possible_polygon) < 3:
+            return False
+        first = self.find_linedef(self.possible_polygon[0])
+        last = self.find_linedef(self.possible_polygon[-1])
+        if first is None or last is None:
+            return False
+        return last.end_vertex == first.start_vertex
+
+    def create_sector_from_polygon(self) -> Optional[int]:
+        """mod.rs:850-887"""
+        if not self._test_for_closed_polygon():
+            return None
+        if self._find_sector_by_linedefs(self.possible_polygon) is not None:
+            self.possible_polygon = []
+            return None
+        sid = self._free_id(self.sectors)
+        for lid in self.possible_polygon:
+            ld = self.find_linedef(lid)
+            if ld is not None and sid not in ld.sector_ids:
+                ld.sector_ids.append(sid)
+        self.sectors.append(Sector(sid, list(self.possible_polygon)))
+        self.possible_polygon = []
+        return sid
+
+    def _find_sector_by_linedefs(self, lids: List[int]) -> Optional[int]:
+        for s in self.sectors:
+            if len(s.linedefs) == len(lids) and all(i in lids for i in s.linedefs):
+                return s.id
+        return None
+
+    def add_midpoint(self, linedef_id: int) -> Optional[int]:
+        """Split a linedef at its midpoint (mod.rs:1080+)."""
+        ld = self.find_linedef(linedef_id)
+        if ld is None:
+            return None
+        v0 = self.get_vertex(ld.start_vertex)
+        v1 = self.get_vertex(ld.end_vertex)
+        if v0 is None or v1 is None:
+            return None
+        mid = self.add_vertex_at((v0.x + v1.x) / 2.0, (v0.y + v1.y) / 2.0)
+        new_id = self._free_id(self.linedefs)
+        second = Linedef(new_id, mid, ld.end_vertex)
+        second.sector_ids = list(ld.sector_ids)
+        second.properties = ld.properties.copy()
+        ld.end_vertex = mid
+        self.linedefs.append(second)
+        for s in self.sectors:
+            if linedef_id in s.linedefs:
+                i = s.linedefs.index(linedef_id)
+                s.linedefs.insert(i + 1, new_id)
+        return mid
+
+    def delete_elements(self, vertex_ids, linedef_ids, sector_ids) -> None:
+        """mod.rs:902+ — cascade deletes."""
+        all_linedefs = set(linedef_ids)
+        for vid in vertex_ids:
+            for l in self.linedefs:
+                if l.start_vertex == vid or l.end_vertex == vid:
+                    all_linedefs.add(l.id)
+        all_sectors = set(sector_ids)
+        for s in self.sectors:
+            if any(l in all_linedefs for l in s.linedefs):
+                all_sectors.add(s.id)
+        self.sectors = [s for s in self.sectors if s.id not in all_sectors]
+        self.linedefs = [l for l in self.linedefs if l.id not in all_linedefs]
+        self.vertices = [v for v in self.vertices if v.id not in set(vertex_ids)]
+        for l in self.linedefs:
+            l.sector_ids = [s for s in l.sector_ids if s not in all_sectors]
+
+    def sanitize(self) -> None:
+        """Remove dangling references (mod.rs:1197+)."""
+        vids = {v.id for v in self.vertices}
+        self.linedefs = [
+            l for l in self.linedefs if l.start_vertex in vids and l.end_vertex in vids
+        ]
+        lids = {l.id for l in self.linedefs}
+        self.sectors = [
+            s for s in self.sectors if all(i in lids for i in s.linedefs) and len(s.linedefs) >= 3
+        ]
+        sids = {s.id for s in self.sectors}
+        for l in self.linedefs:
+            l.sector_ids = [s for s in l.sector_ids if s in sids]
+
+    # ---- queries ----
+
+    def bounding_box(self) -> Optional[Rect]:
+        if not self.vertices:
+            return None
+        xs = [v.x for v in self.vertices]
+        ys = [v.y for v in self.vertices]
+        return Rect(min(xs), min(ys), max(xs) - min(xs), max(ys) - min(ys))
+
+    def sector_at(self, x: float, y: float) -> Optional[Sector]:
+        for s in self.sectors:
+            if s.layer is None and s.is_inside(self, (x, y)):
+                return s
+        for s in self.sectors:
+            if s.is_inside(self, (x, y)):
+                return s
+        return None
+
+    # ---- compile / animate ----
+
+    def as_mini(self, blocking_tiles=frozenset()) -> MapMini:
+        """Compile the slim occlusion/collision view (mod.rs:241-378)."""
+        mini = MapMini()
+        for sector in self.sectors:
+            occlusion = sector.properties.get_float_default("occlusion", 1.0)
+            if occlusion < 1.0:
+                bbox = sector.bounding_box(self)
+                bbox = Rect(bbox.x - 0.1, bbox.y - 0.1, bbox.width + 0.2, bbox.height + 0.2)
+                mini.occluded_sectors.append((bbox, occlusion))
+        for l in self.linedefs:
+            wall_height = l.properties.get_float_default("wall_height", 0.0)
+            if wall_height > 0.0:
+                v0 = self.get_vertex(l.start_vertex)
+                v1 = self.get_vertex(l.end_vertex)
+                if v0 is not None and v1 is not None:
+                    mini.linedefs.append(
+                        CompiledLinedef(
+                            v0.as_vec2(),
+                            v1.as_vec2(),
+                            l.properties.get_float_default("wall_width", 0.0),
+                            wall_height,
+                        )
+                    )
+        return mini
+
+    def tick(self, delta_time: float) -> None:
+        """Advance soft-rig vertex animation (mod.rs:416+)."""
+        if self.soft_animator is not None:
+            self.soft_animator.update(delta_time)

@@ -59,6 +59,7 @@ def d2_pass(
     light_count: int = 0,
     has_ambient: bool = False,
     y0=0,
+    shaders: tuple = (),
 ):
     """Ordered 2D rasterization (reference rasterizer.rs:584-899).
 
@@ -146,6 +147,39 @@ def d2_pass(
             default_alpha=0.0,
         )
 
+        # 2D batch shader (rasterizer.rs:763-805): color from the program,
+        # alpha forced opaque
+        if shaders:
+            for si, prog in enumerate(shaders):
+                if prog is None or not prog.shade_index:
+                    continue
+                zeros = jnp.zeros_like(u)
+
+                def r3(x):
+                    return jnp.stack([x, x, x], axis=-1)
+
+                state = {
+                    "uv": jnp.stack([u / 4.0, vv_ / 4.0, zeros], axis=-1),
+                    "color": texel[..., :3],
+                    "roughness": r3(zeros + 0.5),
+                    "metallic": r3(zeros),
+                    "emissive": r3(zeros),
+                    "opacity": r3(texel[..., 3]),
+                    "bump": r3(zeros),
+                    "normal": r3(zeros),
+                    "hitpoint": jnp.stack([world_x, world_y, zeros], axis=-1),
+                    "time": r3(jnp.broadcast_to(uniforms["time"], u.shape)),
+                }
+                out_s = prog.shade(state, uniforms.get("palette"))
+                m = (tri["shader"] == si) & (tri["shader"] >= 0)
+                mm = jnp.broadcast_to(m, cov.shape)[..., None]
+                rgb_s = jnp.broadcast_to(out_s["color"], texel[..., :3].shape)
+                texel = jnp.where(
+                    mm,
+                    jnp.concatenate([rgb_s, jnp.ones_like(texel[..., 3:4])], axis=-1),
+                    texel,
+                )
+
         # lighting block (rasterizer.rs:806-880): active when
         # (receives_light && lights) || ambient present
         rl = tri["receives_light"] > 0.5
@@ -190,6 +224,7 @@ def d2_pass(
         "rgba": tris["rgba"],
         "repeat": tris["repeat"],
         "receives_light": tris["receives_light"],
+        "shader": tris["shader"],
     }
     frame, _ = jax.lax.scan(step, frame, xs)
     return frame

@@ -27,7 +27,7 @@ from .shade import resolve_texel, shade_pass, srgb_to_linear_fast, linear_to_srg
 from .visibility import visibility_pass
 
 
-def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, width, height, sample_mode):
+def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, width, height, sample_mode, shaders=()):
     """Opacity-pass shading: texel only, no lighting
     (reference d3_rasterize_opacity, src/rasterizer.rs:1425-1690)."""
     slot = jnp.maximum(idx, 0)
@@ -50,10 +50,42 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
     repeat = jnp.take(meta["repeat"], t)
     texel = resolve_texel(kind, tex_slot, rgba, repeat, u, v, atlas, uniforms["anim_frame"], sample_mode)
 
+    lin = srgb_to_linear_fast(texel[..., :3])
+    opac = texel[..., 3]
+
+    if shaders:
+        shader_px = jnp.take(meta["shader"], t)
+
+        def r3(x):
+            return jnp.stack([x, x, x], axis=-1)
+
+        for si, prog in enumerate(shaders):
+            if prog is None or not prog.shade_index:
+                continue
+            zeros = jnp.zeros_like(u)
+            state = {
+                "uv": jnp.stack([u / 4.0, v / 4.0, zeros], axis=-1),
+                "color": lin,
+                "roughness": r3(zeros + 0.5),
+                "metallic": r3(zeros),
+                "emissive": r3(zeros),
+                "opacity": r3(opac),
+                "bump": r3(zeros),
+                "normal": r3(zeros),
+                "hitpoint": r3(zeros),
+                "time": r3(jnp.broadcast_to(uniforms["time"], u.shape)),
+            }
+            out_s = prog.shade(state, uniforms.get("palette"))
+            m = (shader_px == si)[..., None]
+            lin = jnp.where(m, jnp.broadcast_to(out_s["color"], lin.shape), lin)
+            opac = jnp.where(
+                m[..., 0], jnp.broadcast_to(out_s["opacity"], lin.shape)[..., 0], opac
+            )
+
     # srgb->linear then linear->srgb round trip through the fast polynomials,
     # matching the reference's pipeline (rasterizer.rs:1634-1676).
-    rgb = linear_to_srgb_fast(srgb_to_linear_fast(texel[..., :3]))
-    out = jnp.concatenate([rgb, texel[..., 3:4]], axis=-1)
+    rgb = linear_to_srgb_fast(lin)
+    out = jnp.concatenate([rgb, opac[..., None]], axis=-1)
     z_eff = jnp.where(hit, z, 1.0)
     color = jnp.where(hit[..., None], out, 0.0)
     return color, z_eff, t
@@ -70,6 +102,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "has_lights",
         "has_opacity",
         "has_d2",
+        "shaders",
     ),
 )
 def render_frame(
@@ -88,6 +121,7 @@ def render_frame(
     has_lights: bool = False,
     has_opacity: bool = False,
     has_d2: bool = False,
+    shaders: tuple = (),
 ):
     """One full frame on device -> (H, W, 4) uint8."""
     view = uniforms["view"]
@@ -98,7 +132,8 @@ def render_frame(
     )
     z, idx, hit = visibility_pass(vis, alive.astype(jnp.float32), width, height)
     shaded, wrote = shade_pass(
-        z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height, sample_mode
+        z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height,
+        sample_mode, shaders=shaders,
     )
     frame, z_eff = compose_opaque(shaded, wrote, z, background)
 
@@ -109,7 +144,8 @@ def render_frame(
         )
         z_o, idx_o, hit_o = visibility_pass(vis_o, alive_o.astype(jnp.float32), width, height)
         color_o, zeff_o, _ = _shade_opacity(
-            z_o, idx_o, hit_o, attr_o, tri_id_o, d3_op, atlas, uniforms, width, height, sample_mode
+            z_o, idx_o, hit_o, attr_o, tri_id_o, d3_op, atlas, uniforms, width, height,
+            sample_mode, shaders,
         )
         frame = blend_opacity(frame, z_eff, color_o, zeff_o, preserve_transparency)
 
@@ -126,6 +162,7 @@ def render_frame(
             preserve_transparency,
             light_count=1 if has_lights else 0,
             has_ambient=has_ambient,
+            shaders=shaders,
         )
 
     return frame_to_u8(frame)
@@ -190,6 +227,7 @@ class Rasterizer:
         self.brush_preview = None
 
         self._bg_cache = {}
+        self._palette = np.zeros((1, 3), np.float32)
         self._bg_dev = None
         self._bg_dev_key = None
         self._scene_cache = None
@@ -280,6 +318,7 @@ class Rasterizer:
             "translationd2": jnp.asarray(self.translationd2),
             "scaled2": jnp.float32(self.scaled2),
             "time": jnp.float32(self.time),
+            "palette": jnp.asarray(self._palette, jnp.float32),
         }
 
     def rasterize(
@@ -301,6 +340,7 @@ class Rasterizer:
             assets = Assets.default()
 
         self.hash_anim = hash_u32(scene.animation_frame & 0xFFFFFFFF)
+        self._palette = assets.palette
 
         # Device-resident scene cache: packing + upload happen only when the
         # scene content changes (scene.touch()); per-frame re-uploads are the
@@ -360,6 +400,7 @@ class Rasterizer:
             packed.light_count > 0,
             bool(packed.d3_opacity.valid.any()),
             bool(packed.d2.valid.any()),
+            tuple(scene.shaders),
         )
         out = np.asarray(frame)
 

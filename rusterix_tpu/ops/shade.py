@@ -294,6 +294,7 @@ def shade_pass(
     sample_mode: int = 0,
     y0=0,
     full_height: int = None,
+    shaders: tuple = (),
 ):
     """Shade every pixel from its winning triangle.
 
@@ -348,6 +349,49 @@ def shade_pass(
     roughness = jnp.full_like(opacity, 0.5)
     metallic = jnp.zeros_like(opacity)
     emissive = jnp.zeros_like(base)
+
+    # per-batch rusteria shaders (rasterizer.rs:1224-1310): each compiled
+    # program evaluates over the full frame; results merge where the pixel's
+    # winning triangle carries that shader index
+    if shaders:
+        shader_px = jnp.take(meta["shader"], t)
+        zero3 = jnp.zeros_like(base)
+
+        def r3(x):
+            return jnp.stack([x, x, x], axis=-1)
+
+        for si, prog in enumerate(shaders):
+            if prog is None or not prog.shade_index:
+                continue
+            state = {
+                "uv": jnp.stack([u / 4.0, v / 4.0, jnp.zeros_like(u)], axis=-1),
+                "color": base,
+                "roughness": r3(roughness),
+                "metallic": r3(metallic),
+                "emissive": emissive,
+                "opacity": r3(opacity),
+                "bump": zero3,
+                "normal": normal,
+                "hitpoint": world,
+                "time": r3(jnp.broadcast_to(uniforms["time"], u.shape)),
+            }
+            out = prog.shade(state, uniforms.get("palette"))
+            m = (shader_px == si)[..., None]
+
+            def bc(x):
+                return jnp.broadcast_to(x, base.shape)
+
+            base = jnp.where(m, bc(out["color"]), base)
+            roughness = jnp.where(m[..., 0], bc(out["roughness"])[..., 0], roughness)
+            metallic = jnp.where(m[..., 0], bc(out["metallic"])[..., 0], metallic)
+            emissive = jnp.where(m, bc(out["emissive"]), emissive)
+            opacity = jnp.where(m[..., 0], bc(out["opacity"])[..., 0], opacity)
+            normal = jnp.where(m, bc(out["normal"]), normal)
+        roughness = jnp.clip(roughness, 0.0, 1.0)
+        metallic = jnp.clip(metallic, 0.0, 1.0)
+        # re-normalize shader-written normals (rasterizer.rs:1313)
+        nlen = jnp.sqrt(jnp.sum(normal * normal, axis=-1, keepdims=True))
+        normal = jnp.where(nlen > 0, normal / jnp.maximum(nlen, 1e-30), normal)
 
     # --- lighting (rasterizer.rs:1319-1398) ---
     lit = jnp.zeros_like(base)

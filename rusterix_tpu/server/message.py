@@ -1,0 +1,142 @@
+"""Server <-> region wire protocol (reference src/server/message.rs)."""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+class EntityActionKind(enum.IntEnum):
+    """reference src/server/message.rs:47-74"""
+
+    Off = 0
+    Forward = 1
+    Backward = 2
+    Left = 3
+    Right = 4
+    Goto = 5
+    CloseIn = 6
+    RandomWalk = 7
+    RandomWalkInSector = 8
+    SleepAndSwitch = 9
+
+
+@dataclass
+class EntityAction:
+    kind: EntityActionKind = EntityActionKind.Off
+    target: Optional[tuple] = None  # Goto / CloseIn target xz
+    speed: float = 1.0
+    distance: float = 0.0  # CloseIn stop distance
+    until: float = 0.0  # SleepAndSwitch wake time
+    next_action: Optional["EntityAction"] = None
+    # random-walk state
+    max_sleep: float = 2.0
+    state_time: float = 0.0
+
+
+class PlayerCamera(enum.IntEnum):
+    """reference src/server/message.rs:77"""
+
+    D2 = 0
+    D3Iso = 1
+    D3FirstP = 2
+
+
+@dataclass
+class Choice:
+    """reference message.rs:133"""
+
+    id: int
+    text: str
+    value: str = ""
+
+
+@dataclass
+class MultipleChoice:
+    sender: int
+    receiver: int
+    choices: List[Choice] = field(default_factory=list)
+
+
+class RegionMessageKind(enum.IntEnum):
+    """reference src/server/message.rs:8-44"""
+
+    RegisterPlayer = 0
+    Event = 1
+    UserEvent = 2
+    UserAction = 3
+    CreateEntity = 4
+    EntitiesUpdate = 5
+    ItemsUpdate = 6
+    RemoveItem = 7
+    LogMessage = 8
+    Time = 9
+    Message = 10
+    TransferEntity = 11
+    MultipleChoice = 12
+    DebugData = 13
+    Pause = 14
+    Continue = 15
+    Quit = 16
+
+
+@dataclass
+class RegionMessage:
+    kind: RegionMessageKind
+    region_id: int = 0
+    entity_id: int = 0
+    data: object = None  # payload (kind-specific)
+
+    # convenience constructors
+    @staticmethod
+    def event(region_id, entity_id, name, value=None):
+        return RegionMessage(
+            RegionMessageKind.Event, region_id, entity_id, (name, value)
+        )
+
+    @staticmethod
+    def user_event(region_id, entity_id, name, value=None):
+        return RegionMessage(
+            RegionMessageKind.UserEvent, region_id, entity_id, (name, value)
+        )
+
+    @staticmethod
+    def user_action(region_id, entity_id, action):
+        return RegionMessage(
+            RegionMessageKind.UserAction, region_id, entity_id, action
+        )
+
+    @staticmethod
+    def entities_update(region_id, packed_updates: list):
+        return RegionMessage(
+            RegionMessageKind.EntitiesUpdate, region_id, data=packed_updates
+        )
+
+    @staticmethod
+    def items_update(region_id, packed_updates: list):
+        return RegionMessage(
+            RegionMessageKind.ItemsUpdate, region_id, data=packed_updates
+        )
+
+    @staticmethod
+    def log(region_id, text: str):
+        return RegionMessage(RegionMessageKind.LogMessage, region_id, data=text)
+
+    @staticmethod
+    def time(region_id, time_value):
+        return RegionMessage(RegionMessageKind.Time, region_id, data=time_value)
+
+    @staticmethod
+    def message(region_id, sender, receiver, text, category=""):
+        return RegionMessage(
+            RegionMessageKind.Message, region_id, data=(sender, receiver, text, category)
+        )
+
+    @staticmethod
+    def transfer_entity(region_id, entity, dest_region_name, dest_pos):
+        return RegionMessage(
+            RegionMessageKind.TransferEntity,
+            region_id,
+            data=(entity, dest_region_name, dest_pos),
+        )
