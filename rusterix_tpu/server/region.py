@@ -1,0 +1,775 @@
+"""Region instance — one running map simulation.
+
+reference: src/server/region.rs (RegionInstance: script compilation, tick
+loops, EntityAction state machines, collision-applied movement, delta
+sending) + src/server/regionctx.rs (RegionCtx) + src/server/region_host.rs
+(the ~70 script host calls).
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import random
+import tomllib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..builders.chunk import CHUNK_SIZE
+from ..map.mini import MapMini
+from ..vm import VM, Execution, HostHandler, VMValue
+from .collision import BlockingVolume, ChunkCollision, CollisionWorld
+from .entity import Entity
+from .item import Item
+from .message import (
+    EntityAction,
+    EntityActionKind,
+    RegionMessage,
+    RegionMessageKind,
+)
+
+
+@dataclass
+class Notification:
+    at_time: float
+    entity_id: int
+    event: str
+    value: object = None
+
+
+@dataclass
+class RegionCtx:
+    """reference src/server/regionctx.rs:11-69."""
+
+    region_id: int = 0
+    name: str = ""
+    map: object = None
+    mapmini: MapMini = field(default_factory=MapMini)
+    collision_world: CollisionWorld = field(default_factory=CollisionWorld)
+    entities: List[Entity] = field(default_factory=list)
+    items: List[Item] = field(default_factory=list)
+    entity_programs: Dict[str, object] = field(default_factory=dict)  # class -> VMProgram
+    item_programs: Dict[str, object] = field(default_factory=dict)
+    entity_class_data: Dict[str, dict] = field(default_factory=dict)
+    item_class_data: Dict[str, dict] = field(default_factory=dict)
+    notifications: List[Notification] = field(default_factory=list)
+    proximity_tracking: Dict[int, float] = field(default_factory=dict)
+    blocked_events: Dict[Tuple[int, str], float] = field(default_factory=dict)
+    currencies: Dict[str, str] = field(default_factory=dict)
+    config: dict = field(default_factory=dict)
+    startup_errors: List[str] = field(default_factory=list)
+    game_time: float = 8.0 * 60.0  # minutes of day
+    ticks: int = 0
+    debug_mode: bool = False
+
+
+class RegionHost(HostHandler):
+    """Script host-call handler (reference src/server/region_host.rs:30+)."""
+
+    def __init__(self, region: "RegionInstance"):
+        super().__init__()
+        self.region = region
+        self.entity: Optional[Entity] = None  # current script subject
+
+    def on_host_call(self, name: str, args: List[VMValue], vm: Execution) -> VMValue:
+        handler = getattr(self, f"h_{name}", None)
+        if handler is not None:
+            return handler(args, vm)
+        # unknown calls are recorded (debuggable, like LogMessage)
+        self.outputs[name] = args[0] if args else VMValue.zero()
+        return VMValue.zero()
+
+    # -- movement --
+
+    def h_action(self, args, vm) -> VMValue:
+        name = args[0].as_string() or ""
+        self.outputs["action"] = args[0]
+        e = self.entity
+        if e is None:
+            return VMValue.zero()
+        kind = {
+            "forward": EntityActionKind.Forward,
+            "backward": EntityActionKind.Backward,
+            "left": EntityActionKind.Left,
+            "right": EntityActionKind.Right,
+            "none": EntityActionKind.Off,
+            "off": EntityActionKind.Off,
+        }.get(name, EntityActionKind.Off)
+        e.action = EntityAction(kind)
+        return VMValue.zero()
+
+    def h_goto(self, args, vm) -> VMValue:
+        e = self.entity
+        if e is None:
+            return VMValue.zero()
+        if len(args) >= 2 and args[0].s is None:
+            target = (args[0].x, args[1].x)
+            speed = args[2].x if len(args) > 2 else 1.0
+        else:
+            # goto("sector name", speed)
+            sec = self._sector_by_name(args[0].as_string() or "")
+            if sec is None:
+                return VMValue.broadcast(0.0)
+            c = sec.center(self.region.ctx.map)
+            target = (float(c[0]), float(c[1]))
+            speed = args[1].x if len(args) > 1 else 1.0
+        e.action = EntityAction(EntityActionKind.Goto, target=target, speed=speed)
+        return VMValue.broadcast(1.0)
+
+    def h_close_in(self, args, vm) -> VMValue:
+        e = self.entity
+        if e is None:
+            return VMValue.zero()
+        target_id = int(args[0].x)
+        distance = args[1].x if len(args) > 1 else 1.0
+        speed = args[2].x if len(args) > 2 else 1.0
+        target = self.region.find_entity(target_id)
+        if target is None:
+            return VMValue.broadcast(0.0)
+        e.action = EntityAction(
+            EntityActionKind.CloseIn,
+            target=(int(target_id),),
+            distance=distance,
+            speed=speed,
+        )
+        return VMValue.broadcast(1.0)
+
+    def h_random_walk(self, args, vm) -> VMValue:
+        e = self.entity
+        if e is None:
+            return VMValue.zero()
+        distance = args[0].x if len(args) > 0 else 2.0
+        speed = args[1].x if len(args) > 1 else 1.0
+        max_sleep = args[2].x if len(args) > 2 else 2.0
+        e.action = EntityAction(
+            EntityActionKind.RandomWalk,
+            distance=distance,
+            speed=speed,
+            max_sleep=max_sleep,
+        )
+        return VMValue.zero()
+
+    def h_random_walk_in_sector(self, args, vm) -> VMValue:
+        v = self.h_random_walk(args, vm)
+        if self.entity is not None and self.entity.action is not None:
+            self.entity.action.kind = EntityActionKind.RandomWalkInSector
+        return v
+
+    def h_teleport(self, args, vm) -> VMValue:
+        e = self.entity
+        if e is None:
+            return VMValue.zero()
+        if args and args[0].s is not None:
+            sec = self._sector_by_name(args[0].s)
+            if sec is not None:
+                c = sec.center(self.region.ctx.map)
+                e.set_position([float(c[0]), e.position[1], float(c[1])])
+        elif len(args) >= 2:
+            e.set_position([args[0].x, e.position[1], args[1].x])
+        return VMValue.zero()
+
+    # -- attributes --
+
+    def h_set_attr(self, args, vm) -> VMValue:
+        if self.entity is not None and args:
+            key = args[0].as_string() or ""
+            val = args[1] if len(args) > 1 else VMValue.zero()
+            self.entity.set_attribute(key, val.s if val.s is not None else val.x)
+        return VMValue.zero()
+
+    def h_get_attr(self, args, vm) -> VMValue:
+        if self.entity is None or not args:
+            return VMValue.zero()
+        key = args[0].as_string() or ""
+        v = self.entity.attributes.get(key)
+        if v is None:
+            return VMValue.zero()
+        data = v.to_python()
+        if isinstance(data, str):
+            return VMValue.from_string(data)
+        try:
+            return VMValue.broadcast(float(data))
+        except (TypeError, ValueError):
+            return VMValue.zero()
+
+    def h_toggle_attr(self, args, vm) -> VMValue:
+        if self.entity is not None and args:
+            key = args[0].as_string() or ""
+            cur = self.entity.attributes.get_bool_default(key, False)
+            self.entity.set_attribute(key, not cur)
+        return VMValue.zero()
+
+    def h_get_attr_of(self, args, vm) -> VMValue:
+        if len(args) < 2:
+            return VMValue.zero()
+        other = self.region.find_entity(int(args[0].x))
+        if other is None:
+            return VMValue.zero()
+        saved, self.entity = self.entity, other
+        try:
+            return self.h_get_attr(args[1:], vm)
+        finally:
+            self.entity = saved
+
+    # -- combat / inventory --
+
+    def h_deal_damage(self, args, vm) -> VMValue:
+        if len(args) < 2:
+            return VMValue.zero()
+        target = self.region.find_entity(int(args[0].x))
+        amount = args[1].x
+        if target is not None:
+            self.region.queue_event(target.id, "took_damage", amount)
+        return VMValue.zero()
+
+    def h_add_item(self, args, vm) -> VMValue:
+        if self.entity is None or not args:
+            return VMValue.broadcast(-1.0)
+        item = Item()
+        item.id = self.region.next_item_id()
+        item.set_attribute("name", args[0].as_string() or "")
+        class_name = args[0].as_string() or ""
+        data = self.region.ctx.item_class_data.get(class_name, {})
+        for k, v in data.get("attributes", {}).items():
+            item.set_attribute(k, v)
+        slot = self.entity.add_item(item)
+        return VMValue.broadcast(float(slot if slot is not None else -1))
+
+    def h_equip(self, args, vm) -> VMValue:
+        if self.entity is None or len(args) < 1:
+            return VMValue.zero()
+        slot = int(args[0].x)
+        item = self.entity.remove_item(slot)
+        if item is not None:
+            slot_name = item.attributes.get_str_default("slot", "hand")
+            self.entity.equip(slot_name, item)
+        return VMValue.zero()
+
+    def h_drop(self, args, vm) -> VMValue:
+        if self.entity is None or not args:
+            return VMValue.zero()
+        item = self.entity.remove_item(int(args[0].x))
+        if item is not None:
+            item.set_position(self.entity.position.copy())
+            self.region.ctx.items.append(item)
+        return VMValue.zero()
+
+    def h_take(self, args, vm) -> VMValue:
+        if self.entity is None or not args:
+            return VMValue.broadcast(0.0)
+        item_id = int(args[0].x)
+        for i, item in enumerate(self.region.ctx.items):
+            if item.id == item_id:
+                self.region.ctx.items.pop(i)
+                self.entity.add_item(item)
+                return VMValue.broadcast(1.0)
+        return VMValue.broadcast(0.0)
+
+    def h_inventory_items(self, args, vm) -> VMValue:
+        if self.entity is None:
+            return VMValue.broadcast(0.0)
+        return VMValue.broadcast(float(sum(1 for _ in self.entity.iter_inventory())))
+
+    def h_inventory_items_of(self, args, vm) -> VMValue:
+        if self.entity is None or not args:
+            return VMValue.broadcast(0.0)
+        name = args[0].as_string() or ""
+        return VMValue.broadcast(
+            float(
+                sum(1 for _, it in self.entity.iter_inventory() if it.name() == name)
+            )
+        )
+
+    # -- world / misc --
+
+    def h_set_tile(self, args, vm) -> VMValue:
+        if self.entity is not None and args:
+            self.entity.set_attribute("source_seq", args[0].as_string() or "")
+        return VMValue.zero()
+
+    def h_set_emit_light(self, args, vm) -> VMValue:
+        if self.entity is not None and args:
+            self.entity.set_attribute("emit_light", args[0].x)
+        return VMValue.zero()
+
+    def h_set_rig_sequence(self, args, vm) -> VMValue:
+        if self.entity is not None and args:
+            self.entity.set_attribute("rig_sequence", args[0].as_string() or "")
+        return VMValue.zero()
+
+    def h_set_player_camera(self, args, vm) -> VMValue:
+        if self.entity is not None and args:
+            self.entity.set_attribute("player_camera", args[0].as_string() or "")
+        return VMValue.zero()
+
+    def h_set_proximity_tracking(self, args, vm) -> VMValue:
+        if self.entity is not None and args:
+            radius = args[0].x
+            if radius > 0:
+                self.region.ctx.proximity_tracking[self.entity.id] = radius
+            else:
+                self.region.ctx.proximity_tracking.pop(self.entity.id, None)
+        return VMValue.zero()
+
+    def h_entities_in_radius(self, args, vm) -> VMValue:
+        if self.entity is None:
+            return VMValue.broadcast(0.0)
+        radius = args[0].x if args else 2.0
+        me = self.entity.get_pos_xz()
+        count = 0
+        for e in self.region.ctx.entities:
+            if e.id == self.entity.id:
+                continue
+            if float(np.linalg.norm(e.get_pos_xz() - me)) <= radius:
+                count += 1
+        return VMValue.broadcast(float(count))
+
+    def h_notify_in(self, args, vm) -> VMValue:
+        if self.entity is None or len(args) < 2:
+            return VMValue.zero()
+        minutes = args[0].x
+        event = args[1].as_string() or ""
+        self.region.ctx.notifications.append(
+            Notification(
+                at_time=self.region.ctx.game_time + minutes,
+                entity_id=self.entity.id,
+                event=event,
+            )
+        )
+        return VMValue.zero()
+
+    def h_block_events(self, args, vm) -> VMValue:
+        if self.entity is not None and len(args) >= 2:
+            event = args[0].as_string() or ""
+            minutes = args[1].x
+            self.region.ctx.blocked_events[(self.entity.id, event)] = (
+                self.region.ctx.game_time + minutes
+            )
+        return VMValue.zero()
+
+    def h_message(self, args, vm) -> VMValue:
+        text = args[0].display() if args else ""
+        category = args[1].as_string() if len(args) > 1 else ""
+        self.region.out_messages.append(
+            RegionMessage.message(
+                self.region.ctx.region_id,
+                self.entity.id if self.entity else 0,
+                -1,
+                text,
+                category or "",
+            )
+        )
+        return VMValue.zero()
+
+    def h_intent(self, args, vm) -> VMValue:
+        if self.entity is not None and args:
+            self.entity.set_attribute("intent", args[0].as_string() or "")
+        return VMValue.zero()
+
+    def h_debug(self, args, vm) -> VMValue:
+        self.region.out_messages.append(
+            RegionMessage.log(
+                self.region.ctx.region_id, " ".join(a.display() for a in args)
+            )
+        )
+        return VMValue.zero()
+
+    def h_random(self, args, vm) -> VMValue:
+        lo = args[0].x if args else 0.0
+        hi = args[1].x if len(args) > 1 else 1.0
+        return VMValue.broadcast(random.uniform(lo, hi))
+
+    def h_get_entity_id(self, args, vm) -> VMValue:
+        return VMValue.broadcast(float(self.entity.id) if self.entity else -1.0)
+
+    def h_took_damage(self, args, vm) -> VMValue:
+        return VMValue.zero()
+
+    def h_offer_inventory(self, args, vm) -> VMValue:
+        return VMValue.zero()
+
+    def _sector_by_name(self, name: str):
+        m = self.region.ctx.map
+        if m is None:
+            return None
+        for s in m.sectors:
+            if s.name == name:
+                return s
+        return None
+
+
+class RegionInstance:
+    """reference src/server/region.rs:69+."""
+
+    GAME_TICK_MINUTES = 1.0
+    REDRAW_DELTA = 1.0 / 30.0
+
+    def __init__(self, region_id: int, name: str = ""):
+        self.ctx = RegionCtx(region_id=region_id, name=name)
+        self.vm = VM()
+        self.host = RegionHost(self)
+        self.inbox: "queue.Queue[RegionMessage]" = queue.Queue()
+        self.outbox: "queue.Queue[RegionMessage]" = queue.Queue()
+        self.out_messages: List[RegionMessage] = []
+        self.paused = False
+        self.running = True
+        self._next_entity_id = 0
+        self._next_item_id = 0
+
+    # ---- init (region.rs:366-560) ----
+
+    def init(self, map_, entities: Dict[str, tuple], items: Dict[str, tuple], config: str = "") -> None:
+        self.ctx.map = map_
+        self.ctx.mapmini = map_.as_mini()
+        self._build_collision(map_)
+
+        if config:
+            try:
+                self.ctx.config = tomllib.loads(config)
+            except Exception as e:
+                self.ctx.startup_errors.append(f"config: {e}")
+
+        for class_name, (source, data) in entities.items():
+            try:
+                module = self.vm.parse_str(source)
+                self.ctx.entity_programs[class_name] = self.vm.compile(module)
+            except Exception as e:
+                self.ctx.startup_errors.append(f"{class_name}: {e}")
+            if data:
+                try:
+                    self.ctx.entity_class_data[class_name] = tomllib.loads(data)
+                except Exception as e:
+                    self.ctx.startup_errors.append(f"{class_name}.toml: {e}")
+
+        for class_name, (source, data) in items.items():
+            try:
+                module = self.vm.parse_str(source)
+                self.ctx.item_programs[class_name] = self.vm.compile(module)
+            except Exception as e:
+                self.ctx.startup_errors.append(f"{class_name}: {e}")
+            if data:
+                try:
+                    self.ctx.item_class_data[class_name] = tomllib.loads(data)
+                except Exception as e:
+                    self.ctx.startup_errors.append(f"{class_name}.toml: {e}")
+
+        # instantiate map entities; players are stripped (created on join,
+        # region.rs:366-560)
+        for entity in list(map_.entities):
+            class_name = entity.get_attr_string("class_name")
+            data = self.ctx.entity_class_data.get(class_name, {})
+            attrs = data.get("attributes", {})
+            is_player = bool(attrs.get("player", False))
+            if is_player:
+                continue
+            self.spawn_entity(entity)
+
+    def _build_collision(self, map_) -> None:
+        cw = CollisionWorld(CHUNK_SIZE)
+        per_chunk: Dict[Tuple[int, int], ChunkCollision] = {}
+        for linedef in map_.linedefs:
+            h = linedef.properties.get_float_default("wall_height", 0.0)
+            if h <= 0:
+                continue
+            v0 = map_.get_vertex(linedef.start_vertex)
+            v1 = map_.get_vertex(linedef.end_vertex)
+            if v0 is None or v1 is None:
+                continue
+            w = max(linedef.properties.get_float_default("wall_width", 0.0), 0.05)
+            mnx, mxx = min(v0.x, v1.x) - w / 2, max(v0.x, v1.x) + w / 2
+            mny, mxy = min(v0.y, v1.y) - w / 2, max(v0.y, v1.y) + w / 2
+            key = (int(math.floor((mnx + mxx) / 2 / CHUNK_SIZE)), int(math.floor((mny + mxy) / 2 / CHUNK_SIZE)))
+            chunk = per_chunk.setdefault(key, ChunkCollision())
+            chunk.static_volumes.append(
+                BlockingVolume(
+                    geo_id=("linedef", linedef.id),
+                    min=np.array([mnx, 0.0, mny], np.float32),
+                    max=np.array([mxx, h, mxy], np.float32),
+                )
+            )
+        for key, chunk in per_chunk.items():
+            cw.update_chunk(key, chunk)
+        self.ctx.collision_world = cw
+
+    # ---- entity management ----
+
+    def next_item_id(self) -> int:
+        self._next_item_id += 1
+        return self._next_item_id - 1
+
+    def spawn_entity(self, entity: Entity) -> Entity:
+        entity.id = self._next_entity_id
+        self._next_entity_id += 1
+        self.ctx.entities.append(entity)
+        self.run_entity_event(entity, "startup", None)
+        return entity
+
+    def create_entity_instance(self, class_name: str, position=None) -> Entity:
+        """region.rs:2079."""
+        entity = Entity()
+        entity.set_attribute("class_name", class_name)
+        data = self.ctx.entity_class_data.get(class_name, {})
+        for k, v in data.get("attributes", {}).items():
+            entity.set_attribute(k, v)
+        if position is not None:
+            entity.set_position(position)
+        return self.spawn_entity(entity)
+
+    def find_entity(self, entity_id: int) -> Optional[Entity]:
+        for e in self.ctx.entities:
+            if e.id == entity_id:
+                return e
+        return None
+
+    # ---- script dispatch (region_host.rs:1151-1177) ----
+
+    def run_entity_event(self, entity: Entity, event: str, value) -> None:
+        deadline = self.ctx.blocked_events.get((entity.id, event))
+        if deadline is not None and self.ctx.game_time < deadline:
+            return
+        class_name = entity.get_attr_string("class_name")
+        program = self.ctx.entity_programs.get(class_name)
+        if program is None or "event" not in program.functions:
+            return
+        self.host.entity = entity
+        ex = Execution(program, self.host)
+        args = [VMValue.from_string(event), _to_vmvalue(value)]
+        try:
+            ex.execute_function(args, "event")
+        except Exception as e:
+            self.outbox.put(
+                RegionMessage.log(self.ctx.region_id, f"script error: {e}")
+            )
+        self.host.entity = None
+
+    def run_user_event(self, entity: Entity, event: str, value) -> None:
+        class_name = entity.get_attr_string("class_name")
+        program = self.ctx.entity_programs.get(class_name)
+        if program is None or "user_event" not in program.functions:
+            return
+        self.host.entity = entity
+        ex = Execution(program, self.host)
+        try:
+            ex.execute_function(
+                [VMValue.from_string(event), _to_vmvalue(value)], "user_event"
+            )
+        except Exception as e:
+            self.outbox.put(
+                RegionMessage.log(self.ctx.region_id, f"script error: {e}")
+            )
+        self.host.entity = None
+
+    def queue_event(self, entity_id: int, event: str, value) -> None:
+        self.inbox.put(
+            RegionMessage.event(self.ctx.region_id, entity_id, event, value)
+        )
+
+    # ---- ticks (region.rs:945-1082) ----
+
+    def system_tick(self) -> None:
+        if self.paused or not self.running:
+            return
+        self.ctx.game_time += self.GAME_TICK_MINUTES
+        self.ctx.ticks += 1
+        self.outbox.put(RegionMessage.time(self.ctx.region_id, self.ctx.game_time))
+
+        # due notifications -> script `event(...)` (region.rs:967-996)
+        due = [n for n in self.ctx.notifications if n.at_time <= self.ctx.game_time]
+        self.ctx.notifications = [
+            n for n in self.ctx.notifications if n.at_time > self.ctx.game_time
+        ]
+        for n in due:
+            e = self.find_entity(n.entity_id)
+            if e is not None:
+                self.run_entity_event(e, n.event, n.value)
+
+        # proximity alerts (region.rs:1049-1075)
+        for eid, radius in list(self.ctx.proximity_tracking.items()):
+            e = self.find_entity(eid)
+            if e is None:
+                continue
+            me = e.get_pos_xz()
+            for other in self.ctx.entities:
+                if other.id == eid:
+                    continue
+                if float(np.linalg.norm(other.get_pos_xz() - me)) <= radius:
+                    self.run_entity_event(e, "proximity", float(other.id))
+
+    def redraw_tick(self) -> None:
+        """Drain inbox, advance actions, apply movement, send deltas
+        (region.rs:1082-1700)."""
+        if not self.running:
+            return
+        while True:
+            try:
+                msg = self.inbox.get_nowait()
+            except queue.Empty:
+                break
+            self._handle_message(msg)
+
+        if self.paused:
+            return
+
+        dt = self.REDRAW_DELTA
+        for entity in self.ctx.entities:
+            self._advance_action(entity, dt)
+
+        # dirty deltas (region.rs:1680-1700)
+        updates = []
+        for entity in self.ctx.entities:
+            if entity.is_dirty():
+                updates.append(entity.get_update().pack())
+                entity.clear_dirty()
+        if updates:
+            self.outbox.put(
+                RegionMessage.entities_update(self.ctx.region_id, updates)
+            )
+        item_updates = []
+        for item in self.ctx.items:
+            if item.is_dirty():
+                item_updates.append(item.get_update().pack())
+                item.clear_dirty()
+        if item_updates:
+            self.outbox.put(
+                RegionMessage.items_update(self.ctx.region_id, item_updates)
+            )
+        for m in self.out_messages:
+            self.outbox.put(m)
+        self.out_messages = []
+
+    def _handle_message(self, msg: RegionMessage) -> None:
+        k = msg.kind
+        if k == RegionMessageKind.Event:
+            e = self.find_entity(msg.entity_id)
+            if e is not None:
+                name, value = msg.data
+                self.run_entity_event(e, name, value)
+        elif k == RegionMessageKind.UserEvent:
+            e = self.find_entity(msg.entity_id)
+            if e is not None:
+                name, value = msg.data
+                self.run_user_event(e, name, value)
+        elif k == RegionMessageKind.UserAction:
+            e = self.find_entity(msg.entity_id)
+            if e is not None:
+                e.action = msg.data
+        elif k == RegionMessageKind.CreateEntity:
+            entity = msg.data
+            if isinstance(entity, Entity):
+                self.spawn_entity(entity)
+            else:
+                self.create_entity_instance(str(entity))
+        elif k == RegionMessageKind.TransferEntity:
+            entity, dest, pos = msg.data
+            self.ctx.entities = [e for e in self.ctx.entities if e.id != entity.id]
+            self.outbox.put(
+                RegionMessage.transfer_entity(self.ctx.region_id, entity, dest, pos)
+            )
+        elif k == RegionMessageKind.Time:
+            self.ctx.game_time = float(msg.data)
+        elif k == RegionMessageKind.Pause:
+            self.paused = True
+        elif k == RegionMessageKind.Continue:
+            self.paused = False
+        elif k == RegionMessageKind.Quit:
+            self.running = False
+
+    # ---- EntityAction state machines (region.rs:1588-1704) ----
+
+    def _advance_action(self, entity: Entity, dt: float) -> None:
+        action = entity.action
+        if action is None or action.kind == EntityActionKind.Off:
+            return
+        k = action.kind
+        speed = action.speed if action.speed else 1.0
+        step = 2.0 * speed * dt
+
+        if k in (
+            EntityActionKind.Forward,
+            EntityActionKind.Backward,
+            EntityActionKind.Left,
+            EntityActionKind.Right,
+        ):
+            target_xz = {
+                EntityActionKind.Forward: entity.move_forward,
+                EntityActionKind.Backward: entity.move_backward,
+                EntityActionKind.Left: entity.move_left,
+                EntityActionKind.Right: entity.move_right,
+            }[k](step)
+            self._apply_move(entity, target_xz)
+        elif k == EntityActionKind.Goto:
+            tx, ty = action.target
+            delta = np.array([tx, ty], np.float32) - entity.get_pos_xz()
+            dist = float(np.linalg.norm(delta))
+            if dist < 0.05:
+                entity.action = EntityAction(EntityActionKind.Off)
+                self.run_entity_event(entity, "arrived", None)
+                return
+            entity.face_at((tx, ty))
+            move = delta / dist * min(step, dist)
+            self._apply_move(entity, entity.get_pos_xz() + move)
+        elif k == EntityActionKind.CloseIn:
+            target = self.find_entity(int(action.target[0]))
+            if target is None:
+                entity.action = EntityAction(EntityActionKind.Off)
+                return
+            delta = target.get_pos_xz() - entity.get_pos_xz()
+            dist = float(np.linalg.norm(delta))
+            if dist <= action.distance:
+                self.run_entity_event(entity, "closed_in", float(target.id))
+                return
+            entity.face_at(target.get_pos_xz())
+            move = delta / max(dist, 1e-6) * min(step, dist - action.distance)
+            self._apply_move(entity, entity.get_pos_xz() + move)
+        elif k in (EntityActionKind.RandomWalk, EntityActionKind.RandomWalkInSector):
+            action.state_time -= dt
+            if action.target is None or action.state_time <= 0.0:
+                angle = random.uniform(0, math.tau)
+                d = random.uniform(0.3, max(action.distance, 0.3))
+                pos = entity.get_pos_xz()
+                target = pos + np.array(
+                    [math.cos(angle) * d, math.sin(angle) * d], np.float32
+                )
+                if k == EntityActionKind.RandomWalkInSector and self.ctx.map is not None:
+                    sector = self.ctx.map.sector_at(*pos)
+                    if sector is not None and not sector.is_inside(self.ctx.map, target):
+                        target = pos
+                action.target = (float(target[0]), float(target[1]))
+                action.state_time = random.uniform(0.5, max(action.max_sleep, 0.5))
+            tx, ty = action.target
+            delta = np.array([tx, ty], np.float32) - entity.get_pos_xz()
+            dist = float(np.linalg.norm(delta))
+            if dist > 0.05:
+                entity.face_at((tx, ty))
+                move = delta / dist * min(step, dist)
+                self._apply_move(entity, entity.get_pos_xz() + move)
+        elif k == EntityActionKind.SleepAndSwitch:
+            if self.ctx.game_time >= action.until:
+                entity.action = action.next_action or EntityAction(EntityActionKind.Off)
+
+    def _apply_move(self, entity: Entity, target_xz) -> None:
+        """collision_world.move_distance (region.rs:2032-2048)."""
+        start = entity.position.copy()
+        move = np.array(
+            [target_xz[0] - start[0], 0.0, target_xz[1] - start[2]], np.float32
+        )
+        new_pos, blocked = self.ctx.collision_world.move_distance(start, move, 0.3)
+        if not np.allclose(new_pos, start):
+            entity.set_position(new_pos)
+        if blocked:
+            self.run_entity_event(entity, "bumped_into_wall", None)
+
+
+def _to_vmvalue(value) -> VMValue:
+    if isinstance(value, VMValue):
+        return value
+    if isinstance(value, str):
+        return VMValue.from_string(value)
+    if value is None:
+        return VMValue.zero()
+    try:
+        return VMValue.broadcast(float(value))
+    except (TypeError, ValueError):
+        return VMValue.from_string(str(value))
