@@ -41,7 +41,43 @@ from .models import (  # noqa: F401
     VGrayGradientShader,
     Wavefront,
 )
+from .builders import (  # noqa: F401
+    Chunk,
+    D2Builder,
+    D3Builder,
+    MapScript,
+    SceneManager,
+    compile_source_map,
+)
+from .client import Client, Daylight, Draw2D, MsgParser  # noqa: F401
+from .map import (  # noqa: F401
+    CompiledLinedef,
+    Linedef,
+    Map,
+    MapCamera,
+    MapMini,
+    Sector,
+    Terrain,
+    Value,
+    ValueContainer,
+    Vertex,
+)
 from .ops import PackedScene, Rasterizer  # noqa: F401
+from .rusterix import DrawMode, Rusterix  # noqa: F401
+from .server import (  # noqa: F401
+    CollisionWorld,
+    Entity,
+    EntityAction,
+    EntityActionKind,
+    EntityUpdate,
+    Item,
+    PlayerCamera,
+    RegionMessage,
+    Wallet,
+)
+from .server.server import Server  # noqa: F401
+from .shader import Program as ShaderProgram, Rusteria  # noqa: F401
+from .vm import VM, VMValue  # noqa: F401
 from .utils import (  # noqa: F401
     BLACK,
     TRANSPARENT,

@@ -1,0 +1,225 @@
+"""Client — presentation layer (reference src/client/mod.rs).
+
+Owns scenes/cameras/builders, parses the game config, builds per-frame
+dynamic geometry (entity/item billboards + lights), renders through the
+device Rasterizer, and routes input to the server.
+"""
+
+from __future__ import annotations
+
+import math
+import tomllib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..builders import D2Builder, D3Builder
+from ..models.assets import Assets
+from ..models.batch import Batch3D, PixelSource
+from ..models.camera import D3FirstPCamera, D3IsoCamera, D3OrbitCamera
+from ..models.light import CompiledLight, LightType
+from ..models.scene import Scene
+from ..ops.matrices import mat3_translation_scale
+from ..ops.raster import Rasterizer
+from ..server.message import PlayerCamera
+from .daylight import Daylight
+from .draw2d import Draw2D
+from .parser import MsgParser
+
+
+@dataclass
+class ClientConfig:
+    """[viewport]/[game] config tables (reference client/mod.rs:739-806)."""
+
+    width: int = 640
+    height: int = 400
+    grid_size: float = 32.0
+    upscale: float = 1.0
+    cursor_id: Optional[str] = None
+    target_fps: int = 30
+    game_tick_ms: int = 250
+    start_region: str = ""
+    start_screen: str = ""
+    auto_create_player: bool = True
+    player_class: str = "Player"
+
+    @staticmethod
+    def parse(toml_text: str) -> "ClientConfig":
+        cfg = ClientConfig()
+        if not toml_text:
+            return cfg
+        try:
+            data = tomllib.loads(toml_text)
+        except Exception:
+            return cfg
+        vp = data.get("viewport", {})
+        cfg.width = int(vp.get("width", cfg.width))
+        cfg.height = int(vp.get("height", cfg.height))
+        cfg.grid_size = float(vp.get("grid_size", cfg.grid_size))
+        cfg.upscale = float(vp.get("upscale", cfg.upscale))
+        cfg.cursor_id = vp.get("cursor_id")
+        game = data.get("game", {})
+        cfg.target_fps = int(game.get("target_fps", cfg.target_fps))
+        cfg.game_tick_ms = int(game.get("game_tick_ms", cfg.game_tick_ms))
+        cfg.start_region = str(game.get("start_region", cfg.start_region))
+        cfg.start_screen = str(game.get("start_screen", cfg.start_screen))
+        cfg.auto_create_player = bool(
+            game.get("auto_create_player", cfg.auto_create_player)
+        )
+        cfg.player_class = str(game.get("player_class", cfg.player_class))
+        return cfg
+
+
+class Client:
+    def __init__(self):
+        self.config = ClientConfig()
+        self.scene = Scene.empty()
+        self.scene_d2 = Scene.empty()
+        self.camera_d3 = D3FirstPCamera()
+        self.draw2d = Draw2D()
+        self.daylight = Daylight()
+        self.msg_parser = MsgParser()
+        self.messages: List[Tuple[float, str]] = []
+        self.player_id: Optional[int] = None
+        self.current_map = None
+        self.viewport: Tuple[int, int] = (640, 400)
+        self.offset_d2 = np.zeros(2, np.float32)
+
+    # ---- setup (client/mod.rs:730-837) ----
+
+    def setup(self, assets: Assets) -> List[tuple]:
+        """Parse config; return startup commands (player creation)."""
+        self.config = ClientConfig.parse(assets.config)
+        self.viewport = (self.config.width, self.config.height)
+        commands = []
+        if self.config.auto_create_player and self.config.start_region:
+            commands.append(
+                ("create_player", self.config.start_region, self.config.player_class)
+            )
+        return commands
+
+    def set_map(self, map_, assets: Assets) -> None:
+        """Build the static scene from the map."""
+        self.current_map = map_
+        self.scene = Scene.empty()
+        D3Builder().build(map_, assets, self.scene)
+        D2Builder().build(map_, assets, self.scene)
+        self.scene.touch()
+
+    # ---- dynamic geometry (scenebuilder/d3builder.rs:367-632) ----
+
+    def build_entities_items_d3(self, map_, assets: Assets) -> None:
+        """Camera-facing billboards + lights for entities/items."""
+        _, right, up = self.camera_d3.basis_vectors()
+        batches: List[Batch3D] = []
+        lights: List[CompiledLight] = []
+
+        for entity in map_.entities:
+            if not entity.attributes.get_bool_default("visible", True):
+                continue
+            if self.player_id is not None and entity.id == self.player_id:
+                continue  # don't draw the local player in first person
+            src = self._entity_source(entity, assets)
+            if src is not None:
+                size = entity.attributes.get_float_default("source_size", 1.0)
+                batch = Batch3D()
+                batch.add_vertex_billboard(entity.position, right, up, size)
+                batch.set_source(src)
+                batches.append(batch)
+            emit = entity.attributes.get_float_default("emit_light", 0.0)
+            if emit > 0.0:
+                lights.append(
+                    CompiledLight(
+                        light_type=LightType.Point,
+                        position=np.asarray(entity.position, np.float32),
+                        intensity=emit,
+                        start_distance=1.0,
+                        end_distance=emit * 4.0,
+                    )
+                )
+
+        for item in map_.items:
+            if not item.attributes.get_bool_default("visible", True):
+                continue
+            src = self._entity_source(item, assets)
+            if src is not None:
+                batch = Batch3D()
+                batch.add_vertex_billboard(item.position, right, up, 0.5)
+                batch.set_source(src)
+                batches.append(batch)
+            if item.light is not None:
+                compiled = (
+                    item.light.compile() if hasattr(item.light, "compile") else item.light
+                )
+                lights.append(compiled)
+
+        self.scene.d3_dynamic = batches
+        self.scene.dynamic_lights = lights
+        self.scene.touch()
+
+    def _entity_source(self, entity, assets: Assets) -> Optional[PixelSource]:
+        tid = entity.attributes.get_str_default("tile_id", "")
+        if tid:
+            idx = assets.tile_index(tid)
+            if idx is not None:
+                return PixelSource.static_tile_index(idx)
+        v = entity.attributes.get("tile_id")
+        if v is not None and isinstance(v.data, str):
+            idx = assets.tile_index(v.data)
+            if idx is not None:
+                return PixelSource.static_tile_index(idx)
+        return None
+
+    # ---- camera driving (rusterix.rs:146-181) ----
+
+    def apply_entity_to_camera(self, entity) -> None:
+        entity.apply_to_camera(self.camera_d3)
+
+    def set_player_camera(self, mode: PlayerCamera) -> None:
+        if mode == PlayerCamera.D3FirstP:
+            self.camera_d3 = D3FirstPCamera()
+        elif mode == PlayerCamera.D3Iso:
+            self.camera_d3 = D3IsoCamera()
+
+    # ---- drawing ----
+
+    def draw_d3(self, width: int, height: int, assets: Assets, ambient=None) -> np.ndarray:
+        view = self.camera_d3.view_matrix()
+        proj = self.camera_d3.projection_matrix(width, height)
+        rast = Rasterizer.setup(None, view, proj)
+        if ambient is not None:
+            rast.ambient(ambient)
+        return rast.rasterize(self.scene, width, height, 128, assets)
+
+    def draw_d2(self, width: int, height: int, assets: Assets, grid_size: Optional[float] = None) -> np.ndarray:
+        gs = grid_size if grid_size is not None else self.config.grid_size
+        tx = width / 2.0 - self.offset_d2[0] * gs
+        ty = height / 2.0 - self.offset_d2[1] * gs
+        proj2d = mat3_translation_scale(tx, ty, gs)
+        rast = Rasterizer.setup(proj2d, np.eye(4, dtype=np.float32), np.eye(4, dtype=np.float32))
+        return rast.rasterize(self.scene, width, height, 128, assets)
+
+    def draw_game(self, width: int, height: int, assets: Assets, ambient=None) -> np.ndarray:
+        """Game viewport + message overlay composite (client/mod.rs:837-1171)."""
+        frame = self.draw_d3(self.config.width, self.config.height, assets, ambient)
+        frame = np.array(frame)
+        # messages overlay
+        y = 8
+        for _, text in self.messages[-4:]:
+            self.draw2d.text(frame, 8, y, text, (255, 255, 255, 255), 12)
+            y += 16
+        if (width, height) != (self.config.width, self.config.height):
+            out = np.zeros((height, width, 4), np.uint8)
+            self.draw2d.blit_scaled(out, frame, 0, 0, width, height)
+            return out
+        return frame
+
+    # ---- messages (client/mod.rs:333) ----
+
+    def process_messages(self, server_messages, now: float = 0.0) -> None:
+        for msg in server_messages:
+            sender, receiver, text, category = msg
+            rendered = self.msg_parser.render(text)
+            self.messages.append((now, rendered))
+        server_messages.clear()

@@ -1,0 +1,125 @@
+"""Message token parser (reference src/client/parser.rs).
+
+Grammar: `{...}` tokens inside messages —
+  {the,case=upper}            text key + options
+  {E:20.name,article=def}     entity attribute
+  {It:102.name,article=indef} item attribute
+  {N:50,unit=hp}              integer
+  {F:3.14,precision=2}        float
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+
+@dataclass
+class Tok:
+    kind: str  # 'text', 'entity', 'item', 'num', 'float', 'plain'
+    text: str = ""
+    id: int = 0
+    attr: str = ""
+    val: float = 0.0
+    opts: Dict[str, str] = field(default_factory=dict)
+
+
+_BRACE_RE = re.compile(r"\{([^{}]+)\}")
+
+
+class MsgParser:
+    def parse(self, input_str: str) -> List[Tok]:
+        toks: List[Tok] = []
+        last = 0
+        for m in _BRACE_RE.finditer(input_str):
+            if m.start() > last:
+                toks.append(Tok("plain", text=input_str[last : m.start()]))
+            toks.append(self._parse_token(m.group(1)))
+            last = m.end()
+        if last < len(input_str):
+            toks.append(Tok("plain", text=input_str[last:]))
+        return toks
+
+    def _parse_token(self, body: str) -> Tok:
+        parts = body.split(",")
+        head = parts[0].strip()
+        opts = {}
+        for p in parts[1:]:
+            if "=" in p:
+                k, v = p.split("=", 1)
+                opts[k.strip()] = v.strip()
+        if head.startswith("E:"):
+            id_attr = head[2:].split(".", 1)
+            return Tok(
+                "entity",
+                id=int(id_attr[0]),
+                attr=id_attr[1] if len(id_attr) > 1 else "name",
+                opts=opts,
+            )
+        if head.startswith("It:"):
+            id_attr = head[3:].split(".", 1)
+            return Tok(
+                "item",
+                id=int(id_attr[0]),
+                attr=id_attr[1] if len(id_attr) > 1 else "name",
+                opts=opts,
+            )
+        if head.startswith("N:"):
+            return Tok("num", val=float(int(head[2:])), opts=opts)
+        if head.startswith("F:"):
+            return Tok("float", val=float(head[2:]), opts=opts)
+        return Tok("text", text=head, opts=opts)
+
+    def render(
+        self,
+        input_str: str,
+        entities=None,
+        items=None,
+        locale: Optional[Dict[str, str]] = None,
+    ) -> str:
+        """Expand tokens to display text."""
+        out = []
+        for tok in self.parse(input_str):
+            if tok.kind == "plain":
+                out.append(tok.text)
+            elif tok.kind == "text":
+                text = (locale or {}).get(tok.text, tok.text)
+                if tok.opts.get("case") == "upper":
+                    text = text.upper()
+                elif tok.opts.get("case") == "lower":
+                    text = text.lower()
+                out.append(text)
+            elif tok.kind == "entity":
+                name = ""
+                for e in entities or []:
+                    if e.id == tok.id:
+                        name = e.attributes.get_str_default(tok.attr, "")
+                        break
+                article = tok.opts.get("article")
+                if article == "def":
+                    name = f"the {name}"
+                elif article == "indef":
+                    name = f"an {name}" if name[:1].lower() in "aeiou" else f"a {name}"
+                out.append(name)
+            elif tok.kind == "item":
+                name = ""
+                for i in items or []:
+                    if i.id == tok.id:
+                        name = i.attributes.get_str_default(tok.attr, "")
+                        break
+                article = tok.opts.get("article")
+                if article == "def":
+                    name = f"the {name}"
+                elif article == "indef":
+                    name = f"an {name}" if name[:1].lower() in "aeiou" else f"a {name}"
+                out.append(name)
+            elif tok.kind == "num":
+                text = f"{int(tok.val)}"
+                if "unit" in tok.opts:
+                    text += f" {tok.opts['unit']}"
+                out.append(text)
+            elif tok.kind == "float":
+                prec = int(tok.opts.get("precision", 2))
+                out.append(f"{tok.val:.{prec}f}")
+        return "".join(out)

@@ -1,0 +1,112 @@
+"""Top-level engine facade (reference src/rusterix.rs:16-327).
+
+`Rusterix { assets, server, client }`: create regions from maps, pump the
+server, build dynamic geometry, draw the scene.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Dict, Optional
+
+import numpy as np
+
+from .builders import compile_source_map
+from .client import Client
+from .models.assets import Assets
+from .server.message import PlayerCamera
+from .server.server import Server
+
+
+class DrawMode(enum.IntEnum):
+    D2 = 0
+    D3 = 1
+
+
+class Rusterix:
+    def __init__(self):
+        self.assets = Assets.default()
+        self.server = Server()
+        self.client = Client()
+        self.player_camera = PlayerCamera.D3FirstP
+        self.draw_mode = DrawMode.D3
+
+    # ---- setup ----
+
+    def set_tiles(self, tiles: Dict[str, object]) -> None:
+        """reference rusterix.rs:323-326 — tiles + atlas rebuild."""
+        self.assets.set_tiles(tiles)
+
+    def create_regions(self) -> None:
+        """One region per map source (reference rusterix.rs:89-95)."""
+        for name, source in self.assets.map_sources.items():
+            map_ = compile_source_map(source, self.assets)
+            map_.name = name
+            self.assets.maps[name] = map_
+            self.server.create_region_instance(
+                name,
+                map_,
+                entities=self.assets.entities,
+                items=self.assets.items,
+                config=self.assets.config,
+            )
+        self.server.start()
+
+    def setup_client(self) -> None:
+        """reference rusterix.rs:286 + client setup commands."""
+        commands = self.client.setup(self.assets)
+        for cmd in commands:
+            if cmd[0] == "create_player":
+                _, region, class_name = cmd
+                pid = self.server.register_player(region, class_name)
+                self.client.player_id = pid
+        start = self.client.config.start_region
+        if start and start in self.assets.maps:
+            self.client.set_map(self.assets.maps[start], self.assets)
+
+    # ---- frame loop ----
+
+    def update_server(self) -> None:
+        """reference rusterix.rs:318 — tick + drain."""
+        self.server.redraw_tick()
+        self.server.update()
+
+    def system_tick(self) -> None:
+        self.server.system_tick()
+
+    def apply_entities_items(self, map_) -> None:
+        """Mirror entities/items into the map + drive the player camera
+        (reference rusterix.rs:146-181)."""
+        self.server.apply_entities_items(map_)
+        if self.client.player_id is not None:
+            for e in map_.entities:
+                if e.id == self.client.player_id:
+                    cam_attr = e.attributes.get_str_default("player_camera", "")
+                    if cam_attr == "iso":
+                        self.player_camera = PlayerCamera.D3Iso
+                        self.client.set_player_camera(PlayerCamera.D3Iso)
+                    elif cam_attr == "firstp":
+                        self.player_camera = PlayerCamera.D3FirstP
+                        self.client.set_player_camera(PlayerCamera.D3FirstP)
+                    self.client.apply_entity_to_camera(e)
+                    break
+
+    def build_entities_items_d3(self, map_) -> None:
+        self.client.build_entities_items_d3(map_, self.assets)
+
+    def draw_scene(self, map_, width: int, height: int, ambient=None) -> np.ndarray:
+        """reference rusterix.rs:256-279 (d2/d3 dispatch)."""
+        if self.draw_mode == DrawMode.D2:
+            return self.client.draw_d2(width, height, self.assets)
+        return self.client.draw_d3(width, height, self.assets, ambient)
+
+    def draw_game(self, width: int, height: int, ambient=None) -> np.ndarray:
+        """reference rusterix.rs:291."""
+        self.client.process_messages(self.server.messages)
+        return self.client.draw_game(width, height, self.assets, ambient)
+
+    # ---- input (mirrors examples/minigame.rs:97-123) ----
+
+    def local_player_event(self, event: str, value=None) -> None:
+        if self.client.player_id is not None:
+            self.server.local_player_event(self.client.player_id, event, value)
