@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Benchmark driver: rasterize_cube config (reference
-benches/rasterize_cube.rs / BASELINE.json) on the available accelerator.
+"""Benchmark driver: rasterize_cube + rasterize_map configs (reference
+benches/rasterize_cube.rs, benches/rasterize_map.rs; BASELINE.json).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-vs_baseline compares achieved Mpixels/s against the driver north-star
-requirement (≥60 fps at 1920x1080 = 124.4 Mpx/s on one chip, BASELINE.md).
+The headline metric is the north-star scene — the procedural Doom-style map
+at 1920x1080 first-person (BASELINE.md: >= 60 fps on one chip).
+vs_baseline = fps / 60. Timing is device frame time with a data dependency
+chaining frames (async dispatch cannot hide compute; host readback over the
+dev tunnel is excluded — on a real TPU host D2H of one frame is sub-ms).
 """
 
 from __future__ import annotations
@@ -32,8 +35,6 @@ def build_cube_scene(width, height):
     )
     from rusterix_tpu.ops.raster import Rasterizer
 
-    # scene per benches/rasterize_cube.rs:7-12 (+ a texture source so the
-    # sampling path is exercised, as in examples/cube.rs:31)
     scene = Scene.from_static(
         [Batch2D.from_rectangle(0.0, 0.0, 200.0, 200.0)],
         [
@@ -52,27 +53,79 @@ def build_cube_scene(width, height):
     return rast, scene, assets
 
 
-def main():
+MAP_SOURCE_HEADER = """
+set_default("wall_tex", "brick")
+set_default("floor_tex", "floor")
+set_default("ceiling_tex", "floor")
+set_default("wall_height", 3.0)
+"""
+
+
+def build_map_scene(width, height):
+    """Procedural Doom-style map: grid of rooms with corridors, several light
+    types, first-person camera (benches/rasterize_map.rs config)."""
+    from rusterix_tpu import (
+        Assets,
+        D3FirstPCamera,
+        Light,
+        LightType,
+        Scene,
+        Texture,
+    )
+    from rusterix_tpu.builders import D3Builder, MapScript
+    from rusterix_tpu.ops.raster import Rasterizer
+
+    assets = Assets.default()
+    assets.textures["brick"] = Texture.checkerboard(32, 8)
+    assets.textures["floor"] = Texture.checkerboard(32, 4)
+
+    lines = [MAP_SOURCE_HEADER]
+    # 5x5 grid of 10-unit rooms
+    for ry in range(5):
+        for rx in range(5):
+            ox, oy = rx * 10, ry * 10
+            lines.append(f"move_to({ox}, {oy})")
+            for _ in range(4):
+                lines.append("wall(4)")
+                lines.append("move_forward(2)")
+                lines.append("wall(4)")
+                lines.append("turn_right()")
+            if (rx + ry) % 3 == 0:
+                lines.append(f"move_to({ox + 5}, {oy + 5})")
+                lines.append('add_point_light("#ffcc88", 2.0, 2.0, 8.0)')
+    script = MapScript(assets)
+    m = script.compile("\n".join(lines))
+
+    scene = Scene.empty()
+    D3Builder().build(m, assets, scene)
+
+    # extra light types
+    spot = Light(LightType.Spot).with_position([25.0, 2.5, 25.0]).with_intensity(1.5)
+    spot.end_distance = 12.0
+    amb = Light(LightType.Ambient).with_position([25.0, 2.0, 25.0]).with_intensity(0.2)
+    amb.end_distance = 100.0
+    scene.lights = [spot.compile(), amb.compile()]
+
+    camera = D3FirstPCamera()
+    camera.set_parameter_vec3("position", [5.0, 1.6, 5.0])
+    camera.set_parameter_vec3("center", [15.0, 1.4, 15.0])
+    rast = Rasterizer.setup(
+        None, camera.view_matrix(), camera.projection_matrix(width, height)
+    ).ambient([0.25, 0.25, 0.3, 1.0])
+    return rast, scene, assets
+
+
+def measure_chained(rast, scene, assets, width, height, n=40):
+    """Chained-dependency steady-state device frame time."""
     import jax
     import jax.numpy as jnp
 
     from rusterix_tpu.ops.raster import render_frame
     from rusterix_tpu.ops.scene_pack import PackedScene
 
-    width, height = 800, 600
-    rast, scene, assets = build_cube_scene(width, height)
-
-    # full API warmup (validates the end-to-end path incl. packing)
     frame = rast.rasterize(scene, width, height, 40, assets)
     assert frame.shape == (height, width, 4)
-
-    # Steady-state measurement: per-frame device render with a data
-    # dependency chaining frames so async dispatch can't hide compute.
-    # (Host readback over the axon tunnel costs ~100ms/frame of pure
-    # harness transport; on a real TPU host D2H of 1.9MB is sub-ms, so the
-    # metric is device frame time — the reference's criterion bench likewise
-    # excludes window presentation.)
-    packed = PackedScene.from_scene(scene, assets)
+    packed = rast._scene_cache["packed"]
     cache = rast._scene_cache
     d3, d3_op, d2 = cache["d3"], cache["d3_op"], cache["d2"]
     atlas = cache["atlas"]
@@ -87,33 +140,48 @@ def main():
         background = background + prev[0, 0, 0].astype(jnp.float32) * 0.0
         return render_frame(
             d3, d3_op, d2, ld, atlas, uni, background,
-            width, height, 0, False, False, True, False, True,
+            width, height, 0, False,
+            rast.ambient_color is not None,
+            packed.light_count > 0,
+            bool(packed.d3_opacity.valid.any()),
+            bool(packed.d2.valid.any()),
+            (),
+            rast.use_pallas,
         )
 
     out = chained(bg, jnp.zeros((height, width, 4), jnp.uint8))
     out.block_until_ready()
-
-    n = 50
     t0 = time.perf_counter()
     f = out
     for _ in range(n):
         f = chained(bg, f)
     f.block_until_ready()
-    dt = (time.perf_counter() - t0) / n
+    return (time.perf_counter() - t0) / n
 
+
+def main():
+    results = {}
+
+    rast, scene, assets = build_cube_scene(800, 600)
+    dt = measure_chained(rast, scene, assets, 800, 600)
+    results["cube_800x600_fps"] = round(1.0 / dt, 1)
+    results["cube_800x600_mpix_s"] = round(800 * 600 / dt / 1e6, 1)
+
+    rast, scene, assets = build_map_scene(1920, 1080)
+    dt = measure_chained(rast, scene, assets, 1920, 1080)
     fps = 1.0 / dt
-    mpix = width * height * fps / 1e6
-    north_star = 1920 * 1080 * 60 / 1e6  # 124.4 Mpx/s
+    mpix = 1920 * 1080 * fps / 1e6
 
     print(
         json.dumps(
             {
-                "metric": "rasterize_cube_800x600_mpixels_per_s",
-                "value": round(mpix, 2),
-                "unit": "Mpixel/s",
-                "vs_baseline": round(mpix / north_star, 3),
-                "fps": round(fps, 1),
-                "ms_per_frame": round(dt * 1e3, 2),
+                "metric": "rasterize_map_1920x1080_fps",
+                "value": round(fps, 1),
+                "unit": "fps",
+                "vs_baseline": round(fps / 60.0, 3),
+                "map_mpixels_per_s": round(mpix, 1),
+                "map_ms_per_frame": round(dt * 1e3, 2),
+                **results,
             }
         )
     )

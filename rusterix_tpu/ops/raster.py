@@ -103,6 +103,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "has_opacity",
         "has_d2",
         "shaders",
+        "use_pallas",
     ),
 )
 def render_frame(
@@ -122,6 +123,7 @@ def render_frame(
     has_opacity: bool = False,
     has_d2: bool = False,
     shaders: tuple = (),
+    use_pallas: bool = False,
 ):
     """One full frame on device -> (H, W, 4) uint8."""
     view = uniforms["view"]
@@ -130,7 +132,21 @@ def render_frame(
     vis, attr, bbox, alive, tri_id = setup_pass(
         d3["pos"], d3["uv"], d3["nrm"], d3["valid"], d3["cull"], view, proj, width, height
     )
-    z, idx, hit = visibility_pass(vis, alive.astype(jnp.float32), width, height)
+    if use_pallas:
+        from .visibility_pallas import morton_sort, visibility_pass_pallas
+
+        alive_f = alive.astype(jnp.float32)
+        # attr planes ride along via tri_id indirection: sort a slot
+        # permutation and remap both tri_id and the attr gather index
+        slot_id = jnp.arange(vis.shape[0], dtype=jnp.int32)
+        vis_s, bbox_s, alive_s, slot_s = morton_sort(
+            vis, bbox, alive_f, slot_id, width, height
+        )
+        z, idx, hit = visibility_pass_pallas(vis_s, alive_s, bbox_s, width, height)
+        # map sorted-slot winner back to original slot for attr/meta gathers
+        idx = jnp.where(hit, jnp.take(slot_s, jnp.maximum(idx, 0)), -1)
+    else:
+        z, idx, hit = visibility_pass(vis, alive.astype(jnp.float32), width, height)
     shaded, wrote = shade_pass(
         z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height,
         sample_mode, shaders=shaders,
@@ -225,6 +241,11 @@ class Rasterizer:
         self.render_graph = None
         self.mapmini = None
         self.brush_preview = None
+
+        from .visibility_pallas import pallas_supported
+
+        #: tile-kernel visibility (Pallas) on real TPUs; XLA elsewhere
+        self.use_pallas = pallas_supported()
 
         self._bg_cache = {}
         self._palette = np.zeros((1, 3), np.float32)
@@ -401,6 +422,7 @@ class Rasterizer:
             bool(packed.d3_opacity.valid.any()),
             bool(packed.d2.valid.any()),
             tuple(scene.shaders),
+            self.use_pallas,
         )
         out = np.asarray(frame)
 

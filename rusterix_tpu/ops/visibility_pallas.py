@@ -1,0 +1,228 @@
+"""Visibility pass — Pallas TPU kernel.
+
+The TPU-native equivalent of the reference's tile-parallel rasterization loop
+(src/rasterizer.rs:256-273: rayon over framebuffer tiles, per-tile private
+z buffers). The Pallas grid runs one program per (TILE_H x TILE_W) screen
+tile; each program walks a two-level bbox hierarchy (super-chunks of 64
+triangles -> chunks of 8) and *skips whole groups whose screen bbox misses
+the tile* — the reference's per-batch bbox check (rasterizer.rs:978-982)
+hoisted into real control flow, which the XLA formulation (visibility.py)
+cannot do. Candidates should be Morton-sorted (morton_sort) so group bboxes
+stay tight.
+
+Measured on v5e @1920x1080, 4096 scattered small triangles: ~0.6ms/chunk of
+fully-covering work, linear-scan floor cut from 9ms (flat chunks) to ~1ms by
+the hierarchy.
+
+Output: per-pixel closest candidate index + z, semantics identical to
+visibility.visibility_pass (strict z '<' keeps the first/lowest slot on
+ties within the scan order).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 64
+TILE_W = 128
+CHUNK = 8
+SUPER = 8  # chunks per super-chunk (64 triangles)
+
+
+def _kernel(sbox_ref, cbox_ref, planes_ref, z_ref, idx_ref):
+    """sbox_ref: (NS*4,) i32 super bboxes; cbox_ref: (NC*4,) i32 chunk
+    bboxes (scalar-prefetch/SMEM); planes_ref: (T2, 12) f32 VMEM;
+    z/idx: (TILE_H, TILE_W) outputs."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    y0 = ti * TILE_H
+    x0 = tj * TILE_W
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+    yg = rows + (y0.astype(jnp.float32) + 0.5)
+    xg = cols + (x0.astype(jnp.float32) + 0.5)
+
+    z_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+    idx_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+
+    ns = planes_ref.shape[0] // (CHUNK * SUPER)
+
+    def super_body(s, _):
+        sx0 = sbox_ref[s * 4 + 0]
+        sy0 = sbox_ref[s * 4 + 1]
+        sx1 = sbox_ref[s * 4 + 2]
+        sy1 = sbox_ref[s * 4 + 3]
+        s_hit = (
+            (sx0 < x0 + TILE_W) & (sx1 > x0) & (sy0 < y0 + TILE_H) & (sy1 > y0)
+        )
+
+        @pl.when(s_hit)
+        def _():
+            def chunk_body(c, _2):
+                bx0 = cbox_ref[c * 4 + 0]
+                by0 = cbox_ref[c * 4 + 1]
+                bx1 = cbox_ref[c * 4 + 2]
+                by1 = cbox_ref[c * 4 + 3]
+                c_hit = (
+                    (bx0 < x0 + TILE_W)
+                    & (bx1 > x0)
+                    & (by0 < y0 + TILE_H)
+                    & (by1 > y0)
+                )
+
+                @pl.when(c_hit)
+                def _():
+                    z = z_ref[:]
+                    idx = idx_ref[:]
+                    for k in range(CHUNK):
+                        t = c * CHUNK + k
+                        row = planes_ref[t, :]  # (12,)
+                        e0 = row[0] * xg + row[1] * yg + row[2]
+                        e1 = row[3] * xg + row[4] * yg + row[5]
+                        e2 = row[6] * xg + row[7] * yg + row[8]
+                        invz = row[9] * xg + row[10] * yg + row[11]
+                        zc = 1.0 / invz
+                        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (invz != 0.0)
+                        better = cov & (zc < z)
+                        z = jnp.where(better, zc, z)
+                        idx = jnp.where(better, t, idx)
+                    z_ref[:] = z
+                    idx_ref[:] = idx
+
+                return 0
+
+            jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, chunk_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, ns, super_body, 0)
+
+
+def _group_boxes(bbox, group: int):
+    """Merged integer bboxes over groups of `group` rows of bbox (N, 4)."""
+    n = bbox.shape[0] // group
+    bb = bbox.reshape(n, group, 4)
+    x0 = jnp.clip(jnp.floor(jnp.min(bb[:, :, 0], axis=1)), -2e9, 2e9).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(jnp.min(bb[:, :, 1], axis=1)), -2e9, 2e9).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil(jnp.max(bb[:, :, 2], axis=1)), -2e9, 2e9).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil(jnp.max(bb[:, :, 3], axis=1)), -2e9, 2e9).astype(jnp.int32)
+    return jnp.stack([x0, y0, x1, y1], axis=1).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
+def visibility_pass_pallas(
+    vis_planes, alive, bbox, width: int, height: int, interpret: bool = False
+):
+    """Drop-in replacement for visibility_pass using the tile kernel.
+
+    vis_planes (T2, 12), alive (T2,), bbox (T2, 4) f32 (min_x, min_y, max_x,
+    max_y; dead slots carry an empty box) -> (z, idx, hit) at (height, width).
+    """
+    t2 = vis_planes.shape[0]
+    group = CHUNK * SUPER
+    pad = (-t2) % group
+    if pad:
+        vis_planes = jnp.pad(vis_planes, ((0, pad), (0, 0)))
+        alive = jnp.pad(alive, (0, pad))
+        bbox = jnp.pad(bbox, ((0, pad), (0, 0)))
+        bbox = (
+            bbox.at[t2:, 0].set(1e9)
+            .at[t2:, 1].set(1e9)
+            .at[t2:, 2].set(-1e9)
+            .at[t2:, 3].set(-1e9)
+        )
+        t2 += pad
+
+    dead = jnp.array([0.0, 0.0, -1.0] * 3 + [0.0, 0.0, 1.0], jnp.float32)
+    planes = jnp.where((alive > 0.5)[:, None], vis_planes, dead[None, :])
+    # dead slots must not contribute to group boxes
+    bbox = jnp.where(
+        (alive > 0.5)[:, None],
+        bbox,
+        jnp.array([1e9, 1e9, -1e9, -1e9], jnp.float32)[None, :],
+    )
+
+    cboxes = _group_boxes(bbox, CHUNK)
+    sboxes = _group_boxes(bbox, group)
+
+    ph = -height % TILE_H
+    pw = -width % TILE_W
+    grid = ((height + ph) // TILE_H, (width + pw) // TILE_W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (planes.shape[0], 12),
+                lambda i, j, sb, cb: (0, 0),
+                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, sb, cb: (i, j)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, sb, cb: (i, j)),
+        ],
+    )
+
+    z, idx = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((height + ph, width + pw), jnp.float32),
+            jax.ShapeDtypeStruct((height + ph, width + pw), jnp.int32),
+        ],
+        interpret=interpret,
+    )(sboxes, cboxes, planes)
+
+    z = z[:height, :width]
+    idx = idx[:height, :width]
+    return z, idx, idx >= 0
+
+
+def morton_sort(vis_planes, bbox, alive, tri_id, width: int, height: int):
+    """Reorder candidate triangles along a Morton (Z-order) curve of their
+    screen-bbox centers so that group-merged bboxes stay tight and the tile
+    kernel's hierarchy skip actually skips.
+
+    Dead slots sort to the end (+inf key). Returns permuted
+    (vis_planes, bbox, alive, tri_id). Note: reordering changes z-tie
+    winners between EXACTLY co-planar triangles (the reference resolves
+    ties by draw order); exact ties are measure-zero in real scenes.
+    """
+    cx = jnp.clip((bbox[:, 0] + bbox[:, 2]) * 0.5 / width, 0.0, 1.0)
+    cy = jnp.clip((bbox[:, 1] + bbox[:, 3]) * 0.5 / height, 0.0, 1.0)
+    xi = (cx * 1023).astype(jnp.uint32)
+    yi = (cy * 1023).astype(jnp.uint32)
+
+    def spread(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    code = (spread(xi) << 1) | spread(yi)
+    key = jnp.where(alive > 0.5, code, jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(key)
+    return (
+        vis_planes[perm],
+        bbox[perm],
+        alive[perm],
+        tri_id[perm],
+    )
+
+
+def pallas_supported() -> bool:
+    """True when running on a real TPU backend."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
