@@ -115,13 +115,14 @@ def build_map_scene(width, height):
     return rast, scene, assets
 
 
-def measure_chained(rast, scene, assets, width, height, n=40):
-    """Chained-dependency steady-state device frame time."""
+def measure_chained(rast, scene, assets, width, height, n=20):
+    """Steady-state device frame time: n frames serialized by a data
+    dependency INSIDE one jitted loop (fully robust against async-dispatch
+    and tunnel-RTT measurement artifacts)."""
     import jax
     import jax.numpy as jnp
 
     from rusterix_tpu.ops.raster import render_frame
-    from rusterix_tpu.ops.scene_pack import PackedScene
 
     frame = rast.rasterize(scene, width, height, 40, assets)
     assert frame.shape == (height, width, 4)
@@ -136,26 +137,24 @@ def measure_chained(rast, scene, assets, width, height, n=40):
     uni = rast._uniforms(scene)
 
     @jax.jit
-    def chained(background, prev):
-        background = background + prev[0, 0, 0].astype(jnp.float32) * 0.0
-        return render_frame(
-            d3, d3_op, d2, ld, atlas, uni, background,
-            width, height, 0, False,
-            rast.ambient_color is not None,
-            packed.light_count > 0,
-            bool(packed.d3_opacity.valid.any()),
-            bool(packed.d2.valid.any()),
-            (),
-            rast.use_pallas,
-        )
+    def many(background):
+        def body(i, acc):
+            f = render_frame(
+                d3, d3_op, d2, ld, atlas, uni, background + acc * 1e-30,
+                width, height, 0, False,
+                rast.ambient_color is not None,
+                packed.light_count > 0,
+                bool(packed.d3_opacity.valid.any()),
+                bool(packed.d2.valid.any()),
+                (),
+                rast.use_pallas,
+            )
+            return acc + f[0, 0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, 0.0)
 
-    out = chained(bg, jnp.zeros((height, width, 4), jnp.uint8))
-    out.block_until_ready()
+    many(bg).block_until_ready()
     t0 = time.perf_counter()
-    f = out
-    for _ in range(n):
-        f = chained(bg, f)
-    f.block_until_ready()
+    many(bg).block_until_ready()
     return (time.perf_counter() - t0) / n
 
 

@@ -230,6 +230,45 @@ def d2_pass(
     return frame
 
 
+def sky_miss_pass(frame, z_eff, sky_pre, uniforms, width: int, height: int, y0=0):
+    """Procedural-sky miss pass: overwrite pixels no opaque geometry wrote
+    (z == 1.0) with the Sky node color (reference rasterizer.rs:409-443;
+    the ray construction ports screen_ray, rasterizer.rs:1844-1871)."""
+    from ..shapefx.render import sky_miss
+
+    px = jnp.broadcast_to(
+        jnp.arange(width, dtype=jnp.float32)[None, :], (frame.shape[0], width)
+    )
+    py = jnp.broadcast_to(
+        jnp.arange(frame.shape[0], dtype=jnp.float32)[:, None] + jnp.float32(y0),
+        (frame.shape[0], width),
+    )
+    ndc_x = 2.0 * (px / width) - 1.0
+    ndc_y = 1.0 - 2.0 * (py / height)
+
+    def unproject(zv):
+        ndc = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, zv), jnp.ones_like(ndc_x)], axis=-1)
+        view = jnp.einsum(
+            "ij,...j->...i", uniforms["inv_proj"], ndc,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        view = view / view[..., 3:4]
+        world = jnp.einsum(
+            "ij,...j->...i", uniforms["inv_view"], view,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return world[..., :3]
+
+    near = unproject(-1.0)
+    far = unproject(1.0)
+    d = far - near
+    d = d / jnp.maximum(jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True)), 1e-20)
+
+    color = sky_miss(sky_pre, d, uniforms["camera_pos"])
+    miss = z_eff >= 1.0
+    return jnp.where(miss[..., None], jnp.clip(color, 0.0, 1.0), frame)
+
+
 def frame_to_u8(frame):
     """f32 0..1 -> RGBA8 with the reference's rounding (src/lib.rs:63-68)."""
     return jnp.floor(jnp.clip(frame, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

@@ -104,6 +104,8 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "has_d2",
         "shaders",
         "use_pallas",
+        "has_sky",
+        "has_fog",
     ),
 )
 def render_frame(
@@ -124,6 +126,9 @@ def render_frame(
     has_d2: bool = False,
     shaders: tuple = (),
     use_pallas: bool = False,
+    has_sky: bool = False,
+    has_fog: bool = False,
+    sky_pre: dict = None,
 ):
     """One full frame on device -> (H, W, 4) uint8."""
     view = uniforms["view"]
@@ -149,9 +154,14 @@ def render_frame(
         z, idx, hit = visibility_pass(vis, alive.astype(jnp.float32), width, height)
     shaded, wrote = shade_pass(
         z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height,
-        sample_mode, shaders=shaders,
+        sample_mode, shaders=shaders, has_fog=has_fog,
     )
     frame, z_eff = compose_opaque(shaded, wrote, z, background)
+
+    if has_sky:
+        from .composite import sky_miss_pass
+
+        frame = sky_miss_pass(frame, z_eff, sky_pre, uniforms, width, height)
 
     if has_opacity:
         vis_o, attr_o, bbox_o, alive_o, tri_id_o = setup_pass(
@@ -247,6 +257,11 @@ class Rasterizer:
         #: tile-kernel visibility (Pallas) on real TPUs; XLA elsewhere
         self.use_pallas = pallas_supported()
 
+        self._fog_color = np.zeros(4, np.float32)
+        self._fog_end = 1e9
+        self._fog_fade = 1.0
+        self._sky_node = None
+
         self._bg_cache = {}
         self._palette = np.zeros((1, 3), np.float32)
         self._bg_dev = None
@@ -340,6 +355,9 @@ class Rasterizer:
             "scaled2": jnp.float32(self.scaled2),
             "time": jnp.float32(self.time),
             "palette": jnp.asarray(self._palette, jnp.float32),
+            "fog_color": jnp.asarray(self._fog_color, jnp.float32),
+            "fog_end": jnp.float32(self._fog_end),
+            "fog_fade": jnp.float32(self._fog_fade),
         }
 
     def rasterize(
@@ -362,6 +380,38 @@ class Rasterizer:
 
         self.hash_anim = hash_u32(scene.animation_frame & 0xFFFFFFFF)
         self._palette = assets.palette
+
+        # render graph hit/miss hooks (reference rasterizer.rs:227-253):
+        # Sky contributes sun_dir/day_factor/ambient + the miss pass;
+        # Fog contributes the distance blend on hit geometry.
+        has_sky = False
+        has_fog = False
+        sky_pre = None
+        self._sky_node = None
+        if self.render_graph is not None:
+            from ..shapefx import ShapeFXRole
+            from ..shapefx.render import sky_device_params
+
+            hit_nodes = self.render_graph.collect_nodes_from(0, 0)
+            miss_nodes = self.render_graph.collect_nodes_from(0, 1)
+            for ni in hit_nodes + miss_nodes:
+                node = self.render_graph.nodes[ni]
+                result = node.render_setup(self.hour)
+                if node.role == ShapeFXRole.Sky:
+                    self._sky_node = node
+                    if result is not None:
+                        self.sun_dir, self.day_factor = result
+                    amb = node.render_ambient_color(self.hour)
+                    if amb is not None:
+                        self.ambient_color = amb
+                    if ni in miss_nodes:
+                        has_sky = True
+                        sky_pre = sky_device_params(node)
+                elif node.role == ShapeFXRole.Fog and ni in hit_nodes:
+                    has_fog = True
+                    self._fog_color = node.precomputed[0]
+                    self._fog_end = float(node.precomputed[1][0])
+                    self._fog_fade = float(node.precomputed[1][1])
 
         # Device-resident scene cache: packing + upload happen only when the
         # scene content changes (scene.touch()); per-frame re-uploads are the
@@ -423,6 +473,9 @@ class Rasterizer:
             bool(packed.d2.valid.any()),
             tuple(scene.shaders),
             self.use_pallas,
+            has_sky,
+            has_fog,
+            sky_pre,
         )
         out = np.asarray(frame)
 
