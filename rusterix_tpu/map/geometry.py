@@ -83,6 +83,12 @@ def earcut(
         (float(vertices[i]), float(vertices[i + 1]))
         for i in range(0, len(vertices), dim)
     ]
+    if not hole_indices:
+        from ..native import earcut_native
+
+        native = earcut_native(pts)
+        if native is not None:
+            return native
     if hole_indices:
         ring_bounds = list(hole_indices) + [len(pts)]
         outer_pts = pts[: ring_bounds[0]]

@@ -197,6 +197,10 @@ def render_frame(
 def draw_lines_bresenham(pixels: np.ndarray, segments: np.ndarray, colors: np.ndarray):
     """Exact port of rasterize_line_bresenham (src/rasterizer.rs:1777-1841)
     over the full frame (tile union ≡ full frame). Mutates `pixels` (H,W,4)."""
+    from ..native import draw_lines_native
+
+    if len(segments) and draw_lines_native(pixels, segments, colors):
+        return
     h, w = pixels.shape[:2]
     for (x0f, y0f, x1f, y1f), color in zip(segments, colors):
         x0, y0, x1, y1 = int(x0f), int(y0f), int(x1f), int(y1f)

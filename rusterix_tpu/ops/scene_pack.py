@@ -145,12 +145,25 @@ def pack_batches_3d(
         elif kind == SRC_PIXEL:
             opaque = rgba[3] >= 1.0
         has_n = len(batch.normals) == len(batch.vertices) and len(batch.normals) > 0
-        for i0, i1, i2 in batch.indices:
-            tri_pos = verts[[i0, i1, i2]]
-            tri_uv = batch.uvs[[i0, i1, i2]]
-            tri_n = (
-                batch.normals[[i0, i1, i2]] if has_n else np.zeros((3, 3), np.float32)
+        # denormalize indexed corners (native packer when available)
+        from ..native import pack_triangles_native
+
+        packed_corners = pack_triangles_native(
+            verts, batch.uvs, batch.normals if has_n else None, batch.indices
+        )
+        if packed_corners is not None:
+            pos_all, uv_all, nrm_all = packed_corners
+        else:
+            idx = np.asarray(batch.indices, np.int64)
+            pos_all = verts[idx]
+            uv_all = batch.uvs[idx]
+            nrm_all = (
+                batch.normals[idx] if has_n else np.zeros((len(idx), 3, 3), np.float32)
             )
+        for ti in range(len(batch.indices)):
+            tri_pos = pos_all[ti]
+            tri_uv = uv_all[ti]
+            tri_n = nrm_all[ti]
             tris.append(
                 (
                     tri_pos,

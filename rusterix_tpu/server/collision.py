@@ -253,6 +253,17 @@ class CollisionWorld:
 
         segments = self._collect_blocking_segments(start_pos, radius)
 
+        # native fast path (native/rusterix_native.cpp rx_move_distance)
+        if segments:
+            from ..native import move_distance_native
+
+            flat = np.array(
+                [[a[0], a[1], b[0], b[1]] for a, b in segments], np.float32
+            )
+            out = move_distance_native(flat, start_pos, move_vector, radius)
+            if out is not None:
+                return out
+
         iterations = 0
         while float(np.dot(remaining, remaining)) > EPSILON * EPSILON and iterations < 3:
             iterations += 1
