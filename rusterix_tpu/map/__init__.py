@@ -1,6 +1,8 @@
 from .elements import CompiledLinedef, Linedef, Sector, Vertex
 from .geometry import earcut, polygon_area, triangulate_polygon
 from .mini import MapMini
+from .particle import Particle, ParticleEmitter
+from .softrig import Keyform, SoftRig, SoftRigAnimator
 from .terrain import Terrain, TerrainBlendMode, TerrainChunk
 from .value import Value, ValueContainer, ValueKind
 from .worldmap import Map, MapCamera, MapToolType
@@ -14,6 +16,11 @@ __all__ = [
     "polygon_area",
     "triangulate_polygon",
     "MapMini",
+    "Particle",
+    "ParticleEmitter",
+    "Keyform",
+    "SoftRig",
+    "SoftRigAnimator",
     "Terrain",
     "TerrainBlendMode",
     "TerrainChunk",

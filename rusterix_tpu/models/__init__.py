@@ -16,6 +16,7 @@ from .batch import (
 from .camera import D3Camera, D3FirstPCamera, D3IsoCamera, D3OrbitCamera, Ray
 from .hitinfo import HitInfo
 from .light import CompiledLight, Light, LightType, pack_lights
+from .render_settings import DaylightSimulation, RenderSettings
 from .scene import Scene
 from .shader import GridShader, Shader, SolidColorShader, VGrayGradientShader
 from .texture import Texture, TextureAtlas, Tile, TileRole
@@ -47,6 +48,8 @@ __all__ = [
     "LightType",
     "pack_lights",
     "Scene",
+    "RenderSettings",
+    "DaylightSimulation",
     "GridShader",
     "Shader",
     "SolidColorShader",

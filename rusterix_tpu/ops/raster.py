@@ -299,7 +299,13 @@ class Rasterizer:
     def _background_array(self, scene, width, height) -> np.ndarray:
         """Background fill + optional background shader bake
         (rasterizer.rs:277-308). Returns (H,W,4) f32 0..1."""
-        key = (id(scene.background), width, height, self.background_color)
+        key = (
+            getattr(scene, "_cache_uid", None),
+            scene.background is not None,
+            width,
+            height,
+            self.background_color,
+        )
         cached = self._bg_cache.get(key)
         if cached is not None:
             return cached
@@ -420,7 +426,15 @@ class Rasterizer:
         # Device-resident scene cache: packing + upload happen only when the
         # scene content changes (scene.touch()); per-frame re-uploads are the
         # tunnel-latency killer the reference never had to think about.
-        key = (id(scene), scene.revision, id(assets))
+        # NOTE: keyed by uuid tokens, not id() — CPython reuses object ids
+        # after GC, which made a fresh scene hit a stale cache.
+        import uuid as _uuid
+
+        if not hasattr(scene, "_cache_uid"):
+            scene._cache_uid = _uuid.uuid4().hex
+        if not hasattr(assets, "_cache_uid"):
+            assets._cache_uid = _uuid.uuid4().hex
+        key = (scene._cache_uid, scene.revision, assets._cache_uid)
         cache = self._scene_cache if self._scene_cache_key == key else None
         if cache is None or packed is not None:
             if packed is None:
