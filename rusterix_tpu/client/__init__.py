@@ -2,5 +2,26 @@ from .client import Client, ClientConfig
 from .daylight import Daylight
 from .draw2d import Draw2D
 from .parser import MsgParser, Tok
+from .widgets import (
+    DecoWidget,
+    GameWidget,
+    MessagesWidget,
+    ScreenWidget,
+    TextWidget,
+    Widget,
+)
 
-__all__ = ["Client", "ClientConfig", "Daylight", "Draw2D", "MsgParser", "Tok"]
+__all__ = [
+    "Client",
+    "ClientConfig",
+    "Daylight",
+    "Draw2D",
+    "MsgParser",
+    "Tok",
+    "DecoWidget",
+    "GameWidget",
+    "MessagesWidget",
+    "ScreenWidget",
+    "TextWidget",
+    "Widget",
+]

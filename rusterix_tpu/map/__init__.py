@@ -3,6 +3,14 @@ from .geometry import earcut, polygon_area, triangulate_polygon
 from .mini import MapMini
 from .particle import Particle, ParticleEmitter
 from .softrig import Keyform, SoftRig, SoftRigAnimator
+from .surface import (
+    BillboardAnimation,
+    ExtrusionSpec,
+    LoopOp,
+    LoopOpKind,
+    ProfileLoop,
+    Surface,
+)
 from .terrain import Terrain, TerrainBlendMode, TerrainChunk
 from .value import Value, ValueContainer, ValueKind
 from .worldmap import Map, MapCamera, MapToolType
@@ -21,6 +29,12 @@ __all__ = [
     "Keyform",
     "SoftRig",
     "SoftRigAnimator",
+    "BillboardAnimation",
+    "ExtrusionSpec",
+    "LoopOp",
+    "LoopOpKind",
+    "ProfileLoop",
+    "Surface",
     "Terrain",
     "TerrainBlendMode",
     "TerrainChunk",

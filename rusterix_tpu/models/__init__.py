@@ -13,6 +13,7 @@ from .batch import (
     RepeatMode,
     SampleMode,
 )
+from .blend import MaterialProfileKind, RenderMode, VertexBlendPreset
 from .camera import D3Camera, D3FirstPCamera, D3IsoCamera, D3OrbitCamera, Ray
 from .hitinfo import HitInfo
 from .light import CompiledLight, Light, LightType, pack_lights
@@ -42,6 +43,9 @@ __all__ = [
     "D3IsoCamera",
     "D3OrbitCamera",
     "Ray",
+    "MaterialProfileKind",
+    "RenderMode",
+    "VertexBlendPreset",
     "HitInfo",
     "CompiledLight",
     "Light",
