@@ -1,4 +1,5 @@
 from .client import Client, ClientConfig
+from .command import Command, CommandKind
 from .daylight import Daylight
 from .draw2d import Draw2D
 from .parser import MsgParser, Tok
@@ -14,6 +15,8 @@ from .widgets import (
 __all__ = [
     "Client",
     "ClientConfig",
+    "Command",
+    "CommandKind",
     "Daylight",
     "Draw2D",
     "MsgParser",

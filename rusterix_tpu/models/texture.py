@@ -178,6 +178,26 @@ class Texture:
         ty = int(np.clip(np.round(v * (self.height - 1)), 0, self.height - 1))
         return tuple(int(c) for c in self.data[ty, tx])
 
+    def sample_blur(self, u, v, sample_mode, repeat_mode, blur_strength: float):
+        """reference src/texture.rs:236-303: 3x3 inverse-distance blur."""
+        u, v = self._apply_repeat(u, v, repeat_mode)
+        if sample_mode == SampleMode.Linear or blur_strength == 0.0:
+            return self.sample(u, v, sample_mode, RepeatMode.ClampXY)
+        blur = min(1.0, max(0.0, blur_strength))
+        tx = int(np.clip(np.floor(u * self.width + 0.5), 0, self.width - 1))
+        ty = int(np.clip(np.floor(v * self.height + 0.5), 0, self.height - 1))
+        acc = np.zeros(4, np.float64)
+        total = 0.0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nx = int(np.clip(tx + dx, 0, self.width - 1))
+                ny = int(np.clip(ty + dy, 0, self.height - 1))
+                wgt = (1.0 / max(abs(dx) + abs(dy), 1)) * blur
+                acc += self.data[ny, nx].astype(np.float64) * wgt
+                total += wgt
+        out = np.round(acc / total).astype(np.int32)
+        return tuple(int(c) for c in out)
+
     def sample_linear(self, u: float, v: float):
         """reference src/texture.rs:414-460 bilinear."""
         x = u * (self.width - 1)

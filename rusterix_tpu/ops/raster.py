@@ -222,6 +222,12 @@ def draw_lines_bresenham(pixels: np.ndarray, segments: np.ndarray, colors: np.nd
                 y += sy
 
 
+#: process-wide device-resident scene cache (survives Rasterizer instances —
+#: the reference constructs a fresh Rasterizer::setup every frame)
+_SCENE_CACHE: dict = {}
+_BG_CACHE: dict = {}
+
+
 class Rasterizer:
     """Public API mirroring the reference (src/rasterizer.rs:92-185)."""
 
@@ -243,6 +249,9 @@ class Rasterizer:
             self.scaled2 = 1.0
             self.proj2d = np.eye(3, dtype=np.float32)
 
+        from ..models.blend import RenderMode
+
+        self.render_mode = RenderMode.render_all()
         self.sample_mode = SampleMode.Nearest
         self.background_color: Optional[tuple] = None
         self.ambient_color: Optional[np.ndarray] = None
@@ -266,18 +275,20 @@ class Rasterizer:
         self._fog_fade = 1.0
         self._sky_node = None
 
-        self._bg_cache = {}
         self._palette = np.zeros((1, 3), np.float32)
         self._bg_dev = None
         self._bg_dev_key = None
-        self._scene_cache = None
-        self._scene_cache_key = None
+        self._last_size = (1, 1)
 
     @staticmethod
     def setup(projection_matrix_2d, view_matrix, projection_matrix) -> "Rasterizer":
         return Rasterizer(projection_matrix_2d, view_matrix, projection_matrix)
 
     # builder-style setters (rasterizer.rs:155-182)
+    def set_render_mode(self, mode) -> "Rasterizer":
+        self.render_mode = mode
+        return self
+
     def background(self, pixel) -> "Rasterizer":
         self.background_color = tuple(int(c) for c in pixel)
         return self
@@ -306,7 +317,7 @@ class Rasterizer:
             height,
             self.background_color,
         )
-        cached = self._bg_cache.get(key)
+        cached = _BG_CACHE.get(key)
         if cached is not None:
             return cached
         if scene.background is not None:
@@ -318,7 +329,7 @@ class Rasterizer:
             ).copy()
         else:
             bg = np.zeros((height, width, 4), np.float32)
-        self._bg_cache[key] = bg
+        _BG_CACHE[key] = bg
         return bg
 
     def _flicker_factors(self, lights) -> np.ndarray:
@@ -370,6 +381,27 @@ class Rasterizer:
             "fog_fade": jnp.float32(self._fog_fade),
         }
 
+    def screen_to_world(self, x: float, y: float, z_ndc: float) -> np.ndarray:
+        """reference rasterizer.rs:1707-1728 (host-side picking)."""
+        w, h = self._last_size
+        ndc = np.array(
+            [2.0 * (x / w) - 1.0, 1.0 - 2.0 * (y / h), z_ndc, 1.0], np.float32
+        )
+        view = self.inverse_projection_matrix @ ndc
+        view = view / view[3]
+        world = self.inverse_view_matrix @ view
+        return world[:3]
+
+    def screen_ray(self, x: float, y: float):
+        """reference rasterizer.rs:1844-1871."""
+        from ..models.camera import Ray
+
+        near = self.screen_to_world(x, y, -1.0)
+        far = self.screen_to_world(x, y, 1.0)
+        d = far - near
+        d = d / max(np.linalg.norm(d), 1e-20)
+        return Ray(near, d.astype(np.float32))
+
     def rasterize(
         self,
         scene,
@@ -390,6 +422,7 @@ class Rasterizer:
 
         self.hash_anim = hash_u32(scene.animation_frame & 0xFFFFFFFF)
         self._palette = assets.palette
+        self._last_size = (width, height)
 
         # render graph hit/miss hooks (reference rasterizer.rs:227-253):
         # Sky contributes sun_dir/day_factor/ambient + the miss pass;
@@ -435,7 +468,7 @@ class Rasterizer:
         if not hasattr(assets, "_cache_uid"):
             assets._cache_uid = _uuid.uuid4().hex
         key = (scene._cache_uid, scene.revision, assets._cache_uid)
-        cache = self._scene_cache if self._scene_cache_key == key else None
+        cache = _SCENE_CACHE.get(key)
         if cache is None or packed is not None:
             if packed is None:
                 packed = PackedScene.from_scene(scene, assets)
@@ -455,19 +488,33 @@ class Rasterizer:
                 },
                 "d2": {k: jnp.asarray(v) for k, v in vars(packed.d2).items()},
             }
-            self._scene_cache = cache
-            self._scene_cache_key = key
+            _SCENE_CACHE.clear()  # one live packed scene per process is enough
+            _SCENE_CACHE[key] = cache
+        self._scene_cache = cache
         packed = cache["packed"]
         atlas = cache["atlas"]
         d3 = cache["d3"]
         d3_op = cache["d3_op"]
         d2 = cache["d2"]
+        if not self.render_mode.d3_active:
+            d3 = dict(d3)
+            d3["valid"] = jnp.zeros_like(d3["valid"])
 
         lights = dict(packed.lights)
         lights["flicker_factor"] = self._flicker_factors(lights)
         lights_dev = {k: jnp.asarray(v) for k, v in lights.items()}
 
-        bg_np = self._background_array(scene, width, height)
+        if self.render_mode.ignore_background_shader and scene.background is not None:
+            import copy as _copy
+
+            scene_bg = scene.background
+            scene.background = None
+            bg_np = self._background_array(scene, width, height)
+            scene.background = scene_bg
+        else:
+            bg_np = self._background_array(scene, width, height)
+        if False:
+            bg_np = self._background_array(scene, width, height)
         if self._bg_dev_key != (id(bg_np),):
             self._bg_dev = jnp.asarray(bg_np)
             self._bg_dev_key = (id(bg_np),)
@@ -487,8 +534,8 @@ class Rasterizer:
             self.preserve_transparency,
             self.ambient_color is not None,
             packed.light_count > 0,
-            bool(packed.d3_opacity.valid.any()),
-            bool(packed.d2.valid.any()),
+            self.render_mode.d3_active and bool(packed.d3_opacity.valid.any()),
+            self.render_mode.d2_active and bool(packed.d2.valid.any()),
             tuple(scene.shaders),
             self.use_pallas,
             has_sky,

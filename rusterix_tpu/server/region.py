@@ -55,6 +55,9 @@ class RegionCtx:
     entity_class_data: Dict[str, dict] = field(default_factory=dict)
     item_class_data: Dict[str, dict] = field(default_factory=dict)
     notifications: List[Notification] = field(default_factory=list)
+    #: stripped map player entities, reused as spawn templates when a real
+    #: player joins (the reference re-homes joining players onto them)
+    player_spawns: List[Entity] = field(default_factory=list)
     proximity_tracking: Dict[int, float] = field(default_factory=dict)
     blocked_events: Dict[Tuple[int, str], float] = field(default_factory=dict)
     currencies: Dict[str, str] = field(default_factory=dict)
@@ -463,6 +466,7 @@ class RegionInstance:
             attrs = data.get("attributes", {})
             is_player = bool(attrs.get("player", False))
             if is_player:
+                self.ctx.player_spawns.append(entity)
                 continue
             self.spawn_entity(entity)
 
@@ -510,6 +514,15 @@ class RegionInstance:
         """region.rs:2079."""
         entity = Entity()
         entity.set_attribute("class_name", class_name)
+        # inherit the map's spawn template (position, name, tile) if present
+        for spawn in self.ctx.player_spawns:
+            if spawn.get_attr_string("class_name") == class_name:
+                entity.set_position(spawn.position.copy())
+                entity.set_orientation(spawn.orientation.copy())
+                for k, v in spawn.attributes.items():
+                    entity.attributes._values[k] = v
+                    entity.dirty_attributes.add(k)
+                break
         data = self.ctx.entity_class_data.get(class_name, {})
         for k, v in data.get("attributes", {}).items():
             entity.set_attribute(k, v)

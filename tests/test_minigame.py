@@ -113,8 +113,11 @@ def test_minigame_frame_loop_renders():
 
     frame = rx.draw_scene(world, 160, 120, ambient=[0.4, 0.4, 0.4, 1.0])
     assert frame.shape == (120, 160, 4)
-    # walls/floor textured: frame not a constant color
-    assert len(np.unique(frame.reshape(-1, 4), axis=0)) > 4
+    # geometry covers most of the view (player spawns inside the room) and
+    # the checkerboard gives at least light/dark texel classes
+    drawn = (frame[..., 3] == 255).sum()
+    assert drawn > 5000
+    assert len(np.unique(frame.reshape(-1, 4), axis=0)) >= 3
 
 
 def test_minigame_input_moves_player():
