@@ -96,6 +96,51 @@ def d2_pass(
     if light_count > 0:
         # 2D lights: color_at(world3, d2=true) summed (rasterizer.rs:806-876)
         rad = light_radiance(lights, world3, None, d2=True)  # (H,W,L,3)
+        # wall-segment visibility (mapmini.is_visible, rasterizer.rs:841-860):
+        # a non-ambient light is dropped when the pixel->light segment
+        # crosses any wall segment
+        if "seg_a" in uniforms:
+            seg_a = uniforms["seg_a"]  # (S,2)
+            seg_b = uniforms["seg_b"]
+            seg_valid = uniforms["seg_valid"] > 0.5
+            lp2 = jnp.stack(
+                [lights["position"][:, 0], lights["position"][:, 2]], axis=-1
+            )  # (L,2)
+            p = world2[..., None, :]  # (H,W,1,2)
+            q = lp2[None, None, :, :]  # (1,1,L,2)
+
+            def ccw(ax, ay, bx, by, cx, cy):
+                return (cy - ay) * (bx - ax) > (by - ay) * (cx - ax)
+
+            blocked = jnp.zeros(world2.shape[:2] + (lp2.shape[0],), bool)
+            s_chunk = 8
+            ns = seg_a.shape[0]
+            for s0 in range(0, ns, s_chunk):
+                sa = seg_a[s0 : s0 + s_chunk]  # (C,2)
+                sb = seg_b[s0 : s0 + s_chunk]
+                sv = seg_valid[s0 : s0 + s_chunk]
+                # broadcast to (H,W,L,C)
+                A_x = p[..., 0][..., None]
+                A_y = p[..., 1][..., None]
+                B_x = q[..., 0][..., None]
+                B_y = q[..., 1][..., None]
+                C_x = sa[:, 0][None, None, None, :]
+                C_y = sa[:, 1][None, None, None, :]
+                D_x = sb[:, 0][None, None, None, :]
+                D_y = sb[:, 1][None, None, None, :]
+                cross = (
+                    ccw(A_x, A_y, C_x, C_y, D_x, D_y)
+                    != ccw(B_x, B_y, C_x, C_y, D_x, D_y)
+                ) & (
+                    ccw(A_x, A_y, B_x, B_y, C_x, C_y)
+                    != ccw(A_x, A_y, B_x, B_y, D_x, D_y)
+                )
+                blocked = blocked | jnp.any(cross & sv[None, None, None, :], axis=-1)
+            lt = lights["type"]
+            needs_vis = ~((lt == 1) | (lt == 2))  # not Ambient/AmbientDaylight
+            rad = jnp.where(
+                (blocked & needs_vis[None, None, :])[..., None], 0.0, rad
+            )
         acc_lights = jnp.sum(rad, axis=-2)
     else:
         acc_lights = jnp.zeros((height, width, 3), jnp.float32)

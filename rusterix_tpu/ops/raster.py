@@ -504,6 +504,17 @@ class Rasterizer:
         lights["flicker_factor"] = self._flicker_factors(lights)
         lights_dev = {k: jnp.asarray(v) for k, v in lights.items()}
 
+        uniforms = self._uniforms(scene)
+        if packed.occlusion is not None:
+            uniforms["occ_box"] = jnp.asarray(packed.occlusion["occ_box"])
+            uniforms["occ_val"] = jnp.asarray(packed.occlusion["occ_val"])
+        mini = scene.mapmini if scene.mapmini is not None else self.mapmini
+        if mini is not None and getattr(mini, "all_linedefs", None):
+            segs = mini.pack_device()
+            uniforms["seg_a"] = jnp.asarray(segs["seg_a"])
+            uniforms["seg_b"] = jnp.asarray(segs["seg_b"])
+            uniforms["seg_valid"] = jnp.asarray(segs["seg_valid"])
+
         if self.render_mode.ignore_background_shader and scene.background is not None:
             import copy as _copy
 
@@ -526,7 +537,7 @@ class Rasterizer:
             d2,
             lights_dev,
             atlas,
-            self._uniforms(scene),
+            uniforms,
             background,
             width,
             height,

@@ -321,6 +321,32 @@ def pack_batches_2d(
     return out, lines
 
 
+def pack_occlusion(scene, capacity: Optional[int] = None) -> dict:
+    """Occluded-sector boxes -> SoA for the in-shader occlusion lookup
+    (reference MapMini::get_occlusion, src/map/mini.rs:57; applied to the
+    sky/sun term at rasterizer.rs:1327-1366)."""
+    boxes = []
+    mini = getattr(scene, "mapmini", None)
+    if mini is not None:
+        boxes.extend(mini.occluded_sectors)
+    for chunk in scene.chunks.values():
+        boxes.extend(getattr(chunk, "occluded_sectors", []))
+    n = len(boxes)
+    cap = capacity if capacity is not None else max(1, next_pow2(n, lo=1))
+    out = {
+        "occ_box": np.zeros((cap, 4), np.float32),
+        "occ_val": np.ones(cap, np.float32),
+    }
+    out["occ_box"][:, 0] = 1e9
+    out["occ_box"][:, 1] = 1e9
+    out["occ_box"][:, 2] = -1e9
+    out["occ_box"][:, 3] = -1e9
+    for i, (rect, occ) in enumerate(boxes[:cap]):
+        out["occ_box"][i] = (rect.x, rect.y, rect.max_x, rect.max_y)
+        out["occ_val"][i] = occ
+    return out
+
+
 @dataclass
 class PackedScene:
     """Everything the jitted frame function needs, as numpy (device-convertible)."""
@@ -332,6 +358,7 @@ class PackedScene:
     lights: dict  # SoA from pack_lights
     atlas_index: AtlasIndex = None
     light_count: int = 0
+    occlusion: dict = None
 
     @staticmethod
     def from_scene(
@@ -357,4 +384,5 @@ class PackedScene:
             lights=packed_lights,
             atlas_index=atlas_index,
             light_count=len(lights),
+            occlusion=pack_occlusion(scene),
         )

@@ -421,7 +421,18 @@ def shade_pass(
 
     # --- lighting (rasterizer.rs:1319-1398) ---
     lit = jnp.zeros_like(base)
-    occlusion = jnp.ones_like(opacity)  # mapmini/chunk occlusion: phase M5
+    # sector occlusion from occluded boxes (mini.rs:57; gates sky/sun)
+    if "occ_box" in uniforms:
+        ob = uniforms["occ_box"]  # (B,4)
+        ov = uniforms["occ_val"]  # (B,)
+        wx = world[..., 0:1]
+        wz = world[..., 2:3]
+        inside = (
+            (wx >= ob[:, 0]) & (wz >= ob[:, 1]) & (wx <= ob[:, 2]) & (wz <= ob[:, 3])
+        )  # (H,W,B)
+        occlusion = jnp.min(jnp.where(inside, ov, 1.0), axis=-1)
+    else:
+        occlusion = jnp.ones_like(opacity)
 
     hemi = 0.5 * (normal[..., 1] + 1.0)
     kd = base * (1.0 - metallic[..., None]) * (1.0 - 0.04)
