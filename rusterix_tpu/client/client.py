@@ -82,6 +82,7 @@ class Client:
         self.msg_parser = MsgParser()
         self.messages: List[Tuple[float, str]] = []
         self.player_id: Optional[int] = None
+        self.intent: str = ""  # armed intent for entity taps
         self.current_map = None
         self.viewport: Tuple[int, int] = (640, 400)
         self.offset_d2 = np.zeros(2, np.float32)
@@ -214,6 +215,64 @@ class Client:
             self.draw2d.blit_scaled(out, frame, 0, 0, width, height)
             return out
         return frame
+
+    # ---- input (client/mod.rs:1282 touch_down -> ray pick) ----
+
+    def touch_down(self, x: float, y: float, server, width: int, height: int):
+        """Ray-pick the scene at screen (x, y): an entity hit raises the
+        current intent as a user event; a ground hit walks the player there
+        (reference client/mod.rs:1282+). Returns ('entity', id) /
+        ('ground', (wx, wz)) / None."""
+        from ..ops.raster import Rasterizer
+        from ..server.message import EntityAction, EntityActionKind
+
+        view = self.camera_d3.view_matrix()
+        proj = self.camera_d3.projection_matrix(width, height)
+        rast = Rasterizer.setup(None, view, proj)
+        rast._last_size = (width, height)
+        ray = rast.screen_ray(x, y)
+
+        # entity billboards first (distance to entity position vs ray)
+        if self.current_map is not None:
+            best = None
+            for entity in self.current_map.entities:
+                if self.player_id is not None and entity.id == self.player_id:
+                    continue
+                to_e = np.asarray(entity.position, np.float32) - ray.origin
+                t = float(np.dot(to_e, ray.dir))
+                if t <= 0:
+                    continue
+                closest = ray.origin + ray.dir * t
+                size = entity.attributes.get_float_default("source_size", 1.0)
+                if float(np.linalg.norm(closest - entity.position)) < size * 0.5:
+                    if best is None or t < best[0]:
+                        best = (t, entity.id)
+            if best is not None:
+                if self.intent and self.player_id is not None:
+                    server.local_player_event(
+                        self.player_id, "intent", f"{self.intent}:{best[1]}"
+                    )
+                return ("entity", best[1])
+
+        # ground plane (y == 0) hit -> Goto
+        if abs(float(ray.dir[1])) > 1e-5:
+            t = -float(ray.origin[1]) / float(ray.dir[1])
+            if t > 0:
+                world = ray.origin + ray.dir * t
+                if self.player_id is not None:
+                    server.local_player_action(
+                        self.player_id,
+                        EntityAction(
+                            EntityActionKind.Goto,
+                            target=(float(world[0]), float(world[2])),
+                        ),
+                    )
+                return ("ground", (float(world[0]), float(world[2])))
+        return None
+
+    def set_intent(self, intent: str) -> None:
+        """Arm a named intent for the next entity/item tap."""
+        self.intent = intent
 
     # ---- messages (client/mod.rs:333) ----
 
