@@ -111,10 +111,11 @@ def _clip_triangle(vv, uv, nn):
     flags = jnp.stack(flags)  # (6,)
     values = jnp.stack(values)  # (6, 9)
     pos = jnp.cumsum(flags) - flags.astype(jnp.int32)  # exclusive prefix sum
-    # scatter into 4 polygon slots via one-hot matmul
-    onehot = (pos[:, None] == jnp.arange(4)[None, :]) & flags[:, None]  # (6,4)
-    poly = jnp.matmul(
-        onehot.astype(values.dtype).T, values, precision=jax.lax.Precision.HIGHEST
+    # scatter into 4 polygon slots with masked accumulation (a tiny one-hot
+    # matmul here costs ~2x in batched-small-matmul overhead under vmap)
+    sel = (pos[:, None] == jnp.arange(4)[None, :]) & flags[:, None]  # (6,4)
+    poly = jnp.sum(
+        jnp.where(sel[:, :, None], values[:, None, :], 0.0), axis=0
     )  # (4, 9)
     count = jnp.sum(flags.astype(jnp.int32))
     return poly, count
