@@ -460,6 +460,8 @@ def shade_pass(
     lit = lit + batch_ambient * kd * hemi[..., None]
 
     # direct lights
+    # broadcast over the padded light axis: XLA fuses the (H,W,L,3) chain
+    # into the reduction (measured faster than a lax.scan over lights)
     radiance = light_radiance(lights, world, normal)  # (H,W,L,3)
     ldir = _normalize(lights["position"] - world[..., None, :])
     contrib = shade_fast_brdf(
