@@ -105,6 +105,15 @@ class Rusterix:
         self.client.process_messages(self.server.messages)
         return self.client.draw_game(width, height, self.assets, ambient)
 
+    def trace_scene(self, camera, buffer, tile_size: int = 64) -> None:
+        """Progressive path tracing of the client scene
+        (reference rusterix.rs:281 trace_scene)."""
+        from .tracer import Tracer
+
+        if not hasattr(self, "_tracer"):
+            self._tracer = Tracer()
+        self._tracer.trace(camera, self.client.scene, buffer, tile_size, self.assets)
+
     # ---- input (mirrors examples/minigame.rs:97-123) ----
 
     def local_player_event(self, event: str, value=None) -> None:

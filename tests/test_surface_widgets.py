@@ -112,3 +112,17 @@ def test_render_mode():
     assert RenderMode.render_all().supports2d()
     assert not RenderMode.render_2d().supports3d()
     assert not RenderMode.render_3d().supports2d()
+
+
+def test_d2_preview_builder():
+    from rusterix_tpu.builders import D2PreviewBuilder
+
+    m, sid = make_flat_sector()
+    m.selected_vertices = [0]
+    m.selected_linedefs = [1]
+    m.selected_sectors = [sid]
+    scene = D2PreviewBuilder().build(m)
+    assert scene.background is not None  # grid shader
+    kinds = len(scene.d2_static)
+    # sector fill + normal lines + selected lines + handles + selected handles
+    assert kinds >= 4
