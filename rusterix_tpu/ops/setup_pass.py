@@ -224,8 +224,16 @@ def _setup_one(pos, uv, nrm, valid, cull, view, proj, width, height):
     tri0 = poly[jnp.array([0, 1, 2])]
     tri1 = poly[jnp.array([0, 2, 3])]
 
+    # The reference's view-space early cull only skips the CLIPPING WORK —
+    # the triangle stays in clipped_indices unclipped and the screen-space
+    # test at edge build decides final visibility (batch3d.rs:592-600 vs
+    # :706-739). Perspective division can flip orientation between the two
+    # tests, so early-culled triangles must still reach the screen test.
+    unclipped = jnp.concatenate([vv, uv, nrm], axis=1)  # (3, 9)
+    tri0 = jnp.where(early_culled, unclipped, tri0)
+
     alive = valid > 0.5
-    ok0 = alive & (~early_culled) & (count >= 3)
+    ok0 = alive & jnp.where(early_culled, True, count >= 3)
     ok1 = alive & (~early_culled) & (count == 4)
 
     vis0, attr0, bbox0, final0 = _slot_planes(tri0, ok0, cull, None, proj, width, height)
