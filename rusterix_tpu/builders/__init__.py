@@ -3,6 +3,18 @@ from .d2builder import D2Builder
 from .d2preview import D2PreviewBuilder
 from .d3builder import D3Builder, resolve_source
 from .mapscript import MapScript, compile_source_map
+from .surfacebuilder import (
+    SurfaceBillboard,
+    build_jamb,
+    build_surface_batches,
+    build_surface_uvs,
+    feature_meshes,
+    fix_winding,
+    partition_tile_and_blend_overrides,
+    read_profile_loops,
+    split_loops_for_base,
+    subdivide_triangles_into_tiles,
+)
 from .scenemanager import (
     SceneManager,
     SceneManagerCmd,
@@ -21,6 +33,16 @@ __all__ = [
     "resolve_source",
     "MapScript",
     "compile_source_map",
+    "SurfaceBillboard",
+    "build_jamb",
+    "build_surface_batches",
+    "build_surface_uvs",
+    "feature_meshes",
+    "fix_winding",
+    "partition_tile_and_blend_overrides",
+    "read_profile_loops",
+    "split_loops_for_base",
+    "subdivide_triangles_into_tiles",
     "SceneManager",
     "SceneManagerCmd",
     "SceneManagerCmdKind",

@@ -193,6 +193,28 @@ class D3Builder:
                 )
                 chunk.lights.append(compiled)
 
+        # --- sector surfaces (profile loops, extrusion, tile/blend overrides,
+        # relief/recess/billboard features — d3chunkbuilder.rs:380-1200) ---
+        from .surfacebuilder import build_surface_batches
+
+        for surface in map_.surfaces.values():
+            sector = map_.find_sector(surface.sector_id)
+            if sector is None or not surface.is_valid():
+                continue
+            if sector.properties.get_int_default("terrain_mode", 0) == 2:
+                continue  # ridge-mode sectors only shape terrain
+            if not sector.properties.get_bool_default("visible", True):
+                continue
+            center = sector.center(map_)
+            if center is None:
+                continue
+            chunk = chunk_at(center[0], center[1])
+            batches, billboards = build_surface_batches(map_, sector, surface, assets)
+            for b in batches:
+                self._stash(chunk, b, b.source, assets)
+            for bb in billboards:
+                chunk.billboards.append(bb)
+
         # --- map lights ---
         for light in map_.lights:
             compiled = light.compile() if hasattr(light, "compile") else light

@@ -44,6 +44,7 @@ class LoopOp:
     depth: float = 0.0  # Recess / Billboard inset
     tile_id: Optional[str] = None  # Billboard
     animation: BillboardAnimation = BillboardAnimation.Nothing
+    target_side: int = 0  # 0 = front cap, 1 = back cap ("profile_target")
 
 
 @dataclass
@@ -136,6 +137,7 @@ class Surface:
     frame: Basis3 = field(default_factory=Basis3)
     edit_scale: float = 1.0
     extrusion: ExtrusionSpec = field(default_factory=ExtrusionSpec)
+    profile: Optional[str] = None  # key into map.profiles (editor profile map)
     profile_loops: List[ProfileLoop] = field(default_factory=list)
     billboard_progress: float = 0.0  # door/gate open state 0..1
 
@@ -246,6 +248,20 @@ class Surface:
         return np.asarray(world, np.float32), np.asarray(tris, np.int32), np.asarray(
             pts, np.float32
         )
+
+    def build_extruded_batches(self, map_, sector=None, source=None):
+        """Extrusion caps + jamb side bands as Batch3D — thin wrapper over
+        the full surface builder (builders/surfacebuilder.py)."""
+        from ..builders.surfacebuilder import build_surface_batches
+
+        if sector is None:
+            sector = map_.find_sector(self.sector_id)
+        if sector is None:
+            return []
+        if source is not None:
+            sector.properties.set("source", source)
+        batches, _bb = build_surface_batches(map_, sector, self)
+        return batches
 
     def build_cap_batch(self, map_, source=None):
         """Flat cap (with hole loops applied) as a Batch3D."""

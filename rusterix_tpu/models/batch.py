@@ -222,6 +222,11 @@ class Batch3D:
     shader: Optional[int] = None
     profile_id: Optional[int] = None
     geometry_source: GeometrySource = GeometrySource.Unknown
+    # vertex blending: per-pixel mix toward `source2` by the interpolated
+    # per-vertex weight (reference scenevm add_poly_3d_blended consumption,
+    # weights from VertexBlendPreset corners — d3chunkbuilder.rs:194-214)
+    source2: Optional[PixelSource] = None
+    blend_weights: Optional[np.ndarray] = None  # (len(vertices),) f32
 
     # ---- constructors ----
 

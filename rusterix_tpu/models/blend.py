@@ -12,7 +12,7 @@ from typing import Tuple
 
 
 class VertexBlendPreset(enum.IntEnum):
-    """reference src/vertexblend.rs:4-279 — corner weights for blending the
+    """reference src/vertexblend.rs:4-140 — corner weights for blending the
     secondary tile texture: (top_left, top_right, bottom_right, bottom_left)."""
 
     Solid = 0
@@ -30,6 +30,10 @@ class VertexBlendPreset(enum.IntEnum):
     TopRight = 12
     BottomRight = 13
     BottomLeft = 14
+    TopLeftSoft = 15
+    TopRightSoft = 16
+    BottomRightSoft = 17
+    BottomLeftSoft = 18
 
     def weights(self) -> Tuple[float, float, float, float]:
         return {
@@ -48,7 +52,32 @@ class VertexBlendPreset(enum.IntEnum):
             VertexBlendPreset.TopRight: (0.0, 1.0, 0.0, 0.0),
             VertexBlendPreset.BottomRight: (0.0, 0.0, 1.0, 0.0),
             VertexBlendPreset.BottomLeft: (0.0, 0.0, 0.0, 1.0),
+            VertexBlendPreset.TopLeftSoft: (0.5, 0.0, 0.0, 0.0),
+            VertexBlendPreset.TopRightSoft: (0.0, 0.5, 0.0, 0.0),
+            VertexBlendPreset.BottomRightSoft: (0.0, 0.0, 0.5, 0.0),
+            VertexBlendPreset.BottomLeftSoft: (0.0, 0.0, 0.0, 0.5),
         }[self]
+
+    def orient_to_world(self, surface_normal) -> "VertexBlendPreset":
+        """Flip Top/Bottom variants on non-horizontal surfaces so preset
+        "Top" means world-up on walls (vertexblend.rs:109-140)."""
+        if abs(float(surface_normal[1])) > 0.9:
+            return self
+        P = VertexBlendPreset
+        return {
+            P.Top: P.Bottom,
+            P.Bottom: P.Top,
+            P.TopSoft: P.BottomSoft,
+            P.BottomSoft: P.TopSoft,
+            P.TopLeft: P.BottomLeft,
+            P.TopRight: P.BottomRight,
+            P.BottomLeft: P.TopLeft,
+            P.BottomRight: P.TopRight,
+            P.TopLeftSoft: P.BottomLeftSoft,
+            P.TopRightSoft: P.BottomRightSoft,
+            P.BottomLeftSoft: P.TopLeftSoft,
+            P.BottomRightSoft: P.TopRightSoft,
+        }.get(self, self)
 
 
 class MaterialProfileKind(enum.IntEnum):
