@@ -106,6 +106,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "use_pallas",
         "has_sky",
         "has_fog",
+        "has_blend",
     ),
 )
 def render_frame(
@@ -129,13 +130,15 @@ def render_frame(
     has_sky: bool = False,
     has_fog: bool = False,
     sky_pre: dict = None,
+    has_blend: bool = False,
 ):
     """One full frame on device -> (H, W, 4) uint8."""
     view = uniforms["view"]
     proj = uniforms["proj"]
 
     vis, attr, bbox, alive, tri_id = setup_pass(
-        d3["pos"], d3["uv"], d3["nrm"], d3["valid"], d3["cull"], view, proj, width, height
+        d3["pos"], d3["uv"], d3["nrm"], d3["valid"], d3["cull"], view, proj,
+        width, height, bw=d3["bw"] if has_blend else None,
     )
     if use_pallas:
         from .visibility_pallas import morton_sort, visibility_pass_pallas
@@ -154,7 +157,7 @@ def render_frame(
         z, idx, hit = visibility_pass(vis, alive.astype(jnp.float32), width, height)
     shaded, wrote = shade_pass(
         z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height,
-        sample_mode, shaders=shaders, has_fog=has_fog,
+        sample_mode, shaders=shaders, has_fog=has_fog, has_blend=has_blend,
     )
     frame, z_eff = compose_opaque(shaded, wrote, z, background)
 
@@ -552,6 +555,7 @@ class Rasterizer:
             has_sky,
             has_fog,
             sky_pre,
+            bool((packed.d3.kind2 >= 0).any()),
         )
         out = np.asarray(frame)
 

@@ -117,6 +117,10 @@ class PackedTriangles3D:
     ambient: np.ndarray  # (T, 3) f32
     profile: np.ndarray  # (T,) i32 (-1 none)
     cutout: np.ndarray  # (T,) f32 — 1 when the source texture has any alpha<255
+    bw: np.ndarray  # (T, 3) f32 per-vertex blend weight toward source2
+    kind2: np.ndarray  # (T,) i32 SRC_* of source2, -1 when unblended
+    tex_slot2: np.ndarray  # (T,) i32
+    rgba2: np.ndarray  # (T, 4) f32
 
     @property
     def capacity(self) -> int:
@@ -137,6 +141,13 @@ def pack_batches_3d(
         if not np.allclose(tf, np.eye(4)):
             verts = verts @ tf.T.astype(np.float32)
         kind, tex_slot, rgba = atlas_index.resolve(batch.source)
+        # secondary blend source (vertex-blended batches,
+        # d3chunkbuilder.rs:789-806 add_poly_3d_blended)
+        has_blend = batch.source2 is not None and batch.blend_weights is not None
+        if has_blend:
+            kind2, tex_slot2, rgba2 = atlas_index.resolve(batch.source2)
+        else:
+            kind2, tex_slot2, rgba2 = -1, -1, (0.0, 0.0, 0.0, 0.0)
         opaque = True
         if kind == SRC_TEXTURE:
             first = int(atlas_index.atlas.tile_first[tex_slot])
@@ -160,15 +171,18 @@ def pack_batches_3d(
             nrm_all = (
                 batch.normals[idx] if has_n else np.zeros((len(idx), 3, 3), np.float32)
             )
+        if has_blend:
+            bw_all = np.asarray(batch.blend_weights, np.float32)[
+                np.asarray(batch.indices, np.int64)
+            ]
+        else:
+            bw_all = np.zeros((len(batch.indices), 3), np.float32)
         for ti in range(len(batch.indices)):
-            tri_pos = pos_all[ti]
-            tri_uv = uv_all[ti]
-            tri_n = nrm_all[ti]
             tris.append(
                 (
-                    tri_pos,
-                    tri_uv,
-                    tri_n,
+                    pos_all[ti],
+                    uv_all[ti],
+                    nrm_all[ti],
                     1.0 if has_n else 0.0,
                     int(batch.cull_mode),
                     kind,
@@ -180,6 +194,10 @@ def pack_batches_3d(
                     batch.ambient_color,
                     -1 if batch.profile_id is None else int(batch.profile_id),
                     0.0 if opaque else 1.0,
+                    bw_all[ti],
+                    kind2,
+                    tex_slot2,
+                    rgba2,
                 )
             )
 
@@ -201,9 +219,14 @@ def pack_batches_3d(
         ambient=np.zeros((cap, 3), np.float32),
         profile=np.full(cap, -1, np.int32),
         cutout=np.zeros(cap, np.float32),
+        bw=np.zeros((cap, 3), np.float32),
+        kind2=np.full(cap, -1, np.int32),
+        tex_slot2=np.zeros(cap, np.int32),
+        rgba2=np.zeros((cap, 4), np.float32),
     )
     for t, tri in enumerate(tris[:cap]):
-        (pos, uv, nrm, has_n, cull, kind, tex_slot, rgba, repeat, rl, sh, amb, prof, cut) = tri
+        (pos, uv, nrm, has_n, cull, kind, tex_slot, rgba, repeat, rl, sh, amb,
+         prof, cut, bw3, kind2, tex_slot2, rgba2) = tri
         out.pos[t] = pos
         out.uv[t] = uv
         out.nrm[t] = nrm
@@ -219,6 +242,10 @@ def pack_batches_3d(
         out.ambient[t] = amb
         out.profile[t] = prof
         out.cutout[t] = cut
+        out.bw[t] = bw3
+        out.kind2[t] = kind2
+        out.tex_slot2[t] = tex_slot2
+        out.rgba2[t] = rgba2
     return out
 
 

@@ -14,7 +14,8 @@ Output: for each of the 2*T candidate triangles
                the affine plane of interpolated 1/z_ndc. An impossible edge
                (0,0,-1) is stored for invalid/culled slots so the coverage
                test rejects them with zero extra branching.
-  attr_planes: (2T, 18) f32 — affine planes of 1/w, u/w, v/w, nx, ny, nz.
+  attr_planes: (2T, 21) f32 — affine planes of 1/w, u/w, v/w, nx, ny, nz,
+               b/w (vertex blend weight).
                Perspective-correct attributes are affine in screen space
                after the /w fold, so per-pixel evaluation is 2 FMAs per
                attribute (the TPU replacement for per-pixel barycentrics,
@@ -77,16 +78,16 @@ def _edge_coeffs(v0, v1):
     return jnp.stack([a, b, c])
 
 
-def _clip_triangle(vv, uv, nn):
+def _clip_triangle(vv, uv, nn, bw):
     """Sutherland-Hodgman near-plane clip of one view-space triangle.
 
-    vv: (3,4) view-space; uv: (3,2); nn: (3,3).
-    Returns poly (4, 4+2+3), count — emission order matches
+    vv: (3,4) view-space; uv: (3,2); nn: (3,3); bw: (3,) vertex blend weight.
+    Returns poly (4, 4+2+3+1), count — emission order matches
     batch3d.rs:628-681 exactly (current-inside emit, crossing emit).
     """
     inside = vv[:, 2] < -NEAR_PLANE  # (3,)
 
-    attrs = jnp.concatenate([vv, uv, nn], axis=1)  # (3, 9)
+    attrs = jnp.concatenate([vv, uv, nn, bw[:, None]], axis=1)  # (3, 10)
 
     flags = []
     values = []
@@ -109,14 +110,14 @@ def _clip_triangle(vv, uv, nn):
         values.append(inter)
 
     flags = jnp.stack(flags)  # (6,)
-    values = jnp.stack(values)  # (6, 9)
+    values = jnp.stack(values)  # (6, 10)
     pos = jnp.cumsum(flags) - flags.astype(jnp.int32)  # exclusive prefix sum
     # scatter into 4 polygon slots with masked accumulation (a tiny one-hot
     # matmul here costs ~2x in batched-small-matmul overhead under vmap)
     sel = (pos[:, None] == jnp.arange(4)[None, :]) & flags[:, None]  # (6,4)
     poly = jnp.sum(
         jnp.where(sel[:, :, None], values[:, None, :], 0.0), axis=0
-    )  # (4, 9)
+    )  # (4, 10)
     count = jnp.sum(flags.astype(jnp.int32))
     return poly, count
 
@@ -132,13 +133,14 @@ def _project(v, proj, width, height):
     return jnp.stack([sx, sy, sz, w])
 
 
-def _slot_planes(tri9, slot_valid, cull, has_n, proj, width, height):
+def _slot_planes(tri10, slot_valid, cull, has_n, proj, width, height):
     """Build vis/attr planes for one candidate (clipped) triangle.
 
-    tri9: (3, 9) view-space vertex attrs [xyzw, uv, n]."""
-    p = jax.vmap(lambda v: _project(v, proj, width, height))(tri9[:, :4])  # (3,4)
-    uv = tri9[:, 4:6]
-    nn = tri9[:, 6:9]
+    tri10: (3, 10) view-space vertex attrs [xyzw, uv, n, blend_w]."""
+    p = jax.vmap(lambda v: _project(v, proj, width, height))(tri10[:, :4])  # (3,4)
+    uv = tri10[:, 4:6]
+    nn = tri10[:, 6:9]
+    bw = tri10[:, 9]
 
     v0, v1, v2 = p[0], p[1], p[2]
 
@@ -182,6 +184,8 @@ def _slot_planes(tri9, slot_valid, cull, has_n, proj, width, height):
     nx_p = plane(nn[:, 0])
     ny_p = plane(nn[:, 1])
     nz_p = plane(nn[:, 2])
+    # vertex blend weight is perspective-correct like uv: plane of b/w
+    bw_p = plane(bw * inv_w)
 
     ok = slot_valid & visible.astype(bool) & (~degenerate)
     dead_edge = jnp.array([0.0, 0.0, -1.0], jnp.float32)
@@ -190,7 +194,7 @@ def _slot_planes(tri9, slot_valid, cull, has_n, proj, width, height):
     edge2 = jnp.where(ok, edge2, dead_edge)
 
     vis = jnp.concatenate([edge0, edge1, edge2, invz_p])  # (12,)
-    attr = jnp.concatenate([invw_p, uw_p, vw_p, nx_p, ny_p, nz_p])  # (18,)
+    attr = jnp.concatenate([invw_p, uw_p, vw_p, nx_p, ny_p, nz_p, bw_p])  # (21,)
 
     bbox = jnp.stack(
         [
@@ -204,7 +208,7 @@ def _slot_planes(tri9, slot_valid, cull, has_n, proj, width, height):
     return vis, attr, bbox, ok
 
 
-def _setup_one(pos, uv, nrm, valid, cull, view, proj, width, height):
+def _setup_one(pos, uv, nrm, bw, valid, cull, view, proj, width, height):
     """Full setup for one input triangle -> 2 candidate slots."""
     # full-f32 matmul: default TPU MXU precision is bf16, which shifts
     # projected vertices by ~0.1px and breaks edge-test parity
@@ -219,7 +223,7 @@ def _setup_one(pos, uv, nrm, valid, cull, view, proj, width, height):
         cull == CULL_BACK, is_front, jnp.where(cull == CULL_FRONT, ~is_front, False)
     )
 
-    poly, count = _clip_triangle(vv, uv, nrm)
+    poly, count = _clip_triangle(vv, uv, nrm, bw)
 
     tri0 = poly[jnp.array([0, 1, 2])]
     tri1 = poly[jnp.array([0, 2, 3])]
@@ -229,7 +233,7 @@ def _setup_one(pos, uv, nrm, valid, cull, view, proj, width, height):
     # test at edge build decides final visibility (batch3d.rs:592-600 vs
     # :706-739). Perspective division can flip orientation between the two
     # tests, so early-culled triangles must still reach the screen test.
-    unclipped = jnp.concatenate([vv, uv, nrm], axis=1)  # (3, 9)
+    unclipped = jnp.concatenate([vv, uv, nrm, bw[:, None]], axis=1)  # (3, 10)
     tri0 = jnp.where(early_culled, unclipped, tri0)
 
     alive = valid > 0.5
@@ -248,24 +252,28 @@ def _setup_one(pos, uv, nrm, valid, cull, view, proj, width, height):
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
-def setup_pass(pos, uv, nrm, valid, cull, view, proj, width: int, height: int):
+def setup_pass(pos, uv, nrm, valid, cull, view, proj, width: int, height: int,
+               bw=None):
     """vmapped setup over all packed triangles.
 
-    pos (T,3,4), uv (T,3,2), nrm (T,3,3), valid (T,), cull (T,) ->
-    vis_planes (2T,12), attr_planes (2T,18), bbox (2T,4), alive (2T,),
+    pos (T,3,4), uv (T,3,2), nrm (T,3,3), valid (T,), cull (T,),
+    bw (T,3) per-vertex blend weight (optional) ->
+    vis_planes (2T,12), attr_planes (2T,21), bbox (2T,4), alive (2T,),
     tri_id (2T,).
     """
+    if bw is None:
+        bw = jnp.zeros(pos.shape[:2], jnp.float32)
     f = jax.vmap(
-        lambda p, u, n, va, c: _setup_one(
-            p, u, n, va, c, view, proj, jnp.float32(width), jnp.float32(height)
+        lambda p, u, n, b, va, c: _setup_one(
+            p, u, n, b, va, c, view, proj, jnp.float32(width), jnp.float32(height)
         )
     )
-    vis, attr, bbox, ok = f(pos, uv, nrm, valid, cull)
+    vis, attr, bbox, ok = f(pos, uv, nrm, bw, valid, cull)
     t = pos.shape[0]
     tri_id = jnp.repeat(jnp.arange(t, dtype=jnp.int32), 2)
     return (
         vis.reshape(2 * t, 12),
-        attr.reshape(2 * t, 18),
+        attr.reshape(2 * t, 21),
         bbox.reshape(2 * t, 4),
         ok.reshape(2 * t),
         tri_id,

@@ -302,6 +302,7 @@ def shade_pass(
     full_height: int = None,
     shaders: tuple = (),
     has_fog: bool = False,
+    has_blend: bool = False,
 ):
     """Shade every pixel from its winning triangle.
 
@@ -314,32 +315,38 @@ def shade_pass(
     slot = jnp.maximum(idx, 0)
     t = jnp.take(tri_id, slot)  # (H,W) source triangle index
 
-    # single fused row-gather: 18 plane floats + 13 meta fields per winning
-    # triangle (separate jnp.take per field costs ~2x in gather traffic)
-    meta_mat = jnp.concatenate(
-        [
-            meta["kind"].astype(jnp.float32)[:, None],
-            meta["tex_slot"].astype(jnp.float32)[:, None],
-            meta["repeat"].astype(jnp.float32)[:, None],
-            meta["has_normals"][:, None],
-            meta["shader"].astype(jnp.float32)[:, None],
-            meta["rgba"],
-            meta["ambient"],
-        ],
-        axis=1,
-    )  # (T, 12)
+    # single fused row-gather: plane floats + meta fields per winning
+    # triangle (separate jnp.take per field costs ~2x in gather traffic).
+    # Unblended scenes drop the b/w plane + source2 meta from the gather.
+    meta_cols = [
+        meta["kind"].astype(jnp.float32)[:, None],
+        meta["tex_slot"].astype(jnp.float32)[:, None],
+        meta["repeat"].astype(jnp.float32)[:, None],
+        meta["has_normals"][:, None],
+        meta["shader"].astype(jnp.float32)[:, None],
+        meta["rgba"],
+        meta["ambient"],
+    ]
+    if has_blend:
+        meta_cols += [
+            meta["kind2"].astype(jnp.float32)[:, None],
+            meta["tex_slot2"].astype(jnp.float32)[:, None],
+            meta["rgba2"],
+        ]
+    meta_mat = jnp.concatenate(meta_cols, axis=1)  # (T, 12 or 18)
+    n_planes = 21 if has_blend else 18
     fused = jnp.concatenate(
-        [attr_planes, jnp.take(meta_mat, tri_id, axis=0)], axis=1
-    )  # (T2, 30)
-    gathered = jnp.take(fused, slot, axis=0)  # (H,W,30)
-    planes = gathered[..., :18]
-    kind = gathered[..., 18].astype(jnp.int32)
-    tex_slot = gathered[..., 19].astype(jnp.int32)
-    repeat = gathered[..., 20].astype(jnp.int32)
-    has_n = gathered[..., 21]
-    shader_px = gathered[..., 22].astype(jnp.int32)
-    rgba = gathered[..., 23:27]
-    batch_ambient = gathered[..., 27:30]
+        [attr_planes[..., :n_planes], jnp.take(meta_mat, tri_id, axis=0)], axis=1
+    )  # (T2, 30 or 39)
+    gathered = jnp.take(fused, slot, axis=0)  # (H,W,30|39)
+    planes = gathered[..., :n_planes]
+    kind = gathered[..., n_planes + 0].astype(jnp.int32)
+    tex_slot = gathered[..., n_planes + 1].astype(jnp.int32)
+    repeat = gathered[..., n_planes + 2].astype(jnp.int32)
+    has_n = gathered[..., n_planes + 3]
+    shader_px = gathered[..., n_planes + 4].astype(jnp.int32)
+    rgba = gathered[..., n_planes + 5 : n_planes + 9]
+    batch_ambient = gathered[..., n_planes + 9 : n_planes + 12]
 
     px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
     py = jnp.arange(height, dtype=jnp.float32)[:, None] + jnp.float32(y0) + 0.5
@@ -370,6 +377,20 @@ def shade_pass(
     texel = resolve_texel(
         kind, tex_slot, rgba, repeat, u, v, atlas, uniforms["anim_frame"], sample_mode
     )
+    if has_blend:
+        # vertex-blended batches: mix toward the secondary source by the
+        # perspective-correct interpolated weight (texel-space src-over of
+        # the reference's add_poly_3d_blended consumption)
+        kind2 = gathered[..., n_planes + 12].astype(jnp.int32)
+        tex_slot2 = gathered[..., n_planes + 13].astype(jnp.int32)
+        rgba2 = gathered[..., n_planes + 14 : n_planes + 18]
+        b_w = jnp.clip(interp(6) / inv_w, 0.0, 1.0)
+        texel2 = resolve_texel(
+            kind2, tex_slot2, rgba2, repeat, u, v, atlas,
+            uniforms["anim_frame"], sample_mode,
+        )
+        blended = texel * (1.0 - b_w[..., None]) + texel2 * b_w[..., None]
+        texel = jnp.where((kind2 >= 0)[..., None], blended, texel)
 
     base = srgb_to_linear_fast(texel[..., :3])
     opacity = texel[..., 3]
