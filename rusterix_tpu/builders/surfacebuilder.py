@@ -707,14 +707,9 @@ def build_surface_batches(map_, sector, surface: Surface, assets=None):
                     inset=f.op.depth,
                 )
             )
-            # static geometry for the closed state
-            src = None
-            if f.op.tile_id is not None and assets is not None:
-                idx = assets.tile_index(f.op.tile_id)
-                if idx is not None:
-                    src = PixelSource.static_tile_index(idx)
-            for verts, tris, uvs, is_cap in feature_meshes(surface, f, extrude_abs):
-                emit(verts, tris, uvs, src or cap_source, -n)
+            # no static geometry: the client re-emits the billboard every
+            # frame as dynamic geometry so doors can animate open/close
+            # (scene_handler.rs:580-731)
             continue
         for verts, tris, uvs, is_cap in feature_meshes(surface, f, extrude_abs):
             src = cap_source if is_cap else jamb_source

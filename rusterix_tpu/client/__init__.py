@@ -1,3 +1,8 @@
+from .billboard import (
+    BillboardAnimState,
+    animate_billboards,
+    find_item_by_profile_attrs,
+)
 from .client import Client, ClientConfig
 from .command import Command, CommandKind
 from .daylight import Daylight
@@ -13,6 +18,9 @@ from .widgets import (
 )
 
 __all__ = [
+    "BillboardAnimState",
+    "animate_billboards",
+    "find_item_by_profile_attrs",
     "Client",
     "ClientConfig",
     "Command",

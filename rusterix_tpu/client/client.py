@@ -86,6 +86,12 @@ class Client:
         self.current_map = None
         self.viewport: Tuple[int, int] = (640, 400)
         self.offset_d2 = np.zeros(2, np.float32)
+        # door/gate billboard animation (scene_handler.rs:580-731)
+        self.billboard_anim_states: dict = {}
+        self.frame_counter: int = 0
+        self.game_tick: int = 0
+        self.render_fps: float = 30.0
+        self.game_tick_fps: float = 30.0
 
     # ---- setup (client/mod.rs:730-837) ----
 
@@ -155,7 +161,19 @@ class Client:
                 )
                 lights.append(compiled)
 
+        # animated door/gate billboards from surface profiles
+        from .billboard import animate_billboards
+
+        self.frame_counter += 1
+        bb_opaque, bb_transparent = animate_billboards(
+            self.scene, map_, assets, self.billboard_anim_states,
+            self.frame_counter, self.game_tick,
+            self.render_fps, self.game_tick_fps,
+        )
+        batches.extend(bb_opaque)
+
         self.scene.d3_dynamic = batches
+        self.scene.d3_dynamic_opacity = bb_transparent
         self.scene.dynamic_lights = lights
         self.scene.touch()
 

@@ -227,6 +227,9 @@ class Batch3D:
     # weights from VertexBlendPreset corners — d3chunkbuilder.rs:194-214)
     source2: Optional[PixelSource] = None
     blend_weights: Optional[np.ndarray] = None  # (len(vertices),) f32
+    #: whole-batch alpha multiplier (reference DynamicObject::with_opacity,
+    #: used by fading door billboards — scene_handler.rs:703-728)
+    opacity: float = 1.0
 
     # ---- constructors ----
 

@@ -25,6 +25,8 @@ class Scene:
     dynamic_lights: List[CompiledLight] = field(default_factory=list)
     d3_static: List[Batch3D] = field(default_factory=list)
     d3_dynamic: List[Batch3D] = field(default_factory=list)
+    #: dynamic transparent batches (animated door billboards etc.)
+    d3_dynamic_opacity: List[Batch3D] = field(default_factory=list)
     d3_overlay: List[Batch3D] = field(default_factory=list)
     d2_static: List[Batch2D] = field(default_factory=list)
     d2_dynamic: List[Batch2D] = field(default_factory=list)
@@ -106,6 +108,7 @@ class Scene:
         batches = []
         for chunk in self.chunks.values():
             batches.extend(getattr(chunk, "batches3d_opacity", []))
+        batches.extend(self.d3_dynamic_opacity)
         return batches
 
     def all_d2_batches(self):

@@ -51,7 +51,9 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
     texel = resolve_texel(kind, tex_slot, rgba, repeat, u, v, atlas, uniforms["anim_frame"], sample_mode)
 
     lin = srgb_to_linear_fast(texel[..., :3])
-    opac = texel[..., 3]
+    # whole-batch alpha multiplier (fading door billboards,
+    # scene_handler.rs:703-728 DynamicObject::with_opacity)
+    opac = texel[..., 3] * jnp.take(meta["opacity"], t)
 
     if shaders:
         shader_px = jnp.take(meta["shader"], t)

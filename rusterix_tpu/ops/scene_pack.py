@@ -117,6 +117,7 @@ class PackedTriangles3D:
     ambient: np.ndarray  # (T, 3) f32
     profile: np.ndarray  # (T,) i32 (-1 none)
     cutout: np.ndarray  # (T,) f32 — 1 when the source texture has any alpha<255
+    opacity: np.ndarray  # (T,) f32 whole-batch alpha multiplier
     bw: np.ndarray  # (T, 3) f32 per-vertex blend weight toward source2
     kind2: np.ndarray  # (T,) i32 SRC_* of source2, -1 when unblended
     tex_slot2: np.ndarray  # (T,) i32
@@ -194,6 +195,7 @@ def pack_batches_3d(
                     batch.ambient_color,
                     -1 if batch.profile_id is None else int(batch.profile_id),
                     0.0 if opaque else 1.0,
+                    float(batch.opacity),
                     bw_all[ti],
                     kind2,
                     tex_slot2,
@@ -219,6 +221,7 @@ def pack_batches_3d(
         ambient=np.zeros((cap, 3), np.float32),
         profile=np.full(cap, -1, np.int32),
         cutout=np.zeros(cap, np.float32),
+        opacity=np.ones(cap, np.float32),
         bw=np.zeros((cap, 3), np.float32),
         kind2=np.full(cap, -1, np.int32),
         tex_slot2=np.zeros(cap, np.int32),
@@ -226,7 +229,7 @@ def pack_batches_3d(
     )
     for t, tri in enumerate(tris[:cap]):
         (pos, uv, nrm, has_n, cull, kind, tex_slot, rgba, repeat, rl, sh, amb,
-         prof, cut, bw3, kind2, tex_slot2, rgba2) = tri
+         prof, cut, op_mul, bw3, kind2, tex_slot2, rgba2) = tri
         out.pos[t] = pos
         out.uv[t] = uv
         out.nrm[t] = nrm
@@ -242,6 +245,7 @@ def pack_batches_3d(
         out.ambient[t] = amb
         out.profile[t] = prof
         out.cutout[t] = cut
+        out.opacity[t] = op_mul
         out.bw[t] = bw3
         out.kind2[t] = kind2
         out.tex_slot2[t] = tex_slot2
