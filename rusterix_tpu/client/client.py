@@ -118,6 +118,12 @@ class Client:
 
     def build_entities_items_d3(self, map_, assets: Assets) -> None:
         """Camera-facing billboards + lights for entities/items."""
+        # bake missing character/item tiles for `_source_seq` sequences
+        # (reference runs tile_builder before building dynamics,
+        # shapestack/tilebuilder.rs:9)
+        from ..shapestack import tile_builder
+
+        tile_builder(map_, assets)
         _, right, up = self.camera_d3.basis_vectors()
         batches: List[Batch3D] = []
         lights: List[CompiledLight] = []
@@ -178,6 +184,17 @@ class Client:
         self.scene.touch()
 
     def _entity_source(self, entity, assets: Assets) -> Optional[PixelSource]:
+        # baked character-map sequence tiles (pixelsource.rs:140)
+        seq = entity.attributes.get_source("_source_seq")
+        name = getattr(seq, "name", None)
+        if name is not None:
+            for table, ctor in (
+                (assets.entity_tiles, PixelSource.entity_tile),
+                (assets.item_tiles, PixelSource.item_tile),
+            ):
+                seqs = table.get(entity.id)
+                if seqs and name in seqs:
+                    return ctor(entity.id, list(seqs).index(name))
         tid = entity.attributes.get_str_default("tile_id", "")
         if tid:
             idx = assets.tile_index(tid)

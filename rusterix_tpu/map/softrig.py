@@ -27,6 +27,30 @@ class SoftRig:
     values: ValueContainer = field(default_factory=ValueContainer)
 
 
+def blend_softrigs(rig_a: "SoftRig", rig_b: "SoftRig", t: float) -> "SoftRig":
+    """Blend two rigs' first keyforms into a new rig (reference
+    SoftRigAnimator::blend_softrigs, consumed by the tile builder's
+    animation-frame generation — shapestack/tilebuilder.rs:228)."""
+    pos_a = dict(rig_a.keyforms[0].vertex_positions) if rig_a.keyforms else {}
+    pos_b = dict(rig_b.keyforms[0].vertex_positions) if rig_b.keyforms else {}
+    blended = []
+    for vid in sorted(set(pos_a) | set(pos_b)):
+        pa = pos_a.get(vid)
+        pb = pos_b.get(vid)
+        if pa is None:
+            blended.append((vid, pb))
+        elif pb is None:
+            blended.append((vid, pa))
+        else:
+            blended.append(
+                (vid, (pa[0] + (pb[0] - pa[0]) * t, pa[1] + (pb[1] - pa[1]) * t))
+            )
+    return SoftRig(
+        name=f"{rig_a.name}->{rig_b.name}@{t:.2f}",
+        keyforms=[Keyform(vertex_positions=blended)],
+    )
+
+
 @dataclass
 class SoftRigAnimator:
     """softrig.rs:34-153: keyframe playlist + normalized progress."""

@@ -84,6 +84,8 @@ class Value:
         if isinstance(v, str):
             return Value.str_(v)
         if isinstance(v, (tuple, list)):
+            if v and all(isinstance(x, str) for x in v):
+                return Value(ValueKind.StrArray, tuple(v))
             n = len(v)
             kind = {2: ValueKind.Vec2, 3: ValueKind.Vec3, 4: ValueKind.Vec4}.get(
                 n, ValueKind.FloatArray

@@ -136,6 +136,10 @@ class PixelSource:
     def sequence(name: str) -> "PixelSource":
         return PixelSource(PixelSourceKind.Sequence, name=name)
 
+    @staticmethod
+    def shapefx_graph(uuid: str) -> "PixelSource":
+        return PixelSource(PixelSourceKind.ShapeFXGraphId, uuid=uuid)
+
 
 class MaterialRole(enum.IntEnum):
     """reference src/shapestack/material.rs:8-38"""

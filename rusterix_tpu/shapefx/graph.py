@@ -63,6 +63,24 @@ class ShapeFX:
             return sky_setup(self, hour)
         if self.role == ShapeFXRole.Fog:
             fog_setup(self)
+        if self.role == ShapeFXRole.Gradient:
+            # shapefx.rs:938-958
+            self.precomputed.append(
+                (
+                    float(max(self.values.get_int_default("steps", 4), 1)),
+                    float(self.values.get_int_default("blend_mode", 0)),
+                    float(self.values.get_int_default("edge", 0)),
+                    float(self.values.get_int_default("interior", 1)),
+                )
+            )
+            self.precomputed.append(
+                (
+                    self.values.get_float_default("thickness", 1.0),
+                    self.values.get_float_default("distance_offset", 0.0),
+                    float(self.values.get_int_default("line_mode", 0)),
+                    0.0,
+                )
+            )
         return None
 
     def render_ambient_color(self, hour: float):
@@ -119,6 +137,16 @@ class ShapeFXGraph:
             g.nodes.append(ShapeFX(ShapeFXRole.Fog))
             g.connections.append((0, 0, len(g.nodes) - 1, 0))
         return g
+
+    def find_connected_input_node(
+        self, node: int, terminal: int
+    ) -> Optional[Tuple[int, int]]:
+        """(output node, output terminal) -> connected (input node, input
+        terminal) (shapefxgraph.rs:264-275)."""
+        for (sn, st, dn, dt) in self.connections:
+            if sn == node and st == terminal:
+                return dn, dt
+        return None
 
     def collect_nodes_from(self, node: int, terminal: int) -> List[int]:
         """Walk connections from (node, terminal) breadth-first
