@@ -5,6 +5,13 @@ from .billboard import (
 )
 from .client import Client, ClientConfig
 from .command import Command, CommandKind
+from .screens import (
+    ButtonWidget,
+    align_screen_to_grid,
+    draw_screen,
+    init_screen,
+    touch_screen,
+)
 from .daylight import Daylight
 from .draw2d import Draw2D
 from .parser import MsgParser, Tok
@@ -23,6 +30,11 @@ __all__ = [
     "find_item_by_profile_attrs",
     "Client",
     "ClientConfig",
+    "ButtonWidget",
+    "align_screen_to_grid",
+    "draw_screen",
+    "init_screen",
+    "touch_screen",
     "Command",
     "CommandKind",
     "Daylight",

@@ -86,6 +86,17 @@ class Client:
         self.current_map = None
         self.viewport: Tuple[int, int] = (640, 400)
         self.offset_d2 = np.zeros(2, np.float32)
+        # screen-map UI registries (client/mod.rs:1498+)
+        self.current_screen: str = ""
+        self.game_widgets: dict = {}
+        self.button_widgets: dict = {}
+        self.text_widgets: dict = {}
+        self.deco_widgets: dict = {}
+        self.messages_widget = None
+        self.screen_widget = None
+        self.activated_widgets: list = []
+        self.permanently_activated_widgets: list = []
+        self.widgets_to_hide: list = []
         # door/gate billboard animation (scene_handler.rs:580-731)
         self.billboard_anim_states: dict = {}
         self.frame_counter: int = 0
@@ -104,7 +115,22 @@ class Client:
             commands.append(
                 ("create_player", self.config.start_region, self.config.player_class)
             )
+        # start screen (client/mod.rs:804-830)
+        if self.config.start_screen and self.config.start_screen in assets.screens:
+            self.init_screen(self.config.start_screen, assets)
         return commands
+
+    def init_screen(self, screen_name: str, assets: Assets) -> None:
+        """Build widget registries from a screen map (client/mod.rs:1498)."""
+        from .screens import init_screen
+
+        init_screen(self, screen_name, assets)
+
+    def touch_screen(self, x: float, y: float, map_=None):
+        """Dispatch a tap against screen-map buttons (client/mod.rs:1300)."""
+        from .screens import touch_screen
+
+        return touch_screen(self, x, y, map_)
 
     def set_map(self, map_, assets: Assets) -> None:
         """Build the static scene from the map."""
@@ -238,8 +264,19 @@ class Client:
 
     def draw_game(self, width: int, height: int, assets: Assets, ambient=None) -> np.ndarray:
         """Game viewport + message overlay composite (client/mod.rs:837-1171)."""
-        frame = self.draw_d3(self.config.width, self.config.height, assets, ambient)
-        frame = np.array(frame)
+        if self.screen_widget is not None or self.game_widgets:
+            # screen-map UI composition (client/mod.rs:858-906)
+            from .screens import draw_screen
+
+            frame = np.zeros(
+                (self.config.height, self.config.width, 4), np.uint8
+            )
+            frame[..., 3] = 255
+            draw_screen(self, frame, assets)
+        else:
+            frame = np.array(
+                self.draw_d3(self.config.width, self.config.height, assets, ambient)
+            )
         # messages overlay
         y = 8
         for _, text in self.messages[-4:]:

@@ -179,29 +179,44 @@ class Map:
         return None
 
     def _find_directed_cycle_from_edge(self, lid: int) -> Optional[List[int]]:
-        """Walk successor edges from lid's end back to its start."""
+        """Shortest directed cycle through lid: BFS from its end back to its
+        start following linedef winding (mod.rs:769-830). BFS (not a greedy
+        successor walk) so junction vertices shared between sectors pick the
+        minimal ring."""
         start_ld = self.find_linedef(lid)
         if start_ld is None:
             return None
-        path = [lid]
-        current = start_ld.end_vertex
-        target = start_ld.start_vertex
-        visited = {lid}
-        for _ in range(len(self.linedefs) + 1):
-            if current == target:
-                return path
-            nxt = None
+        from collections import deque
+
+        frm, to = start_ld.end_vertex, start_ld.start_vertex
+        queue = deque([frm])
+        visited = {frm}
+        parent = {}  # vertex -> (prev_vertex, edge_id)
+        while queue:
+            v = queue.popleft()
             for l in self.linedefs:
-                if l.id in visited:
+                if l.id == lid or l.start_vertex != v:
                     continue
-                if l.start_vertex == current:
-                    nxt = l
-                    break
-            if nxt is None:
-                return None
-            path.append(nxt.id)
-            visited.add(nxt.id)
-            current = nxt.end_vertex
+                nxt = l.end_vertex
+                if nxt in visited:
+                    continue
+                parent[nxt] = (v, l.id)
+                if nxt == to:
+                    path = []
+                    cur = to
+                    while cur in parent:
+                        pv, eid = parent[cur]
+                        path.append(eid)
+                        if pv == frm:
+                            break
+                        cur = pv
+                    path.reverse()
+                    if len(path) + 1 < 3:
+                        return None
+                    return path + [lid]
+                visited.add(nxt)
+                queue.append(nxt)
+        return None
         return None
 
     def _test_for_closed_polygon(self) -> bool:
