@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.batch import MaterialRole
+from ..models.batch import MaterialModifier, MaterialRole
 from ..ops.scene_pack import SRC_PIXEL, SRC_TEXTURE, PackedScene
 from ..ops.shade import light_radiance, resolve_texel
 from ..utils.color import hash_u32, srgb_to_linear_fast
@@ -62,14 +62,43 @@ class AccumBuffer:
         return out
 
 
+def _morton_order(centroids: np.ndarray) -> np.ndarray:
+    """Z-order permutation of triangle centroids so spatially-near triangles
+    share chunks (the same locality trick as the Pallas visibility kernel)."""
+    if len(centroids) == 0:
+        return np.zeros(0, np.int64)
+    lo = centroids.min(axis=0)
+    span = np.maximum(centroids.max(axis=0) - lo, 1e-20)
+    q = np.clip(((centroids - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 32)) & np.uint64(0x1F00000000FFFF)
+        x = (x | (x << 16)) & np.uint64(0x1F0000FF0000FF)
+        x = (x | (x << 8)) & np.uint64(0x100F00F00F00F00F)
+        x = (x | (x << 4)) & np.uint64(0x10C30C30C30C30C3)
+        x = (x | (x << 2)) & np.uint64(0x1249249249249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+    return np.argsort(code, kind="stable")
+
+
+TRACER_CHUNK = 128
+
+
 def _pack_tracer_scene(scene, assets):
-    """Triangle SoA + per-tri material for the tracer."""
+    """Triangle SoA + per-tri material for the tracer.
+
+    Triangles are Morton-ordered and grouped into TRACER_CHUNK-sized chunks
+    with precomputed AABBs: the bounce loop skips a chunk's Moller-Trumbore
+    math entirely when NO ray in the wavefront enters its box (the
+    wavefront analogue of the reference's per-ray spatial pruning)."""
     packed = PackedScene.from_scene(scene, assets)
     d3 = packed.d3
     t = d3.pos.shape[0]
     # per-tri material from the owning batch (evaluate_hit, trace.rs:378-470)
-    spec = np.zeros(t, np.float32)
-    emis = np.zeros(t, np.float32)
     mat_mod = np.zeros(t, np.int32)
     mat_role = np.zeros(t, np.int32)
     mat_value = np.zeros(t, np.float32)
@@ -81,11 +110,37 @@ def _pack_tracer_scene(scene, assets):
             mat_mod[i : i + n] = int(batch.material.modifier)
             mat_value[i : i + n] = batch.material.value
         i += n
+
+    # Morton-reorder every per-triangle array (dead slots sort to the end
+    # because their pos is the origin; their valid flag still guards them)
+    centroids = d3.pos[:, :, :3].mean(axis=1)
+    live = d3.valid > 0.5
+    # keep dead padding at the end so chunk AABBs of padding are empty
+    order_live = _morton_order(centroids[live])
+    order = np.concatenate([np.nonzero(live)[0][order_live], np.nonzero(~live)[0]])
+    for name in vars(d3):
+        arr = getattr(d3, name)
+        if isinstance(arr, np.ndarray) and arr.shape[:1] == (t,):
+            setattr(d3, name, arr[order])
+    mat_role, mat_mod, mat_value = mat_role[order], mat_mod[order], mat_value[order]
+
+    # chunk AABBs (inverted boxes for all-dead chunks -> slab test misses)
+    nchunks = (t + TRACER_CHUNK - 1) // TRACER_CHUNK
+    box_min = np.full((nchunks, 3), 1e30, np.float32)
+    box_max = np.full((nchunks, 3), -1e30, np.float32)
+    for ci in range(nchunks):
+        sl = slice(ci * TRACER_CHUNK, min((ci + 1) * TRACER_CHUNK, t))
+        v = d3.valid[sl] > 0.5
+        if v.any():
+            pts = d3.pos[sl][v][:, :, :3].reshape(-1, 3)
+            box_min[ci] = pts.min(axis=0)
+            box_max[ci] = pts.max(axis=0)
+
     return packed, {
         "role": mat_role,
         "modifier": mat_mod,
         "value": mat_value,
-    }
+    }, {"box_min": box_min, "box_max": box_max}
 
 
 class Tracer:
@@ -96,6 +151,12 @@ class Tracer:
         self.sky_horizon = np.array([0.8, 0.7, 0.6], np.float32)
         self.sky_zenith = np.array([0.1, 0.4, 0.9], np.float32)
         self.bounces = 8
+        #: wavefront chunk-AABB skipping (Morton-ordered 2-level pruning).
+        #: Default OFF: measured on v5e @320x240/1200 tris the lax.cond gate
+        #: costs ~6% and jnp.any(enters) over a 76k-ray wavefront is almost
+        #: never false (primary+bounce rays touch most chunks). Enable for
+        #: large sparse scenes where whole chunks sit off-camera.
+        self.use_aabb_skip = False
         self._cache_key = None
         self._cache = None
 
@@ -103,11 +164,12 @@ class Tracer:
         """One progressive sample per pixel; accumulates into `buffer`."""
         key = (id(scene), scene.revision, id(assets))
         if self._cache_key != key:
-            packed, mats = _pack_tracer_scene(scene, assets)
+            packed, mats, boxes = _pack_tracer_scene(scene, assets)
             atlas_np = packed.atlas_index.atlas
             self._cache = {
                 "d3": {k: jnp.asarray(v) for k, v in vars(packed.d3).items()},
                 "mats": {k: jnp.asarray(v) for k, v in mats.items()},
+                "boxes": {k: jnp.asarray(v) for k, v in boxes.items()},
                 "lights": packed.lights,
                 "light_count": packed.light_count,
                 "atlas": {
@@ -129,6 +191,7 @@ class Tracer:
         linear = _trace_frame(
             c["d3"],
             c["mats"],
+            c["boxes"],
             lights_dev,
             c["atlas"],
             jnp.asarray(pos),
@@ -143,6 +206,7 @@ class Tracer:
             buffer.width,
             buffer.height,
             self.bounces,
+            self.use_aabb_skip,
         )
         buffer.accumulate(np.asarray(linear))
 
@@ -152,10 +216,11 @@ class Tracer:
         return camera.position(), forward, right, up
 
 
-@partial(jax.jit, static_argnames=("width", "height", "bounces"))
+@partial(jax.jit, static_argnames=("width", "height", "bounces", "use_aabb_skip"))
 def _trace_frame(
     d3,
     mats,
+    boxes,
     lights,
     atlas,
     cam_pos,
@@ -170,6 +235,7 @@ def _trace_frame(
     width: int,
     height: int,
     bounces: int,
+    use_aabb_skip: bool = False,
 ):
     p = width * height
     aspect = width / height
@@ -202,12 +268,41 @@ def _trace_frame(
     tri_valid = d3["valid"] > 0.5
 
     def intersect_all(o, d):
-        """Möller-Trumbore over all tris, chunked -> (t, tri, uhit, vhit)."""
+        """Möller-Trumbore over all tris, chunked -> (t, tri, uhit, vhit).
+
+        Each Morton-ordered chunk is gated by a wavefront slab test against
+        its AABB: when no ray in flight can enter the box (or no ray could
+        beat its current best t inside it), the whole chunk's MT math is
+        skipped with lax.cond — the TPU wavefront analogue of a 2-level BVH.
+        """
         tcount = tri_a.shape[0]
-        chunk = min(128, tcount)
+        chunk = min(TRACER_CHUNK, tcount)
         nchunks = (tcount + chunk - 1) // chunk
+        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
 
         def step(carry, ci):
+            best_t, best_i, best_u, best_v = carry
+
+            # slab test of every ray vs this chunk's AABB
+            bmin = boxes["box_min"][ci]
+            bmax = boxes["box_max"][ci]
+            t0 = (bmin[None] - o) * inv_d
+            t1 = (bmax[None] - o) * inv_d
+            tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
+            tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            enters = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear < best_t)
+
+            def run_chunk(carry):
+                return _mt_chunk(carry, ci, o, d)
+
+            if not use_aabb_skip:
+                return run_chunk(carry), None
+            return (
+                jax.lax.cond(jnp.any(enters), run_chunk, lambda c: c, carry),
+                None,
+            )
+
+        def _mt_chunk(carry, ci, o, d):
             best_t, best_i, best_u, best_v = carry
             s = ci * chunk
             a = jax.lax.dynamic_slice(tri_a, (s, 0), (chunk, 3))
@@ -238,7 +333,7 @@ def _trace_frame(
             best_v = jnp.where(
                 better, jnp.take_along_axis(vv, local[:, None], -1)[:, 0], best_v
             )
-            return (best_t, best_i, best_u, best_v), None
+            return (best_t, best_i, best_u, best_v)
 
         init = (
             jnp.full((o.shape[0],), jnp.inf),
@@ -285,10 +380,31 @@ def _trace_frame(
         )
         albedo = srgb_to_linear_fast(texel[:, :3])
 
-        # material roles (trace.rs evaluate_hit:378-470); modifier simplified
-        # to the raw value (modifier-by-texture-stats at pack time: TODO)
+        # material roles + per-hit modifier (trace.rs evaluate_hit:438-465:
+        # modifier.modify(&texel, &material.value) on the SAMPLED texel)
         role = mats["role"][ti]
-        value = mats["value"][ti]
+        modifier = mats["modifier"][ti]
+        raw_value = mats["value"][ti]
+        tex = texel[:, :3]
+        lum = 0.2126 * tex[:, 0] + 0.7152 * tex[:, 1] + 0.0722 * tex[:, 2]
+        mx = jnp.max(tex, axis=-1)
+        mn = jnp.min(tex, axis=-1)
+        sat = jnp.where(mx > 0.0, (mx - mn) / jnp.maximum(mx, 1e-20), 0.0)
+        value = jnp.where(
+            modifier == int(MaterialModifier.Luminance), lum * raw_value,
+            jnp.where(
+                modifier == int(MaterialModifier.InvLuminance),
+                (1.0 - lum) * raw_value,
+                jnp.where(
+                    modifier == int(MaterialModifier.Saturation), sat * raw_value,
+                    jnp.where(
+                        modifier == int(MaterialModifier.InvSaturation),
+                        (1.0 - sat) * raw_value,
+                        raw_value,
+                    ),
+                ),
+            ),
+        )
         spec_w = jnp.where(
             role == int(MaterialRole.Matte), 1.0 - value,
             jnp.where(
@@ -298,7 +414,7 @@ def _trace_frame(
         )
         emissive = jnp.where(
             (role == int(MaterialRole.Emissive))[:, None],
-            albedo * (value * 10.0)[:, None],
+            albedo * (raw_value * 10.0)[:, None],
             0.0,
         )
 

@@ -92,3 +92,58 @@ def test_trace_emissive_material():
     Tracer().trace(cam, scene, buf, 64, Assets.default())
     # emissive x10: center pixels very bright
     assert buf.pixels[10:14, 14:18, 0].max() > 1.0
+
+
+def _box_scene(material=None, color=(200, 200, 200, 255)):
+    b = (
+        Batch3D.from_box(-0.5, -0.5, -0.5, 1, 1, 1)
+        .set_source(PixelSource.pixel(color))
+        .with_computed_normals()
+    )
+    if material is not None:
+        b.set_material(material)
+    scene = Scene.from_static([], [b]).set_lights(
+        [
+            Light(LightType.Point)
+            .with_position([2.0, 2.0, 2.0])
+            .with_intensity(1.0)
+            .compile()
+        ]
+    )
+    return scene
+
+
+def _trace_once(scene, use_skip=False, seed_frames=1):
+    cam = D3OrbitCamera()
+    cam.azimuth = 0.9
+    cam.set_parameter_f32("distance", 2.0)
+    buf = AccumBuffer(32, 24)
+    tr = Tracer()
+    tr.use_aabb_skip = use_skip
+    for _ in range(seed_frames):
+        tr.trace(cam, scene, buf, 64, Assets.default())
+    return buf.pixels
+
+
+def test_aabb_skip_matches_brute_force():
+    """The Morton-chunk AABB gate is a pure optimization: identical pixels."""
+    scene = _box_scene()
+    a = _trace_once(scene, use_skip=False)
+    b = _trace_once(scene, use_skip=True)
+    assert np.allclose(a, b, atol=1e-6)
+
+
+def test_material_modifier_per_hit():
+    """modifier.modify runs on the sampled texel per hit
+    (trace.rs:438-465): InvLuminance on a dark texel -> high glossy value ->
+    strongly specular surface differs from the Nothing-modifier render."""
+    dark = (30, 30, 30, 255)
+    base = _trace_once(
+        _box_scene(Material(MaterialRole.Glossy, MaterialModifier.Nothing, 0.0, 0.0), dark)
+    )
+    glossy = _trace_once(
+        _box_scene(
+            Material(MaterialRole.Glossy, MaterialModifier.InvLuminance, 1.0, 0.0), dark
+        )
+    )
+    assert not np.allclose(base, glossy, atol=1e-3)
