@@ -3,6 +3,7 @@ from .d2builder import D2Builder
 from .d2preview import D2PreviewBuilder
 from .d3builder import D3Builder, resolve_source
 from .mapscript import MapScript, compile_source_map
+from .terraingen import TerrainConfig, TerrainGenerator, sample_height_at
 from .surfacebuilder import (
     SurfaceBillboard,
     build_jamb,
@@ -33,6 +34,9 @@ __all__ = [
     "resolve_source",
     "MapScript",
     "compile_source_map",
+    "TerrainConfig",
+    "TerrainGenerator",
+    "sample_height_at",
     "SurfaceBillboard",
     "build_jamb",
     "build_surface_batches",

@@ -221,6 +221,49 @@ class D3Builder:
             p = compiled.position
             chunk_at(float(p[0]), float(p[2])).lights.append(compiled)
 
+        # --- generated terrain (control vertices / ridges / corridors,
+        # terrain_generator.rs + TERRAIN.md) ---
+        if map_.properties.get_bool_default("terrain_enabled", False):
+            from .terraingen import TerrainGenerator
+
+            gen = TerrainGenerator()
+            xs = [v.x for v in map_.vertices] or [0.0]
+            ys = [v.y for v in map_.vertices] or [0.0]
+            bbox = (min(xs), min(ys), max(xs), max(ys))
+            tv = map_.properties.get("terrain_tiles")
+            overrides = tv.data if tv is not None and isinstance(tv.data, dict) else None
+            dv = map_.properties.get("default_terrain_tile")
+            default_src = resolve_source(dv.data, assets) if dv is not None and dv.data is not None else None
+            for src, verts3, tris, uvs in gen.generate(
+                map_, bbox, assets, default_src,
+                {c: (resolve_source(s, assets) or s) for c, s in overrides.items()}
+                if overrides
+                else None,
+            ):
+                # per-vertex normals from the analytic height field
+                eps = 0.5
+                hx0 = gen.height_field(map_, verts3[:, 0] - eps, verts3[:, 2])
+                hx1 = gen.height_field(map_, verts3[:, 0] + eps, verts3[:, 2])
+                hy0 = gen.height_field(map_, verts3[:, 0], verts3[:, 2] - eps)
+                hy1 = gen.height_field(map_, verts3[:, 0], verts3[:, 2] + eps)
+                n = np.stack(
+                    [hx0 - hx1, np.full(len(verts3), 2.0 * eps, np.float32), hy0 - hy1],
+                    axis=1,
+                )
+                n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-20)
+                batch = Batch3D(
+                    vertices=np.concatenate(
+                        [verts3, np.ones((len(verts3), 1), np.float32)], axis=1
+                    ),
+                    indices=tris,
+                    uvs=uvs,
+                    normals=n.astype(np.float32),
+                    source=src if src is not None else PixelSource.terrain(),
+                    repeat_mode=RepeatMode.RepeatXY,
+                )
+                cen = verts3[:, [0, 2]].mean(axis=0)
+                chunk_at(float(cen[0]), float(cen[1])).batches3d.append(batch)
+
         # --- terrain ---
         if map_.terrain is not None and not map_.terrain.is_empty():
             for key in list(map_.terrain.chunks.keys()):

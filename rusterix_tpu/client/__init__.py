@@ -1,3 +1,4 @@
+from .action import ClientAction
 from .billboard import (
     BillboardAnimState,
     animate_billboards,
@@ -25,6 +26,7 @@ from .widgets import (
 )
 
 __all__ = [
+    "ClientAction",
     "BillboardAnimState",
     "animate_billboards",
     "find_item_by_profile_attrs",

@@ -86,6 +86,7 @@ class Client:
         self.current_map = None
         self.viewport: Tuple[int, int] = (640, 400)
         self.offset_d2 = np.zeros(2, np.float32)
+        self.client_action = None  # per-player input script (action.rs)
         # screen-map UI registries (client/mod.rs:1498+)
         self.current_screen: str = ""
         self.game_widgets: dict = {}
@@ -115,6 +116,12 @@ class Client:
             commands.append(
                 ("create_player", self.config.start_region, self.config.player_class)
             )
+            # client-side input scripting for the player class
+            # (client/mod.rs:812-816 + src/client/action.rs)
+            from .action import ClientAction
+
+            self.client_action = ClientAction()
+            self.client_action.init(self.config.player_class, assets)
         # start screen (client/mod.rs:804-830)
         if self.config.start_screen and self.config.start_screen in assets.screens:
             self.init_screen(self.config.start_screen, assets)
@@ -341,6 +348,16 @@ class Client:
                     )
                 return ("ground", (float(world[0]), float(world[2])))
         return None
+
+    def user_event(self, event: str, value):
+        """Route input through the player's client-side script
+        (client/mod.rs:1442). Returns the resulting EntityAction or None."""
+        from ..server.message import EntityActionKind
+
+        if self.client_action is None:
+            return None
+        action = self.client_action.user_event(event, value)
+        return None if action.kind == EntityActionKind.Off else action
 
     def set_intent(self, intent: str) -> None:
         """Arm a named intent for the next entity/item tap."""

@@ -217,7 +217,6 @@ class Map:
                 visited.add(nxt)
                 queue.append(nxt)
         return None
-        return None
 
     def _test_for_closed_polygon(self) -> bool:
         if len(self.possible_polygon) < 3:
@@ -249,6 +248,169 @@ class Map:
             if len(s.linedefs) == len(lids) and all(i in lids for i in s.linedefs):
                 return s.id
         return None
+
+    def clear_selection(self) -> None:
+        self.selected_vertices = []
+        self.selected_linedefs = []
+        self.selected_sectors = []
+        self.selected_entity_item = None
+
+    def copy_selected(self, cut: bool = False) -> "Map":
+        """Selection -> normalized clipboard map (mod.rs:1527-1650):
+        selected sectors pull in their linedefs, linedefs pull in their
+        vertices; positions normalized to the selection's min corner;
+        sectors copied only when their full ring was selected."""
+        import copy as _copy
+
+        clipboard = Map()
+        linedef_ids = set(self.selected_linedefs)
+        sector_ids = set(self.selected_sectors)
+        for sid in sector_ids:
+            s = self.find_sector(sid)
+            if s is not None:
+                linedef_ids.update(s.linedefs)
+        vertex_ids = set(self.selected_vertices)
+        for lid in linedef_ids:
+            ld = self.find_linedef(lid)
+            if ld is not None:
+                vertex_ids.update((ld.start_vertex, ld.end_vertex))
+
+        copied = [self.find_vertex(v) for v in vertex_ids]
+        copied = [v for v in copied if v is not None]
+        if not copied:
+            return clipboard
+        min_x = min(v.x for v in copied)
+        min_y = min(v.y for v in copied)
+
+        v_map, l_map = {}, {}
+        for old in copied:
+            nv = _copy.deepcopy(old)
+            nv.id = clipboard._free_id(clipboard.vertices)
+            nv.x -= min_x
+            nv.y -= min_y
+            v_map[old.id] = nv.id
+            clipboard.vertices.append(nv)
+        for lid in linedef_ids:
+            ld = self.find_linedef(lid)
+            if ld is None:
+                continue
+            nl = _copy.deepcopy(ld)
+            nl.id = clipboard._free_id(clipboard.linedefs)
+            nl.start_vertex = v_map[ld.start_vertex]
+            nl.end_vertex = v_map[ld.end_vertex]
+            nl.sector_ids = []
+            l_map[ld.id] = nl.id
+            clipboard.linedefs.append(nl)
+        for sid in sector_ids:
+            s = self.find_sector(sid)
+            if s is None or not all(l in linedef_ids for l in s.linedefs):
+                continue
+            ns = _copy.deepcopy(s)
+            ns.id = clipboard._free_id(clipboard.sectors)
+            ns.linedefs = [l_map[l] for l in s.linedefs]
+            for nl_id in ns.linedefs:
+                nl = clipboard.find_linedef(nl_id)
+                if nl is not None and ns.id not in nl.sector_ids:
+                    nl.sector_ids.append(ns.id)
+            clipboard.sectors.append(ns)
+
+        if cut:
+            self.delete_elements(
+                list(vertex_ids), list(linedef_ids), list(sector_ids)
+            )
+            self.clear_selection()
+        return clipboard
+
+    def paste_at_position(self, local_map: "Map", position) -> None:
+        """Insert a clipboard map at `position`, selecting the pasted
+        elements (mod.rs:1653-1714)."""
+        import copy as _copy
+
+        self.clear_selection()
+        v_map, l_map = {}, {}
+        for v in local_map.vertices:
+            nv = _copy.deepcopy(v)
+            nv.id = self._free_id(self.vertices)
+            nv.x += float(position[0])
+            nv.y += float(position[1])
+            self.vertices.append(nv)
+            self.selected_vertices.append(nv.id)
+            v_map[v.id] = nv.id
+        for l in local_map.linedefs:
+            nl = _copy.deepcopy(l)
+            nl.id = self._free_id(self.linedefs)
+            nl.start_vertex = v_map[l.start_vertex]
+            nl.end_vertex = v_map[l.end_vertex]
+            nl.sector_ids = []
+            self.linedefs.append(nl)
+            self.selected_linedefs.append(nl.id)
+            l_map[l.id] = nl.id
+        for s in local_map.sectors:
+            ns = _copy.deepcopy(s)
+            ns.id = self._free_id(self.sectors)
+            ns.linedefs = [l_map[l] for l in s.linedefs]
+            for nl_id in ns.linedefs:
+                nl = self.find_linedef(nl_id)
+                if nl is not None and ns.id not in nl.sector_ids:
+                    nl.sector_ids.append(ns.id)
+            self.sectors.append(ns)
+            self.selected_sectors.append(ns.id)
+
+    def geometry_clone(self) -> "Map":
+        """Vertices/linedefs/sectors + shapefx graphs only (mod.rs:1717)."""
+        import copy as _copy
+
+        out = Map()
+        out.vertices = _copy.deepcopy(self.vertices)
+        out.linedefs = _copy.deepcopy(self.linedefs)
+        out.sectors = _copy.deepcopy(self.sectors)
+        out.shapefx_graphs = dict(self.shapefx_graphs)
+        out.grid_size = getattr(self, "grid_size", 1.0)
+        return out
+
+    def extract_chunk_geometry(self, bbox) -> "Map":
+        """Geometry intersecting a chunk bbox -> new map (mod.rs:1768-1850).
+        `bbox` is a Rect."""
+        import copy as _copy
+
+        out = Map()
+        v_map, l_map = {}, {}
+        for l in self.linedefs:
+            a = self.get_vertex(l.start_vertex)
+            b = self.get_vertex(l.end_vertex)
+            if a is None or b is None:
+                continue
+            if not (
+                bbox.contains(a.x, a.y)
+                or bbox.contains(b.x, b.y)
+                or _segment_intersects_rect(a, b, bbox)
+            ):
+                continue
+            for v in (a, b):
+                if v.id not in v_map:
+                    nv = _copy.deepcopy(v)
+                    nv.id = out._free_id(out.vertices)
+                    v_map[v.id] = nv.id
+                    out.vertices.append(nv)
+            nl = _copy.deepcopy(l)
+            nl.id = out._free_id(out.linedefs)
+            nl.start_vertex = v_map[l.start_vertex]
+            nl.end_vertex = v_map[l.end_vertex]
+            nl.sector_ids = []
+            l_map[l.id] = nl.id
+            out.linedefs.append(nl)
+        for s in self.sectors:
+            if not any(lid in l_map for lid in s.linedefs):
+                continue
+            ns = _copy.deepcopy(s)
+            ns.id = out._free_id(out.sectors)
+            ns.linedefs = [l_map[lid] for lid in s.linedefs if lid in l_map]
+            for nl_id in ns.linedefs:
+                nl = out.find_linedef(nl_id)
+                if nl is not None and ns.id not in nl.sector_ids:
+                    nl.sector_ids.append(ns.id)
+            out.sectors.append(ns)
+        return out
 
     def add_midpoint(self, linedef_id: int) -> Optional[int]:
         """Split a linedef at its midpoint (mod.rs:1080+)."""
@@ -352,3 +514,24 @@ class Map:
         """Advance soft-rig vertex animation (mod.rs:416+)."""
         if self.soft_animator is not None:
             self.soft_animator.update(delta_time)
+
+
+def _segment_intersects_rect(a, b, rect) -> bool:
+    """Segment-vs-rect test for extract_chunk_geometry (BBox::line_intersects)."""
+    # quick reject by segment AABB
+    if max(a.x, b.x) < rect.x or min(a.x, b.x) > rect.max_x:
+        return False
+    if max(a.y, b.y) < rect.y or min(a.y, b.y) > rect.max_y:
+        return False
+
+    def side(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    corners = [
+        (rect.x, rect.y),
+        (rect.max_x, rect.y),
+        (rect.max_x, rect.max_y),
+        (rect.x, rect.max_y),
+    ]
+    signs = [side(a.x, a.y, b.x, b.y, cx, cy) for cx, cy in corners]
+    return not (all(s > 0 for s in signs) or all(s < 0 for s in signs))

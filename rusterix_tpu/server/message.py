@@ -20,6 +20,7 @@ class EntityActionKind(enum.IntEnum):
     RandomWalk = 7
     RandomWalkInSector = 8
     SleepAndSwitch = 9
+    Intent = 10
 
 
 @dataclass
@@ -33,6 +34,28 @@ class EntityAction:
     # random-walk state
     max_sleep: float = 2.0
     state_time: float = 0.0
+    string: str = ""  # Intent payload
+
+    @staticmethod
+    def from_str(value: str) -> Optional["EntityAction"]:
+        """message.rs:86-100."""
+        kind = {
+            "none": EntityActionKind.Off,
+            "left": EntityActionKind.Left,
+            "forward": EntityActionKind.Forward,
+            "right": EntityActionKind.Right,
+            "backward": EntityActionKind.Backward,
+        }.get(value)
+        return EntityAction(kind) if kind is not None else None
+
+    def display(self) -> str:
+        return {
+            EntityActionKind.Off: "none",
+            EntityActionKind.Left: "left",
+            EntityActionKind.Forward: "forward",
+            EntityActionKind.Right: "right",
+            EntityActionKind.Backward: "backward",
+        }.get(self.kind, "none")
 
 
 class PlayerCamera(enum.IntEnum):
