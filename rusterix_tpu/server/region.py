@@ -66,6 +66,8 @@ class RegionCtx:
     game_time: float = 8.0 * 60.0  # minutes of day
     ticks: int = 0
     debug_mode: bool = False
+    #: codegridfx debug location from set_debug_loc (region_host.rs:106-116)
+    curr_debug_loc: Optional[Tuple[str, int, int]] = None
 
 
 class RegionHost(HostHandler):
@@ -180,6 +182,96 @@ class RegionHost(HostHandler):
             key = args[0].as_string() or ""
             val = args[1] if len(args) > 1 else VMValue.zero()
             self.entity.set_attribute(key, val.s if val.s is not None else val.x)
+        return VMValue.zero()
+
+    def h_id(self, args, vm) -> VMValue:
+        """region_host.rs "id": the current script subject's id."""
+        if self.entity is not None:
+            return VMValue.broadcast(float(self.entity.id))
+        return VMValue.zero()
+
+    def h_is_entity(self, args, vm) -> VMValue:
+        """region_host.rs:703-709."""
+        if not args:
+            return VMValue.broadcast(0.0)
+        eid = int(args[0].x)
+        exists = any(e.id == eid for e in self.region.ctx.entities)
+        return VMValue.broadcast(1.0 if exists else 0.0)
+
+    def h_is_item(self, args, vm) -> VMValue:
+        """region_host.rs:689-702: world items OR items in any inventory."""
+        if not args:
+            return VMValue.broadcast(0.0)
+        iid = int(args[0].x)
+        exists = any(i.id == iid for i in self.region.ctx.items) or any(
+            item is not None and item.id == iid
+            for e in self.region.ctx.entities
+            for item in e.inventory
+        )
+        return VMValue.broadcast(1.0 if exists else 0.0)
+
+    def h_distance_to(self, args, vm) -> VMValue:
+        """region_host.rs:710-732: distance from the subject to an
+        entity/item id."""
+        if self.entity is None or not args:
+            return VMValue.zero()
+        target = int(args[0].x)
+        pos = None
+        for e in self.region.ctx.entities:
+            if e.id == target:
+                pos = e.get_pos_xz()
+                break
+        if pos is None:
+            for i in self.region.ctx.items:
+                if i.id == target:
+                    pos = i.get_pos_xz()
+                    break
+        if pos is None:
+            return VMValue.zero()
+        return VMValue.broadcast(
+            float(np.linalg.norm(self.entity.get_pos_xz() - pos))
+        )
+
+    def h_list_get(self, args, vm) -> VMValue:
+        """region_host.rs:668-687: index a comma-separated list string."""
+        if not args:
+            return VMValue.zero()
+        s = args[0].as_string() or ""
+        idx = int(args[1].x) if len(args) > 1 else 0
+        parts = [p for p in s.split(",") if p]
+        if 0 <= idx < len(parts):
+            return VMValue.from_string(parts[idx])
+        return VMValue.zero()
+
+    def h_drop_items(self, args, vm) -> VMValue:
+        """region_host.rs:900-950: drop every inventory item whose name or
+        class matches the filter (empty filter = all)."""
+        if self.entity is None:
+            return VMValue.zero()
+        filt = (args[0].as_string() or "") if args else ""
+        slots = []
+        for slot, item in enumerate(self.entity.inventory):
+            if item is None:
+                continue
+            name = item.attributes.get_str_default("name", "")
+            cls = item.attributes.get_str_default("class_name", "")
+            if not filt or filt in name or filt in cls:
+                slots.append(slot)
+        for slot in slots:
+            removed = self.entity.remove_item(slot)
+            if removed is not None:
+                removed.set_position(self.entity.position.copy())
+                self.region.ctx.items.append(removed)
+        return VMValue.zero()
+
+    def h_set_debug_loc(self, args, vm) -> VMValue:
+        """region_host.rs:106-116: record the codegridfx debug location."""
+        if len(args) >= 3:
+            self.region.ctx.curr_debug_loc = (
+                args[0].as_string() or "",
+                int(args[1].x),
+                int(args[2].x),
+            )
         return VMValue.zero()
 
     def h_get_attr(self, args, vm) -> VMValue:

@@ -42,6 +42,7 @@ class ShapeFXRole(enum.IntEnum):
     Line = 20
     Box = 21
     UIWidget = 22
+    Shape = 23  # shape-graph root (reference ShapeFXRole::Shape)
 
 
 @dataclass

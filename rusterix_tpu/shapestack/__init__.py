@@ -1,5 +1,11 @@
 from .context import ShapeContext
-from .stack import ShapeStack
+from .stack import (
+    ShapeStack,
+    create_screen_widgets,
+    evaluate_screen_widget,
+    evaluate_shape_color,
+    evaluate_shape_distance,
+)
 from .tilebuilder import (
     build_tile,
     compute_sector_overrides,
@@ -10,6 +16,10 @@ from .tilebuilder import (
 __all__ = [
     "ShapeContext",
     "ShapeStack",
+    "create_screen_widgets",
+    "evaluate_screen_widget",
+    "evaluate_shape_color",
+    "evaluate_shape_distance",
     "build_tile",
     "compute_sector_overrides",
     "extract_anchored_geometry",

@@ -354,3 +354,61 @@ def evaluate_pixel(
         return out.astype(np.float32), np.ones((H, W), bool)
 
     return None, None
+
+
+# ---------------------------------------------------------------------------
+# shape SDF nodes (shapefx.rs:1277-1385 evaluate_distance)
+# ---------------------------------------------------------------------------
+
+
+def evaluate_distance(node, px, py, vertices) -> Optional[np.ndarray]:
+    """Vectorized shape SDF for Circle/Line/Box nodes; `vertices` are the
+    shape's control points in world space."""
+    if len(vertices) == 0:
+        return None
+    role = node.role
+    v0 = np.asarray(vertices[0], np.float32)
+
+    if role == ShapeFXRole.Circle:
+        radius = node.values.get_float_default("radius", 0.5)
+        return np.hypot(px - v0[0], py - v0[1]) - radius
+
+    if role == ShapeFXRole.Line:
+        if len(vertices) < 2:
+            return None
+        v1 = np.asarray(vertices[1], np.float32)
+        radius = node.values.get_float_default("radius", 0.5)
+        radius2 = node.values.get_float_default("radius2", 0.0)
+        ba = v1 - v0
+        ba_dot = float(ba @ ba)
+        if ba_dot == 0.0:
+            return np.hypot(px - v0[0], py - v0[1]) - max(radius, radius2)
+        h = np.clip(((px - v0[0]) * ba[0] + (py - v0[1]) * ba[1]) / ba_dot, 0.0, 1.0)
+        dist = np.hypot(px - (v0[0] + ba[0] * h), py - (v0[1] + ba[1] * h))
+        if radius2 == 0.0:
+            return dist - radius
+        return dist - (radius * (1.0 - h) + radius2 * h)
+
+    if role == ShapeFXRole.Box:
+        if len(vertices) < 2:
+            return None
+        v1 = np.asarray(vertices[1], np.float32)
+        th = node.values.get_float_default("thickness", 0.5)
+        rounding = node.values.get_float_default("rounding", 0.0)
+        ba = v1 - v0
+        length = float(np.hypot(*ba))
+        if length == 0.0:
+            return np.full(px.shape, np.finfo(np.float32).max, np.float32)
+        d = ba / length
+        cx, cy = (v0 + v1) * 0.5
+        qx = px - cx
+        qy = py - cy
+        rx = np.abs(d[0] * qx + d[1] * qy)
+        ry = np.abs(-d[1] * qx + d[0] * qy)
+        mx = rx - length * 0.5 + rounding
+        my = ry - th * 0.5 + rounding
+        outside = np.hypot(np.maximum(mx, 0.0), np.maximum(my, 0.0))
+        inside = np.minimum(np.maximum(mx, my), 0.0)
+        return outside + inside - rounding
+
+    return None

@@ -297,3 +297,124 @@ def _polygon_area_of(sector, map_, vert_pos) -> float:
     x = poly[:, 0]
     y = poly[:, 1]
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+# ---------------------------------------------------------------------------
+# shape graphs + screen widgets (shapefxgraph.rs:144-218, 385-499)
+# ---------------------------------------------------------------------------
+
+
+def evaluate_shape_distance(graph, px, py, vertices):
+    """Chain-walk from a Shape root taking per-pixel min distance; returns
+    (distance (H,W), node_index (H,W) i32) (shapefxgraph.rs:144-181)."""
+    from .nodes import evaluate_distance
+
+    px = np.asarray(px, np.float32)
+    py = np.asarray(py, np.float32)
+    best = np.full(px.shape, np.finfo(np.float32).max, np.float32)
+    best_node = np.zeros(px.shape, np.int32)
+    if not graph.nodes or graph.nodes[0].role != ShapeFXRole.Shape:
+        return best, best_node
+
+    curr, curr_t = 0, 0
+    steps = 0
+    while steps < 16:
+        nxt = graph.find_connected_input_node(curr, curr_t)
+        if nxt is None:
+            break
+        ni, nt = nxt
+        d = evaluate_distance(graph.nodes[ni], px, py, vertices)
+        if d is not None:
+            better = d < best
+            best = np.where(better, d, best)
+            best_node = np.where(better, ni, best_node)
+        curr, curr_t = ni, nt
+        steps += 1
+    return best, best_node
+
+
+def evaluate_shape_color(graph, ctx: ShapeContext, node_index: int, palette):
+    """Color chain hanging off a shape node's terminal 1
+    (shapefxgraph.rs:184-218). Returns (rgba, mask) or (None, None)."""
+    H, W = ctx.distance.shape
+    color = None
+    mask_all = np.zeros((H, W), bool)
+    curr, curr_t = node_index, 1
+    steps = 0
+    while steps < 16:
+        nxt = graph.find_connected_input_node(curr, curr_t)
+        if nxt is None:
+            break
+        ni, nt = nxt
+        col, mask = evaluate_pixel(graph.nodes[ni], ctx, color, None if palette is None else palette, graph, ni)
+        if col is not None:
+            if color is None:
+                color = np.zeros((H, W, 4), np.float32)
+            color = np.where(mask[..., None], col, color)
+            mask_all |= mask
+        curr, curr_t = ni, nt
+        steps += 1
+    if color is None:
+        return None, None
+    return color, mask_all
+
+
+def evaluate_screen_widget(graph, ctx: ShapeContext, incoming, terminal: int, palette):
+    """Widget-root chain for normal/selected states
+    (shapefxgraph.rs:385-426). Returns (rgba, mask) or (None, None)."""
+    if not graph.nodes or graph.nodes[0].role != ShapeFXRole.UIWidget:
+        return None, None
+    H, W = ctx.distance.shape
+    color = np.broadcast_to(np.asarray(incoming, np.float32), (H, W, 4)).copy()
+    out = None
+    out_mask = np.zeros((H, W), bool)
+    curr, curr_t = 0, terminal
+    steps = 0
+    while steps < 16:
+        nxt = graph.find_connected_input_node(curr, curr_t)
+        if nxt is None:
+            break
+        ni, nt = nxt
+        col, mask = evaluate_pixel(graph.nodes[ni], ctx, color, palette, graph, ni)
+        if col is not None:
+            if out is None:
+                out = np.zeros((H, W, 4), np.float32)
+            out = np.where(mask[..., None], col, out)
+            out_mask |= mask
+            color = np.where(mask[..., None], col, color)
+        curr, curr_t = ni, nt
+        steps += 1
+    if out is None:
+        return None, None
+    return out, out_mask
+
+
+def create_screen_widgets(graph, width: int, height: int, palette=None):
+    """Bake normal/selected widget textures (shapefxgraph.rs:428-499):
+    the context distance is the negated distance to the nearest buffer
+    edge scaled by min(w,h)."""
+    xs = np.arange(width, dtype=np.float32)[None, :] / width
+    ys = 1.0 - np.arange(height, dtype=np.float32)[:, None] / height
+    u = np.broadcast_to(xs, (height, width))
+    v = np.broadcast_to(ys, (height, width))
+    edge = np.minimum(np.minimum(u, 1.0 - u), np.minimum(v, 1.0 - v))
+    distance = (-edge * min(width, height)).astype(np.float32)
+    ctx = ShapeContext(
+        uv=np.stack([u, v], axis=-1).astype(np.float32),
+        distance=distance,
+        px=1.0,
+        anti_aliasing=1.0,
+    )
+    textures = []
+    for terminal in (0, 1):
+        base = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+        col, mask = evaluate_screen_widget(graph, ctx, base, terminal, palette)
+        if col is None:
+            out = np.zeros((height, width, 4), np.float32)
+            out[..., 3] = 1.0
+        else:
+            out = np.where(mask[..., None], col, base)
+        textures.append(
+            (np.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        )
+    return textures

@@ -211,3 +211,66 @@ def test_notifications_and_time():
     assert player.attributes.get_float_default("health", 0) == 10.0
     inst.system_tick()  # now the notification fires (value None -> 0 damage)
     assert inst.ctx.notifications == []
+
+
+def _make_region_with_player():
+    server, m = make_server()
+    pid = server.register_player("world", "Player", [4.0, 1.0, 4.0])
+    inst = server.instances[0]
+    return inst, inst.find_entity(pid)
+
+
+def test_new_host_builtins():
+    """id / is_entity / is_item / distance_to / list_get / drop_items /
+    set_debug_loc (region_host.rs:106-950)."""
+    from rusterix_tpu.server.item import Item as _Item
+    from rusterix_tpu.vm import VMValue
+
+    region, player = _make_region_with_player()
+    host = region.host
+    host.entity = player
+
+    assert host.h_id([], None).x == float(player.id)
+    assert host.h_is_entity([VMValue.broadcast(float(player.id))], None).x == 1.0
+    assert host.h_is_entity([VMValue.broadcast(9999.0)], None).x == 0.0
+
+    # world item + is_item + distance_to
+    item = _Item()
+    item.id = 4242
+    item.set_position(player.position + 3.0)
+    region.ctx.items.append(item)
+    assert host.h_is_item([VMValue.broadcast(4242.0)], None).x == 1.0
+    d = host.h_distance_to([VMValue.broadcast(4242.0)], None).x
+    assert abs(d - (2.0 * 9.0) ** 0.5) < 1e-4  # 3 in x and 3 in z
+
+    # list_get
+    v = host.h_list_get([VMValue.from_string("a,b,c"), VMValue.broadcast(1.0)], None)
+    assert v.as_string() == "b"
+    assert host.h_list_get([VMValue.from_string("a"), VMValue.broadcast(5.0)], None).x == 0.0
+
+    # drop_items with filter
+    sword = _Item()
+    sword.id = 1
+    sword.attributes.set("name", "iron sword")
+    shield = _Item()
+    shield.id = 2
+    shield.attributes.set("name", "shield")
+    player.add_item(sword)
+    player.add_item(shield)
+    host.h_drop_items([VMValue.from_string("sword")], None)
+    names = [
+        i.attributes.get_str_default("name", "")
+        for i in player.inventory
+        if i is not None
+    ]
+    assert "iron sword" not in names and "shield" in names
+    assert any(i.id == 1 for i in region.ctx.items)
+
+    # is_item finds inventory items too
+    assert host.h_is_item([VMValue.broadcast(2.0)], None).x == 1.0
+
+    host.h_set_debug_loc(
+        [VMValue.from_string("startup"), VMValue.broadcast(2.0), VMValue.broadcast(3.0)],
+        None,
+    )
+    assert region.ctx.curr_debug_loc == ("startup", 2, 3)
