@@ -142,7 +142,27 @@ def render_frame(
         d3["pos"], d3["uv"], d3["nrm"], d3["valid"], d3["cull"], view, proj,
         width, height, bw=d3["bw"] if has_blend else None,
     )
-    if use_pallas:
+    pallas_shade = use_pallas and not shaders and not has_fog
+    if pallas_shade:
+        # visibility + winner-attribute resolve in ONE kernel: the per-pixel
+        # candidate-table gather (60M element-gathers, ~25ms @1080p) never
+        # happens — see visibility_pallas.visibility_attr_pass_pallas
+        from .shade import pack_attr_table, pallas_attr_shade
+        from .visibility_pallas import morton_sort, visibility_attr_pass_pallas
+
+        table = pack_attr_table(attr, tri_id, d3, has_blend)
+        vis_s, bbox_s, alive_s, _, table_s = morton_sort(
+            vis, bbox, alive.astype(jnp.float32), tri_id, width, height,
+            extra=table,
+        )
+        z, idx, hit, attr_img = visibility_attr_pass_pallas(
+            vis_s, alive_s, bbox_s, table_s, width, height
+        )
+        shaded, wrote = pallas_attr_shade(
+            z, idx, hit, attr_img, atlas, lights, uniforms, width, height,
+            sample_mode, has_blend,
+        )
+    elif use_pallas:
         from .visibility_pallas import morton_sort, visibility_pass_pallas
 
         alive_f = alive.astype(jnp.float32)
@@ -157,10 +177,11 @@ def render_frame(
         idx = jnp.where(hit, jnp.take(slot_s, jnp.maximum(idx, 0)), -1)
     else:
         z, idx, hit = visibility_pass(vis, alive.astype(jnp.float32), width, height)
-    shaded, wrote = shade_pass(
-        z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height,
-        sample_mode, shaders=shaders, has_fog=has_fog, has_blend=has_blend,
-    )
+    if not pallas_shade:
+        shaded, wrote = shade_pass(
+            z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height,
+            sample_mode, shaders=shaders, has_fog=has_fog, has_blend=has_blend,
+        )
     frame, z_eff = compose_opaque(shaded, wrote, z, background)
 
     if has_sky:
@@ -482,6 +503,11 @@ class Rasterizer:
                 "packed": packed,
                 "atlas": {
                     "flat": jnp.asarray(atlas_np.data.reshape(-1, 4)),
+                    "flat_u32": jnp.asarray(
+                        np.ascontiguousarray(atlas_np.data.reshape(-1, 4))
+                        .view(np.uint32)
+                        .reshape(-1)
+                    ),
                     "w": jnp.int32(atlas_np.data.shape[1]),
                     "rects": jnp.asarray(atlas_np.rects),
                     "tile_first": jnp.asarray(atlas_np.tile_first),
