@@ -56,7 +56,7 @@ def d2_pass(
     height: int,
     sample_mode: int = 0,
     preserve_transparency: bool = False,
-    light_count: int = 0,
+    has_lights: bool = False,
     has_ambient: bool = False,
     y0=0,
     shaders: tuple = (),
@@ -93,7 +93,7 @@ def d2_pass(
     world2 = jnp.stack([world_x, world_y], axis=-1)
     world3 = jnp.stack([world_x, jnp.zeros_like(world_x), world_y], axis=-1)
 
-    if light_count > 0:
+    if has_lights:
         # 2D lights: color_at(world3, d2=true) summed (rasterizer.rs:806-876)
         rad = light_radiance(lights, world3, None, d2=True)  # (H,W,L,3)
         # wall-segment visibility (mapmini.is_visible, rasterizer.rs:841-860):
@@ -230,10 +230,10 @@ def d2_pass(
         rl = tri["receives_light"] > 0.5
         if has_ambient:
             active = jnp.broadcast_to(
-                jnp.logical_or(jnp.logical_and(rl, light_count > 0), True), cov.shape
+                jnp.logical_or(jnp.logical_and(rl, has_lights), True), cov.shape
             )
             acc = acc_with_ambient
-        elif light_count > 0:
+        elif has_lights:
             active = jnp.broadcast_to(rl, cov.shape)
             acc = acc_plain
         else:

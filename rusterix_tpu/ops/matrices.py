@@ -21,9 +21,14 @@ def look_at_rh(eye, target, up) -> np.ndarray:
     up = np.asarray(up, dtype=np.float32)
 
     f = target - eye
-    f = f / np.linalg.norm(f)
+    fn = np.linalg.norm(f)
+    # degenerate camera (eye == target): fall back to -Z forward instead of
+    # emitting NaN rows (vek normalizes 0/0 to NaN too, but a NaN view matrix
+    # poisons the whole frame; the reference never renders such a camera)
+    f = f / fn if fn > 1e-12 else np.array([0.0, 0.0, -1.0], np.float32)
     s = np.cross(f, up)
-    s = s / np.linalg.norm(s)
+    sn = np.linalg.norm(s)
+    s = s / sn if sn > 1e-12 else np.array([1.0, 0.0, 0.0], np.float32)
     u = np.cross(s, f)
 
     m = np.eye(4, dtype=np.float32)

@@ -1,0 +1,684 @@
+"""Single-pass tile megakernel: visibility + attributes + texel + lighting
++ compose in ONE Pallas program per 64x128 framebuffer tile.
+
+This is the TPU realization of the reference's whole per-tile loop
+(src/rasterizer.rs:273-579: each rayon tile task rasterizes, samples and
+shades every pixel it owns before the sequential copy-back). Round-1 split
+the work into a visibility kernel + XLA texel resolve + lighting kernel; the
+XLA texel stage alone cost ~16ms @1080p because XLA-TPU lowers an (H,W)
+element gather to ~8ns/element regardless of table size. In-kernel the same
+lookup is a handful of 8x128 lane-shuffles per atlas row
+(`jnp.take_along_axis(..., axis=1)` lowers to Mosaic dynamic-gather), so the
+texel fetch rides the VPU with everything else and the intermediate
+(32,H,W) attribute image + its HBM round trip disappear.
+
+Stages inside one grid step (one VMEM-resident tile):
+  1. hierarchical visibility scan (super-chunk/chunk bbox skip, identical
+     semantics to visibility_pallas._attr_kernel): z + winner attr channels
+  2. plane-form attribute interpolation (inv_w, u, v, normal)
+  3. texel resolve from the atlas: per-pixel flat index -> (row, lane) split;
+     fori_loop over the tile's [min_row, max_row] with one lane-gather +
+     select per row (nearest) or four (bilinear)   [texture.rs:203-460]
+  4. the full lighting chain of shade_pallas._kernel (ambient hemisphere,
+     sun BRDF, occlusion boxes, unrolled light loop) [rasterizer.rs:1319-1412]
+  5. optional distance fog on hit pixels            [shapefx.rs:1071-1083]
+  6. compose over the packed-u32 background + RGBA8 quantize
+     [rasterizer.rs:1400-1412 write + lib.rs:63-68 rounding]
+
+Outputs: packed RGBA8-in-u32 frame (little-endian r|g<<8|b<<16|a<<24) and
+the effective z buffer (1.0 where the opaque pass did not write), feeding
+the optional sky-miss / opacity / 2D passes unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scene_pack import SRC_PIXEL, SRC_TEXTURE
+from .visibility_pallas import CHUNK, SUPER, TILE_H, TILE_W, _group_boxes
+
+# mega attr-table layout (f32 columns)
+#   0-17  attribute planes (inv_w, u, v, nx, ny, nz) x (a, b, c)
+#   18 kind | 19 repeat | 20 has_normals
+#   21-24 rgba (SRC_PIXEL color)
+#   25-27 batch ambient rgb
+#   28-31 anim-resolved atlas rect (rx, ry, rw, rh)
+# blend extension:
+#   32-34 bw plane | 35 kind2 | 36-39 rgba2 | 40-43 rect2 | 44-47 pad
+N_ATTR_PLAIN = 32
+N_ATTR_BLEND = 48
+
+_BIG = 1 << 30  # python int: jnp constants would be captured as kernel consts
+
+
+def _srgb_to_linear(x):
+    return (0.6975 * x * x + 0.3025) * x
+
+
+def _linear_to_srgb(x):
+    sq = jnp.sqrt(jnp.maximum(x, 0.0))
+    return 1.055 * sq - 0.055 * (sq * sq)
+
+
+def _smoothstep(edge0, edge1, x):
+    t = jnp.clip((x - edge0) / (edge1 - edge0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _apply_repeat(u, v, repeat):
+    """texture.rs:203-232 select form (repeat codes from ops.shade)."""
+    u_rep = u - jnp.floor(u)
+    v_rep = v - jnp.floor(v)
+    u_clamp = jnp.clip(u, 0.0, 1.0)
+    v_clamp = jnp.clip(v, 0.0, 1.0)
+    ur = (repeat == 1.0) | (repeat == 2.0)
+    vr = (repeat == 1.0) | (repeat == 3.0)
+    return jnp.where(ur, u_rep, u_clamp), jnp.where(vr, v_rep, v_clamp)
+
+
+def _texel_lookup(atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode,
+                  atlas_w):
+    """In-tile texel resolve -> (r, g, b, a) f32 0..1 tiles.
+
+    atlas_ref: (R, 128) i32 rows of the packed-u32 atlas. Per pixel the flat
+    texel index splits into (row, lane); a fori_loop over the tile's live row
+    range does one 8x128 dynamic lane-gather per row and selects the winners.
+    Miss / non-texture pixels park at row 2^30 so they never extend the loop.
+    """
+    is_tex = kind == float(SRC_TEXTURE)
+    is_pix = kind == float(SRC_PIXEL)
+
+    uu, vv = _apply_repeat(u, v, repeat)
+    uu = jnp.where(is_tex, uu, 0.0)  # NaN-safe for miss pixels
+    vv = jnp.where(is_tex, vv, 0.0)
+    rx, ry, rw, rh = rect
+
+    def tap_rc(x, y):
+        flat = (ry + y).astype(jnp.int32) * atlas_w + (rx + x).astype(jnp.int32)
+        return flat >> 7, flat & 127  # 128 lanes per atlas row
+
+    if sample_mode == 0:
+        tx = jnp.clip(jnp.floor(uu * (rw - 1.0) + 0.5), 0.0, rw - 1.0)
+        ty = jnp.clip(jnp.floor(vv * (rh - 1.0) + 0.5), 0.0, rh - 1.0)
+        taps = [(tap_rc(tx, ty), None)]
+    else:
+        x = uu * (rw - 1.0)
+        y = vv * (rh - 1.0)
+        x0 = jnp.clip(jnp.floor(x), 0.0, rw - 1.0)
+        y0 = jnp.clip(jnp.floor(y), 0.0, rh - 1.0)
+        x1 = jnp.minimum(x0 + 1.0, rw - 1.0)
+        y1 = jnp.minimum(y0 + 1.0, rh - 1.0)
+        dx = x - jnp.floor(x)
+        dy = y - jnp.floor(y)
+        taps = [
+            (tap_rc(x0, y0), (1 - dx) * (1 - dy)),
+            (tap_rc(x1, y0), dx * (1 - dy)),
+            (tap_rc(x0, y1), (1 - dx) * dy),
+            (tap_rc(x1, y1), dx * dy),
+        ]
+
+    shape = u.shape
+    rows = [jnp.where(is_tex, r, _BIG) for (r, _c), _w in taps]
+    cols = [jnp.clip(c, 0, 127) for (_r, c), _w in taps]
+    rmin = jnp.min(jnp.stack([jnp.min(r) for r in rows]))
+    rmax = jnp.max(jnp.stack([jnp.max(jnp.where(r == _BIG, -1, r)) for r in rows]))
+
+    accs = [jnp.zeros(shape, jnp.int32) for _ in taps]
+
+    def body(r, accs):
+        vec = atlas_ref[r, :]
+        vb = jnp.broadcast_to(vec[None, :], shape)
+        out = []
+        for t in range(len(taps)):
+            g = jnp.take_along_axis(vb, cols[t], axis=1)
+            out.append(jnp.where(rows[t] == r, g, accs[t]))
+        return tuple(out)
+
+    accs = jax.lax.fori_loop(
+        jnp.maximum(rmin, 0), jnp.minimum(rmax, atlas_ref.shape[0] - 1) + 1,
+        body, tuple(accs),
+    )
+
+    def unpack(t32):
+        return (
+            (t32 & 0xFF).astype(jnp.float32),
+            ((t32 >> 8) & 0xFF).astype(jnp.float32),
+            ((t32 >> 16) & 0xFF).astype(jnp.float32),
+            ((t32 >> 24) & 0xFF).astype(jnp.float32),
+        )
+
+    if sample_mode == 0:
+        tex = unpack(accs[0])
+    else:
+        chans = [unpack(a) for a in accs]
+        tex = tuple(
+            jnp.floor(sum(chans[t][c] * taps[t][1] for t in range(4)) + 0.5)
+            for c in range(4)
+        )
+
+    is_tex_f = is_tex.astype(jnp.float32)
+    is_pix_f = is_pix.astype(jnp.float32)
+    other = 1.0 - is_tex_f - is_pix_f
+    out = []
+    for c in range(4):
+        val = is_tex_f * tex[c] * (1.0 / 255.0) + is_pix_f * rgba_cols[c]
+        if c == 3:
+            val = val + other  # SRC_OFF -> opaque black (rasterizer.rs:1222)
+        out.append(val)
+    return out
+
+
+def _mega_kernel(
+    n_attr, sample_mode, has_blend,
+    sbox_ref, cbox_ref, params_ref, lights_ref, occ_ref,
+    planes_ref, attr_ref, atlas_ref, bg_ref,
+    rgba_ref, zeff_ref,
+    a_scr, idx_scr,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    y0 = ti * TILE_H
+    x0 = tj * TILE_W
+
+    rows_f = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+    cols_f = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+    yg = rows_f + (y0.astype(jnp.float32) + 0.5)
+    xg = cols_f + (x0.astype(jnp.float32) + 0.5)
+
+    # ---- stage 1: visibility scan (visibility_pallas._attr_kernel) ----
+    zeff_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+    idx_scr[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+    a_scr[:] = jnp.zeros((n_attr, TILE_H, TILE_W), jnp.float32)
+
+    ns = planes_ref.shape[0] // (CHUNK * SUPER)
+
+    def super_body(s, _):
+        s_hit = (
+            (sbox_ref[s * 4 + 0] < x0 + TILE_W)
+            & (sbox_ref[s * 4 + 2] > x0)
+            & (sbox_ref[s * 4 + 1] < y0 + TILE_H)
+            & (sbox_ref[s * 4 + 3] > y0)
+        )
+
+        @pl.when(s_hit)
+        def _():
+            def chunk_body(c, _2):
+                c_hit = (
+                    (cbox_ref[c * 4 + 0] < x0 + TILE_W)
+                    & (cbox_ref[c * 4 + 2] > x0)
+                    & (cbox_ref[c * 4 + 1] < y0 + TILE_H)
+                    & (cbox_ref[c * 4 + 3] > y0)
+                )
+
+                @pl.when(c_hit)
+                def _():
+                    z = zeff_ref[:]
+                    idx = idx_scr[:]
+                    for k in range(CHUNK):
+                        t = c * CHUNK + k
+                        row = planes_ref[t, :]
+                        e0 = row[0] * xg + row[1] * yg + row[2]
+                        e1 = row[3] * xg + row[4] * yg + row[5]
+                        e2 = row[6] * xg + row[7] * yg + row[8]
+                        invz = row[9] * xg + row[10] * yg + row[11]
+                        zc = 1.0 / invz
+                        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (invz != 0.0)
+                        better = cov & (zc < z)
+                        z = jnp.where(better, zc, z)
+                        idx = jnp.where(better, t, idx)
+                    zeff_ref[:] = z
+                    idx_scr[:] = idx
+                    masks = [idx == (c * CHUNK + k) for k in range(CHUNK)]
+                    for ch in range(n_attr):
+                        acc = a_scr[ch]
+                        for k in range(CHUNK):
+                            acc = jnp.where(
+                                masks[k], attr_ref[c * CHUNK + k, ch], acc
+                            )
+                        a_scr[ch] = acc
+
+                return 0
+
+            jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, chunk_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, ns, super_body, 0)
+
+    z = zeff_ref[:]
+    hit = idx_scr[:] >= 0
+
+    # ---- stage 2: plane interpolation ----
+    def interp(i):
+        return a_scr[3 * i] * xg + a_scr[3 * i + 1] * yg + a_scr[3 * i + 2]
+
+    inv_w = interp(0)
+    safe_w = jnp.where(inv_w == 0.0, 1.0, inv_w)
+    u = interp(1) / safe_w
+    v = interp(2) / safe_w
+    nx = interp(3)
+    ny = interp(4)
+    nz = interp(5)
+
+    kind = a_scr[18]
+    repeat = a_scr[19]
+    has_n = a_scr[20]
+    rgba_cols = [a_scr[21 + c] for c in range(4)]
+    amb_r, amb_g, amb_b = a_scr[25], a_scr[26], a_scr[27]
+    rect = (a_scr[28], a_scr[29], a_scr[30], a_scr[31])
+
+    # ---- stage 3: texel resolve ----
+    atlas_w = params_ref[54].astype(jnp.int32)
+    tex = _texel_lookup(
+        atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode, atlas_w
+    )
+    if has_blend:
+        rect2 = (a_scr[40], a_scr[41], a_scr[42], a_scr[43])
+        rgba2_cols = [a_scr[36 + c] for c in range(4)]
+        tex2 = _texel_lookup(
+            atlas_ref, u, v, rect2, a_scr[35], rgba2_cols, repeat, sample_mode,
+            atlas_w,
+        )
+        b_w = jnp.clip(
+            (a_scr[32] * xg + a_scr[33] * yg + a_scr[34]) / safe_w, 0.0, 1.0
+        )
+        blend_on = (a_scr[35] >= 0.0).astype(jnp.float32) * b_w
+        tex = [a * (1.0 - blend_on) + b * blend_on for a, b in zip(tex, tex2)]
+    tex_r, tex_g, tex_b, tex_a = tex
+
+    # ---- stage 4: lighting (shade_pallas._kernel body) ----
+    width = params_ref[41]
+    height = params_ref[42]
+    x_ndc = 2.0 * (xg / width) - 1.0
+    y_ndc = 1.0 - 2.0 * (yg / height)
+
+    def mat(base, r, c):
+        return params_ref[base + 4 * r + c]
+
+    vx = mat(0, 0, 0) * x_ndc + mat(0, 0, 1) * y_ndc + mat(0, 0, 2) * z + mat(0, 0, 3)
+    vy = mat(0, 1, 0) * x_ndc + mat(0, 1, 1) * y_ndc + mat(0, 1, 2) * z + mat(0, 1, 3)
+    vz = mat(0, 2, 0) * x_ndc + mat(0, 2, 1) * y_ndc + mat(0, 2, 2) * z + mat(0, 2, 3)
+    vw = mat(0, 3, 0) * x_ndc + mat(0, 3, 1) * y_ndc + mat(0, 3, 2) * z + mat(0, 3, 3)
+    inv_vw = 1.0 / vw
+    vx *= inv_vw
+    vy *= inv_vw
+    vz *= inv_vw
+    wx = mat(16, 0, 0) * vx + mat(16, 0, 1) * vy + mat(16, 0, 2) * vz + mat(16, 0, 3)
+    wy = mat(16, 1, 0) * vx + mat(16, 1, 1) * vy + mat(16, 1, 2) * vz + mat(16, 1, 3)
+    wz = mat(16, 2, 0) * vx + mat(16, 2, 1) * vy + mat(16, 2, 2) * vz + mat(16, 2, 3)
+
+    cam_x = params_ref[32]
+    cam_y = params_ref[33]
+    cam_z = params_ref[34]
+
+    vdx = cam_x - wx
+    vdy = cam_y - wy
+    vdz = cam_z - wz
+    vlen = jnp.sqrt(vdx * vdx + vdy * vdy + vdz * vdz)
+    inv_vlen = 1.0 / jnp.maximum(vlen, 1e-30)
+    vdx *= inv_vlen
+    vdy *= inv_vlen
+    vdz *= inv_vlen
+
+    nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    inv_nlen = 1.0 / jnp.maximum(nlen, 1e-30)
+    ux = nx * inv_nlen
+    uy = ny * inv_nlen
+    uz = nz * inv_nlen
+    flip = jnp.where(ux * vdx + uy * vdy + uz * vdz < 0.0, -1.0, 1.0)
+    n_ok = has_n > 0.5
+    ux = jnp.where(n_ok, ux * flip, 0.0)
+    uy = jnp.where(n_ok, uy * flip, 0.0)
+    uz = jnp.where(n_ok, uz * flip, 0.0)
+
+    base_r = _srgb_to_linear(tex_r)
+    base_g = _srgb_to_linear(tex_g)
+    base_b = _srgb_to_linear(tex_b)
+
+    kd_r = base_r * 0.96
+    kd_g = base_g * 0.96
+    kd_b = base_b * 0.96
+    hemi = 0.5 * (uy + 1.0)
+
+    occlusion = jnp.ones_like(wx)
+    for bi in range(occ_ref.shape[0]):
+        inside = (
+            (wx >= occ_ref[bi, 0])
+            & (wz >= occ_ref[bi, 1])
+            & (wx <= occ_ref[bi, 2])
+            & (wz <= occ_ref[bi, 3])
+        )
+        occlusion = jnp.minimum(occlusion, jnp.where(inside, occ_ref[bi, 4], 1.0))
+
+    has_ambient = params_ref[35]
+    lit_r = has_ambient * params_ref[36] * kd_r * hemi
+    lit_g = has_ambient * params_ref[37] * kd_g * hemi
+    lit_b = has_ambient * params_ref[38] * kd_b * hemi
+
+    def brdf(ldx, ldy, ldz, rad_r, rad_g, rad_b):
+        n_dot_l = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
+        hx = ldx + vdx
+        hy = ldy + vdy
+        hz = ldz + vdz
+        hl = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+        inv_hl = 1.0 / jnp.maximum(hl, 1e-30)
+        n_dot_h = jnp.maximum((ux * hx + uy * hy + uz * hz) * inv_hl, 0.0)
+        nh2 = n_dot_h * n_dot_h
+        spec_b = nh2 * nh2 * nh2
+        n_dot_v = jnp.maximum(ux * vdx + uy * vdy + uz * vdz, 0.0)
+        x1 = 1.0 - jnp.clip(n_dot_v, 0.0, 1.0)
+        x2 = x1 * x1
+        x5 = x2 * x2 * x1
+        f = 0.04 + 0.96 * x5
+        spec = f * spec_b * n_dot_l
+        dead = n_dot_l <= 0.0
+        return (
+            jnp.where(dead, 0.0, (kd_r * n_dot_l + spec) * rad_r),
+            jnp.where(dead, 0.0, (kd_g * n_dot_l + spec) * rad_g),
+            jnp.where(dead, 0.0, (kd_b * n_dot_l + spec) * rad_b),
+        )
+
+    has_sun = params_ref[43]
+    sdx = -params_ref[44]
+    sdy = -params_ref[45]
+    sdz = -params_ref[46]
+    slen = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
+    inv_slen = 1.0 / jnp.maximum(slen, 1e-30)
+    day = params_ref[47]
+    sr, sg, sb = brdf(sdx * inv_slen, sdy * inv_slen, sdz * inv_slen, day, day, day)
+    lit_r += has_sun * sr
+    lit_g += has_sun * sg
+    lit_b += has_sun * sb
+
+    lit_r *= occlusion
+    lit_g *= occlusion
+    lit_b *= occlusion
+
+    lit_r += amb_r * kd_r * hemi
+    lit_g += amb_g * kd_g * hemi
+    lit_b += amb_b * kd_b * hemi
+
+    for li in range(lights_ref.shape[0]):
+        lpx = lights_ref[li, 0]
+        lpy = lights_ref[li, 1]
+        lpz = lights_ref[li, 2]
+        start = lights_ref[li, 4]
+        end = lights_ref[li, 5]
+        intensity = lights_ref[li, 6]
+        valid = lights_ref[li, 20]
+        f_point = lights_ref[li, 3]
+        f_amb = lights_ref[li, 21]
+        f_spot = lights_ref[li, 22]
+        f_area = lights_ref[li, 23]
+        f_day = 1.0 - f_point - f_amb - f_spot - f_area
+        f_linedef = lights_ref[li, 19]
+
+        tpx = wx - lpx
+        tpy = wy - lpy
+        tpz = wz - lpz
+        dist = jnp.sqrt(tpx * tpx + tpy * tpy + tpz * tpz)
+        inv_dist = 1.0 / jnp.maximum(dist, 1e-20)
+
+        rng_f = (dist < end).astype(jnp.float32)
+        near_f = (dist <= start).astype(jnp.float32)
+        smooth_att = near_f + (1.0 - near_f) * _smoothstep(end, start, dist)
+
+        point_c = intensity * smooth_att
+
+        lin_att = near_f + (1.0 - near_f) * (
+            1.0 - (dist - start) / jnp.maximum(end - start, 1e-20)
+        )
+        dirx = lights_ref[li, 10]
+        diry = lights_ref[li, 11]
+        dirz = lights_ref[li, 12]
+        cosang = jnp.clip(
+            (dirx * tpx + diry * tpy + dirz * tpz) * inv_dist, -1.0, 1.0
+        )
+        spot_ok_f = (cosang >= lights_ref[li, 13]).astype(jnp.float32)
+        spot_c = spot_ok_f * intensity * lin_att
+
+        area = lights_ref[li, 14] * lights_ref[li, 15]
+        lnx = lights_ref[li, 16]
+        lny = lights_ref[li, 17]
+        lnz = lights_ref[li, 18]
+        angle_att = jnp.maximum(
+            (lnx * tpx + lny * tpy + lnz * tpz) * inv_dist, 0.0
+        )
+        area_main = angle_att * smooth_att * area * intensity
+        area_linedef = smooth_att * area * intensity
+        area_c = f_linedef * area_linedef + (1.0 - f_linedef) * area_main
+        inner_f = (dist < 0.1).astype(jnp.float32)
+        area_c = inner_f + (1.0 - inner_f) * area_c
+
+        day_c = angle_att * smooth_att * intensity
+
+        scale = (
+            f_point * point_c
+            + f_amb * intensity
+            + f_spot * spot_c
+            + f_area * area_c
+            + f_day * day_c
+        )
+
+        ok_f = valid * (f_amb + (1.0 - f_amb) * rng_f)
+        ok_f = ok_f * (1.0 - f_spot * (1.0 - spot_ok_f))
+
+        ldx = -tpx * inv_dist
+        ldy = -tpy * inv_dist
+        ldz = -tpz * inv_dist
+        lambert = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
+        needs = f_point + f_spot + f_area
+        lam = needs * lambert + (1.0 - needs)
+
+        rad = ok_f * scale * lam
+        rad_r = lights_ref[li, 7] * rad
+        rad_g = lights_ref[li, 8] * rad
+        rad_b = lights_ref[li, 9] * rad
+
+        cr, cg, cb = brdf(ldx, ldy, ldz, rad_r, rad_g, rad_b)
+        has_rad = (
+            (rad_r != 0.0) | (rad_g != 0.0) | (rad_b != 0.0)
+        ).astype(jnp.float32)
+        lit_r += has_rad * cr
+        lit_g += has_rad * cg
+        lit_b += has_rad * cb
+
+    out_r = _linear_to_srgb(lit_r)
+    out_g = _linear_to_srgb(lit_g)
+    out_b = _linear_to_srgb(lit_b)
+
+    # ---- stage 5: distance fog (Fog render node, shapefx.rs:1071-1083) ----
+    has_fog = params_ref[48]
+    fog_t = has_fog * jnp.clip(
+        (vlen - params_ref[52]) / params_ref[53], 0.0, 1.0
+    )
+    out_r = out_r * (1.0 - fog_t) + params_ref[49] * fog_t
+    out_g = out_g * (1.0 - fog_t) + params_ref[50] * fog_t
+    out_b = out_b * (1.0 - fog_t) + params_ref[51] * fog_t
+
+    # ---- stage 6: compose + RGBA8 pack ----
+    a_u8 = jnp.floor(jnp.clip(tex_a, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.int32)
+    wrote = hit & (a_u8 >= 255)
+
+    def q(x):
+        return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.int32)
+
+    packed = q(out_r) | (q(out_g) << 8) | (q(out_b) << 16) | (a_u8 << 24)
+    rgba_ref[:] = jnp.where(wrote, packed, bg_ref[:])
+    zeff_ref[:] = jnp.where(wrote, z, 1.0)
+
+
+def pack_mega_table(attr_planes, tri_id, meta, atlas, anim_frame,
+                    has_blend: bool):
+    """Per-candidate rows for the megakernel (layout in the module header).
+
+    The texture rect is anim-resolved HERE, per frame per candidate (T rows,
+    not H*W pixels), so the kernel never touches tile_first/tile_count."""
+
+    def resolve_rect(slot_col):
+        slot = jnp.maximum(slot_col, 0)
+        tex_id = jnp.take(atlas["tile_first"], slot) + jnp.remainder(
+            anim_frame, jnp.maximum(jnp.take(atlas["tile_count"], slot), 1)
+        )
+        return jnp.take(atlas["rects"], tex_id, axis=0).astype(jnp.float32)
+
+    cols = [
+        attr_planes[:, :18],
+        jnp.take(meta["kind"].astype(jnp.float32), tri_id)[:, None],
+        jnp.take(meta["repeat"].astype(jnp.float32), tri_id)[:, None],
+        jnp.take(meta["has_normals"], tri_id)[:, None],
+        jnp.take(meta["rgba"], tri_id, axis=0),
+        jnp.take(meta["ambient"], tri_id, axis=0),
+        jnp.take(resolve_rect(meta["tex_slot"]), tri_id, axis=0),
+    ]
+    if has_blend:
+        cols += [
+            attr_planes[:, 18:21],
+            jnp.take(meta["kind2"].astype(jnp.float32), tri_id)[:, None],
+            jnp.take(meta["rgba2"], tri_id, axis=0),
+            jnp.take(resolve_rect(meta["tex_slot2"]), tri_id, axis=0),
+            jnp.zeros((attr_planes.shape[0], 4), jnp.float32),
+        ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def pack_mega_params(uniforms, width: int, height: int, atlas_w,
+                     has_fog: bool = False) -> jnp.ndarray:
+    """shade_pallas.pack_shade_params layout, extended with fog at 48-53 and
+    the atlas row width at 54."""
+    p = jnp.zeros(64, jnp.float32)
+    p = p.at[0:16].set(uniforms["inv_proj"].reshape(-1))
+    p = p.at[16:32].set(uniforms["inv_view"].reshape(-1))
+    p = p.at[32:35].set(uniforms["camera_pos"])
+    p = p.at[35].set(uniforms["has_ambient"])
+    p = p.at[36:39].set(uniforms["ambient"][:3])
+    p = p.at[41].set(jnp.float32(width))
+    p = p.at[42].set(jnp.float32(height))
+    p = p.at[43].set(uniforms["has_sun"])
+    p = p.at[44:47].set(uniforms["sun_dir"])
+    p = p.at[47].set(uniforms["day_factor"])
+    p = p.at[48].set(jnp.float32(1.0 if has_fog else 0.0))
+    p = p.at[49:52].set(uniforms["fog_color"][:3])
+    p = p.at[52].set(uniforms["fog_end"])
+    p = p.at[53].set(uniforms["fog_fade"])
+    p = p.at[54].set(jnp.asarray(atlas_w, jnp.float32))
+    return p
+
+
+def atlas_rows_i32(atlas_flat_u32: jnp.ndarray) -> jnp.ndarray:
+    """(N,) u32 atlas -> (R, 128) i32 rows for VMEM-resident lane gathers."""
+    n = atlas_flat_u32.shape[0]
+    pad = (-n) % 128
+    a = jnp.pad(atlas_flat_u32, (0, pad))
+    return jax.lax.bitcast_convert_type(a, jnp.int32).reshape(-1, 128)
+
+
+def pack_background_u32(background) -> jnp.ndarray:
+    """(H,W,4) f32 0..1 -> (H,W) packed RGBA8 u32-in-i32 (lib.rs:63-68)."""
+    q = jnp.floor(jnp.clip(background, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.int32)
+    return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16) | (q[..., 3] << 24)
+
+
+def unpack_frame_u32(rgba_u32) -> jnp.ndarray:
+    """(H,W) packed -> (H,W,4) u8 (little-endian byte order = r,g,b,a)."""
+    return jax.lax.bitcast_convert_type(rgba_u32, jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "sample_mode", "has_blend", "interpret"),
+)
+def mega_render(
+    vis_planes, alive, bbox, attr, atlas_rows, bg_u32,
+    params, lights_packed, occ_packed,
+    width: int, height: int, sample_mode: int = 0, has_blend: bool = False,
+    interpret: bool = False,
+):
+    """One composed opaque frame -> (rgba_u32 (H,W) i32, z_eff (H,W) f32).
+
+    Inputs follow visibility_attr_pass_pallas: Morton-sorted candidate
+    planes/bbox/alive plus the mega attr table; atlas_rows from
+    atlas_rows_i32; bg_u32 from pack_background_u32."""
+    t2 = vis_planes.shape[0]
+    n_attr = attr.shape[1]
+    group = CHUNK * SUPER
+    pad = (-t2) % group
+    if pad:
+        vis_planes = jnp.pad(vis_planes, ((0, pad), (0, 0)))
+        alive = jnp.pad(alive, (0, pad))
+        attr = jnp.pad(attr, ((0, pad), (0, 0)))
+        bbox = jnp.pad(bbox, ((0, pad), (0, 0)))
+        bbox = (
+            bbox.at[t2:, 0].set(1e9)
+            .at[t2:, 1].set(1e9)
+            .at[t2:, 2].set(-1e9)
+            .at[t2:, 3].set(-1e9)
+        )
+        t2 += pad
+
+    dead = jnp.array([0.0, 0.0, -1.0] * 3 + [0.0, 0.0, 1.0], jnp.float32)
+    planes = jnp.where((alive > 0.5)[:, None], vis_planes, dead[None, :])
+    bbox = jnp.where(
+        (alive > 0.5)[:, None],
+        bbox,
+        jnp.array([1e9, 1e9, -1e9, -1e9], jnp.float32)[None, :],
+    )
+    attr = jnp.where((alive > 0.5)[:, None], attr, 0.0)
+
+    cboxes = _group_boxes(bbox, CHUNK)
+    sboxes = _group_boxes(bbox, group)
+
+    ph = -height % TILE_H
+    pw = -width % TILE_W
+    hp, wp = height + ph, width + pw
+    grid = (hp // TILE_H, wp // TILE_W)
+
+    if ph or pw:
+        bg_u32 = jnp.pad(bg_u32, ((0, ph), (0, pw)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (planes.shape[0], 12), lambda i, j, *_: (0, 0),
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (attr.shape[0], n_attr), lambda i, j, *_: (0, 0),
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                atlas_rows.shape, lambda i, j, *_: (0, 0),
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
+            ),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_attr, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.int32),
+        ],
+    )
+
+    rgba, zeff = pl.pallas_call(
+        functools.partial(_mega_kernel, n_attr, sample_mode, has_blend),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sboxes, cboxes, params, lights_packed, occ_packed,
+      planes, attr, atlas_rows, bg_u32)
+
+    return rgba[:height, :width], zeff[:height, :width]

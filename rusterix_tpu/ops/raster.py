@@ -23,7 +23,13 @@ from .composite import blend_opacity, compose_opaque, d2_pass, frame_to_u8
 from .matrices import invert
 from .scene_pack import PackedScene
 from .setup_pass import setup_pass
-from .shade import resolve_texel, shade_pass, srgb_to_linear_fast, linear_to_srgb_fast
+from .shade import (
+    linear_to_srgb_fast,
+    resolve_texel,
+    shade_pass,
+    srgb_to_linear_fast,
+    take_iso,
+)
 from .visibility import visibility_pass
 
 
@@ -31,8 +37,8 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
     """Opacity-pass shading: texel only, no lighting
     (reference d3_rasterize_opacity, src/rasterizer.rs:1425-1690)."""
     slot = jnp.maximum(idx, 0)
-    t = jnp.take(tri_id, slot)
-    planes = jnp.take(attr_planes, slot, axis=0)
+    t = take_iso(tri_id, slot)
+    planes = take_iso(attr_planes, slot)
 
     px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5, (height, width))
     py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5, (height, width))
@@ -44,19 +50,19 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
     u = interp(1) / inv_w
     v = interp(2) / inv_w
 
-    kind = jnp.take(meta["kind"], t)
-    tex_slot = jnp.take(meta["tex_slot"], t)
-    rgba = jnp.take(meta["rgba"], t, axis=0)
-    repeat = jnp.take(meta["repeat"], t)
+    kind = take_iso(meta["kind"], t)
+    tex_slot = take_iso(meta["tex_slot"], t)
+    rgba = take_iso(meta["rgba"], t)
+    repeat = take_iso(meta["repeat"], t)
     texel = resolve_texel(kind, tex_slot, rgba, repeat, u, v, atlas, uniforms["anim_frame"], sample_mode)
 
     lin = srgb_to_linear_fast(texel[..., :3])
     # whole-batch alpha multiplier (fading door billboards,
     # scene_handler.rs:703-728 DynamicObject::with_opacity)
-    opac = texel[..., 3] * jnp.take(meta["opacity"], t)
+    opac = texel[..., 3] * take_iso(meta["opacity"], t)
 
     if shaders:
-        shader_px = jnp.take(meta["shader"], t)
+        shader_px = take_iso(meta["shader"], t)
 
         def r3(x):
             return jnp.stack([x, x, x], axis=-1)
@@ -142,26 +148,45 @@ def render_frame(
         d3["pos"], d3["uv"], d3["nrm"], d3["valid"], d3["cull"], view, proj,
         width, height, bw=d3["bw"] if has_blend else None,
     )
-    pallas_shade = use_pallas and not shaders and not has_fog
-    if pallas_shade:
-        # visibility + winner-attribute resolve in ONE kernel: the per-pixel
-        # candidate-table gather (60M element-gathers, ~25ms @1080p) never
-        # happens — see visibility_pallas.visibility_attr_pass_pallas
-        from .shade import pack_attr_table, pallas_attr_shade
-        from .visibility_pallas import morton_sort, visibility_attr_pass_pallas
+    mega = use_pallas and not shaders
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    if mega:
+        # the whole opaque pass (visibility + attr resolve + texel + lighting
+        # + fog + compose + RGBA8 pack) in ONE tile megakernel — no per-pixel
+        # HBM gathers, no (32,H,W) attribute image (see ops/megakernel.py)
+        from .megakernel import (
+            atlas_rows_i32,
+            mega_render,
+            pack_background_u32,
+            pack_mega_params,
+            pack_mega_table,
+            unpack_frame_u32,
+        )
+        from .shade_pallas import pack_light_params, pack_occ_params
+        from .visibility_pallas import morton_sort
 
-        table = pack_attr_table(attr, tri_id, d3, has_blend)
+        table = pack_mega_table(
+            attr, tri_id, d3, atlas, uniforms["anim_frame"], has_blend
+        )
         vis_s, bbox_s, alive_s, _, table_s = morton_sort(
             vis, bbox, alive.astype(jnp.float32), tri_id, width, height,
             extra=table,
         )
-        z, idx, hit, attr_img = visibility_attr_pass_pallas(
-            vis_s, alive_s, bbox_s, table_s, width, height
+        rgba_u32, z_eff = mega_render(
+            vis_s, alive_s, bbox_s, table_s,
+            atlas_rows_i32(atlas["flat_u32"]),
+            pack_background_u32(background),
+            pack_mega_params(uniforms, width, height, atlas["w"], has_fog),
+            pack_light_params(lights),
+            pack_occ_params(uniforms),
+            width, height, sample_mode, has_blend, interpret=interpret,
         )
-        shaded, wrote = pallas_attr_shade(
-            z, idx, hit, attr_img, atlas, lights, uniforms, width, height,
-            sample_mode, has_blend,
-        )
+        if not (has_sky or has_opacity or has_d2):
+            return unpack_frame_u32(rgba_u32)
+        # downstream passes blend in f32 over the already-quantized opaque
+        # result — exactly the reference's u8 tile-buffer behavior
+        # (rasterizer.rs:464-495 reads back written u8 pixels)
+        frame = unpack_frame_u32(rgba_u32).astype(jnp.float32) * (1.0 / 255.0)
     elif use_pallas:
         from .visibility_pallas import morton_sort, visibility_pass_pallas
 
@@ -172,17 +197,19 @@ def render_frame(
         vis_s, bbox_s, alive_s, slot_s = morton_sort(
             vis, bbox, alive_f, slot_id, width, height
         )
-        z, idx, hit = visibility_pass_pallas(vis_s, alive_s, bbox_s, width, height)
+        z, idx, hit = visibility_pass_pallas(
+            vis_s, alive_s, bbox_s, width, height, interpret=interpret
+        )
         # map sorted-slot winner back to original slot for attr/meta gathers
-        idx = jnp.where(hit, jnp.take(slot_s, jnp.maximum(idx, 0)), -1)
+        idx = jnp.where(hit, take_iso(slot_s, jnp.maximum(idx, 0)), -1)
     else:
         z, idx, hit = visibility_pass(vis, alive.astype(jnp.float32), width, height)
-    if not pallas_shade:
+    if not mega:
         shaded, wrote = shade_pass(
             z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height,
             sample_mode, shaders=shaders, has_fog=has_fog, has_blend=has_blend,
         )
-    frame, z_eff = compose_opaque(shaded, wrote, z, background)
+        frame, z_eff = compose_opaque(shaded, wrote, z, background)
 
     if has_sky:
         from .composite import sky_miss_pass
@@ -212,7 +239,7 @@ def render_frame(
             height,
             sample_mode,
             preserve_transparency,
-            light_count=1 if has_lights else 0,
+            has_lights=has_lights,
             has_ambient=has_ambient,
             shaders=shaders,
         )
@@ -554,8 +581,6 @@ class Rasterizer:
             bg_np = self._background_array(scene, width, height)
             scene.background = scene_bg
         else:
-            bg_np = self._background_array(scene, width, height)
-        if False:
             bg_np = self._background_array(scene, width, height)
         if self._bg_dev_key != (id(bg_np),):
             self._bg_dev = jnp.asarray(bg_np)

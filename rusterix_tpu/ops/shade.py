@@ -30,6 +30,17 @@ REPEAT_X = 2
 REPEAT_Y = 3
 
 
+def take_iso(table, idx, axis=0):
+    """jnp.take isolated from consumer fusions.
+
+    XLA-TPU's standalone gather emitter runs at HBM bandwidth, but a gather
+    FUSED into a consuming loop fusion degrades to element-at-a-time
+    (measured 16.2ms vs 0.025ms for 2M texels from a 2048-entry atlas on
+    v5e). The optimization_barrier pins the gather as a fusion root; the
+    materialized result is a few MB of HBM traffic — noise by comparison."""
+    return jax.lax.optimization_barrier(jnp.take(table, idx, axis=axis))
+
+
 def _round_half_away(x):
     """Rust f32::round (half away from zero) for non-negative inputs."""
     return jnp.floor(x + 0.5)
@@ -54,7 +65,7 @@ def sample_atlas_nearest(atlas_flat, atlas_w, rects, tex_id, u, v):
     """Nearest texel (reference src/texture.rs:307-324): round(u*(w-1)), clamp.
 
     atlas_flat: (AH*AW, 4) uint8; rects: (N,4) int32 (x,y,w,h)."""
-    r = rects[tex_id]  # (..., 4)
+    r = take_iso(rects, tex_id)  # (..., 4)
     rx, ry, rw, rh = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
     tx = jnp.clip(
         _round_half_away(u * (rw.astype(jnp.float32) - 1.0)).astype(jnp.int32), 0, rw - 1
@@ -63,13 +74,13 @@ def sample_atlas_nearest(atlas_flat, atlas_w, rects, tex_id, u, v):
         _round_half_away(v * (rh.astype(jnp.float32) - 1.0)).astype(jnp.int32), 0, rh - 1
     )
     flat = (ry + ty) * atlas_w + (rx + tx)
-    texel = jnp.take(atlas_flat, flat, axis=0)
+    texel = take_iso(atlas_flat, flat)
     return texel.astype(jnp.float32)  # 0..255
 
 
 def sample_atlas_linear(atlas_flat, atlas_w, rects, tex_id, u, v):
     """Bilinear (reference src/texture.rs:414-460)."""
-    r = rects[tex_id]
+    r = take_iso(rects, tex_id)
     rx, ry, rw, rh = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
     x = u * (rw.astype(jnp.float32) - 1.0)
     y = v * (rh.astype(jnp.float32) - 1.0)
@@ -83,7 +94,7 @@ def sample_atlas_linear(atlas_flat, atlas_w, rects, tex_id, u, v):
     dy = (y - jnp.floor(y))[..., None]
 
     def tex(xx, yy):
-        return jnp.take(atlas_flat, (ry + yy) * atlas_w + (rx + xx), axis=0).astype(
+        return take_iso(atlas_flat, (ry + yy) * atlas_w + (rx + xx)).astype(
             jnp.float32
         )
 
@@ -110,8 +121,8 @@ def resolve_texel(
     'tile_first' (K,), 'tile_count' (K,)."""
     uu, vv = apply_repeat(u, v, repeat)
     slot = jnp.maximum(tex_slot, 0)
-    tex_id = atlas["tile_first"][slot] + jnp.remainder(
-        anim_frame, jnp.maximum(atlas["tile_count"][slot], 1)
+    tex_id = take_iso(atlas["tile_first"], slot) + jnp.remainder(
+        anim_frame, jnp.maximum(take_iso(atlas["tile_count"], slot), 1)
     )
     if sample_mode == 0:
         tx = sample_atlas_nearest(atlas["flat"], atlas["w"], atlas["rects"], tex_id, uu, vv)
@@ -322,7 +333,7 @@ def shade_pass(
             width, height, sample_mode, has_blend, full_height,
         )
     slot = jnp.maximum(idx, 0)
-    t = jnp.take(tri_id, slot)  # (H,W) source triangle index
+    t = take_iso(tri_id, slot)  # (H,W) source triangle index
 
     # single fused row-gather: plane floats + meta fields per winning
     # triangle (separate jnp.take per field costs ~2x in gather traffic).
@@ -347,7 +358,7 @@ def shade_pass(
     fused = jnp.concatenate(
         [attr_planes[..., :n_planes], jnp.take(meta_mat, tri_id, axis=0)], axis=1
     )  # (T2, 30 or 39)
-    gathered = jnp.take(fused, slot, axis=0)  # (H,W,30|39)
+    gathered = take_iso(fused, slot)  # (H,W,30|39)
     planes = gathered[..., :n_planes]
     kind = gathered[..., n_planes + 0].astype(jnp.int32)
     tex_slot = gathered[..., n_planes + 1].astype(jnp.int32)
@@ -568,7 +579,7 @@ def _pallas_tail_path(
     fused = jnp.concatenate(
         [attr_planes[..., :n_planes], jnp.take(meta_mat, tri_id, axis=0)], axis=1
     )
-    gathered = jnp.take(fused, slot, axis=0)  # (H,W,C)
+    gathered = take_iso(fused, slot)  # (H,W,C)
     planes = gathered[..., :n_planes]
     kind = gathered[..., n_planes + 0].astype(jnp.int32)
     tex_slot = gathered[..., n_planes + 1].astype(jnp.int32)
@@ -652,10 +663,10 @@ def _resolve_texel_channels(
     One 1-channel gather per output channel keeps every array 2D."""
     uu, vv = apply_repeat(u, v, repeat)
     slot_i = jnp.maximum(tex_slot, 0)
-    tex_id = atlas["tile_first"][slot_i] + jnp.remainder(
-        anim_frame, jnp.maximum(atlas["tile_count"][slot_i], 1)
+    tex_id = take_iso(atlas["tile_first"], slot_i) + jnp.remainder(
+        anim_frame, jnp.maximum(take_iso(atlas["tile_count"], slot_i), 1)
     )
-    r = atlas["rects"][tex_id]
+    r = take_iso(atlas["rects"], tex_id)
     rx, ry, rw, rh = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
     flat_t = atlas["flat"].T  # (4, AH*AW)
 
@@ -670,7 +681,7 @@ def _resolve_texel_channels(
         )
         flat = (ry + ty) * atlas["w"] + (rx + tx)
         tex = [
-            jnp.take(flat_t[c], flat, axis=0).astype(jnp.float32) for c in range(4)
+            take_iso(flat_t[c], flat).astype(jnp.float32) for c in range(4)
         ]
     else:
         x = uu * (rw.astype(jnp.float32) - 1.0)
@@ -684,8 +695,8 @@ def _resolve_texel_channels(
         tex = []
         for c in range(4):
             def at(xx, yy):
-                return jnp.take(
-                    flat_t[c], (ry + yy) * atlas["w"] + (rx + xx), axis=0
+                return take_iso(
+                    flat_t[c], (ry + yy) * atlas["w"] + (rx + xx)
                 ).astype(jnp.float32)
             val = (
                 at(x0, y0) * (1 - dx) * (1 - dy)
@@ -740,10 +751,10 @@ def _texel_channels_u32(kind, tex_slot, rgba_ch, repeat, u, v, atlas, anim_frame
     TPU gathers cost per element. Returns [r,g,b,a] in 0..1 as (H,W)."""
     uu, vv = apply_repeat(u, v, repeat)
     slot_i = jnp.maximum(tex_slot, 0)
-    tex_id = atlas["tile_first"][slot_i] + jnp.remainder(
-        anim_frame, jnp.maximum(atlas["tile_count"][slot_i], 1)
+    tex_id = take_iso(atlas["tile_first"], slot_i) + jnp.remainder(
+        anim_frame, jnp.maximum(take_iso(atlas["tile_count"], slot_i), 1)
     )
-    r = atlas["rects"][tex_id]
+    r = take_iso(atlas["rects"], tex_id)
     rx, ry, rw, rh = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
     flat32 = atlas["flat_u32"]
 
@@ -764,7 +775,7 @@ def _texel_channels_u32(kind, tex_slot, rgba_ch, repeat, u, v, atlas, anim_frame
             _round_half_away(vv * (rh.astype(jnp.float32) - 1.0)).astype(jnp.int32),
             0, rh - 1,
         )
-        tex = unpack(jnp.take(flat32, (ry + ty) * atlas["w"] + (rx + tx), axis=0))
+        tex = unpack(take_iso(flat32, (ry + ty) * atlas["w"] + (rx + tx)))
     else:
         x = uu * (rw.astype(jnp.float32) - 1.0)
         y = vv * (rh.astype(jnp.float32) - 1.0)
@@ -774,10 +785,10 @@ def _texel_channels_u32(kind, tex_slot, rgba_ch, repeat, u, v, atlas, anim_frame
         y1 = jnp.minimum(y0 + 1, rh - 1)
         dx = x - jnp.floor(x)
         dy = y - jnp.floor(y)
-        c00 = unpack(jnp.take(flat32, (ry + y0) * atlas["w"] + (rx + x0), axis=0))
-        c10 = unpack(jnp.take(flat32, (ry + y0) * atlas["w"] + (rx + x1), axis=0))
-        c01 = unpack(jnp.take(flat32, (ry + y1) * atlas["w"] + (rx + x0), axis=0))
-        c11 = unpack(jnp.take(flat32, (ry + y1) * atlas["w"] + (rx + x1), axis=0))
+        c00 = unpack(take_iso(flat32, (ry + y0) * atlas["w"] + (rx + x0)))
+        c10 = unpack(take_iso(flat32, (ry + y0) * atlas["w"] + (rx + x1)))
+        c01 = unpack(take_iso(flat32, (ry + y1) * atlas["w"] + (rx + x0)))
+        c11 = unpack(take_iso(flat32, (ry + y1) * atlas["w"] + (rx + x1)))
         tex = [
             _round_half_away(
                 a * (1 - dx) * (1 - dy) + b * dx * (1 - dy)

@@ -163,7 +163,7 @@ def visibility_pass_pallas(
             pl.BlockSpec(
                 (planes.shape[0], 12),
                 lambda i, j, sb, cb: (0, 0),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
         ],
         out_specs=[
@@ -362,12 +362,12 @@ def visibility_attr_pass_pallas(
             pl.BlockSpec(
                 (planes.shape[0], 12),
                 lambda i, j, sb, cb: (0, 0),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (attr.shape[0], n_attr),
                 lambda i, j, sb, cb: (0, 0),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
         ],
         out_specs=[

@@ -24,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.composite import compose_opaque, d2_pass, frame_to_u8
@@ -100,7 +100,7 @@ def render_frame_sharded(
             frame = d2_pass(
                 frame, d2_r, atlas_r, lights_r, uniforms_r, width, rows_local,
                 sample_mode, False,
-                light_count=1 if has_lights else 0,
+                has_lights=has_lights,
                 has_ambient=has_ambient, y0=y0,
             )
         return frame_to_u8(frame)
@@ -117,7 +117,7 @@ def render_frame_sharded(
             P(AXIS),      # background rows
         ),
         out_specs=P(AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(d3, d2, lights, atlas, uniforms, background)
 

@@ -1,11 +1,23 @@
 """Test config: force CPU with 8 virtual devices so multi-chip sharding tests
-run anywhere (the driver separately dry-runs the multichip path)."""
+run anywhere (the driver separately dry-runs the multichip path).
+
+Set RUSTERIX_TPU_TEST_PLATFORM=tpu (or axon) to run the suite against the
+real chip instead — used for the once-per-round Mosaic-vs-interpret parity
+check (VERDICT r1 weak #8)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_plat = os.environ.get("RUSTERIX_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _plat
+if _plat == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    # jax may be preloaded (sitecustomize) with platforms already resolved
+    import jax
+
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
