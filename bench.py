@@ -166,6 +166,8 @@ def measure_chained(rast, scene, assets, width, height, n=20):
 
 
 def main():
+    import os
+
     results = {}
 
     rast, scene, assets = build_cube_scene(800, 600)
@@ -174,6 +176,10 @@ def main():
     results["cube_800x600_mpix_s"] = round(800 * 600 / dt / 1e6, 1)
 
     rast, scene, assets = build_map_scene(1920, 1080)
+    if os.environ.get("RUSTERIX_TPU_PROFILE") == "1":
+        from rusterix_tpu.profiling import frame_breakdown
+
+        results["profile"] = frame_breakdown(rast, scene, assets, 1920, 1080)
     dt = measure_chained(rast, scene, assets, 1920, 1080)
     fps = 1.0 / dt
     mpix = 1920 * 1080 * fps / 1e6

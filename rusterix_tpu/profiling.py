@@ -1,0 +1,150 @@
+"""Per-phase device profiling (SURVEY §5: per-phase timers from day one).
+
+`frame_breakdown(rast, scene, assets, w, h)` times each render phase with
+the chained-fori methodology (a data dependency serializes iterations inside
+ONE dispatch), the only timing that is trustworthy over the dev tunnel —
+see bench.py:measure_chained and .claude/skills/verify/SKILL.md.
+
+Enable in bench.py with RUSTERIX_TPU_PROFILE=1 (adds a "profile" dict to the
+JSON line). The reference's analogue is the ad-hoc get_time() prints
+(reference src/lib.rs:82-94, examples/cube_shaded.rs:146).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def _chain(fn, perturb, n=20):
+    """ms per call of `fn(x)` with x perturbed per iteration by the f32
+    accumulator (defeats loop-invariant hoisting)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def many():
+        def body(i, acc):
+            r = fn(perturb(acc))
+            leaf = jax.tree_util.tree_leaves(r)[0]
+            return acc + leaf.reshape(-1)[0].astype(jnp.float32) * 1e-30
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    many().block_until_ready()
+    t0 = time.perf_counter()
+    many().block_until_ready()
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
+    """Phase times (ms) for one frame of `scene` through `rast`'s active
+    path. Renders once first to populate the device scene cache."""
+    import jax.numpy as jnp
+
+    from .ops.setup_pass import setup_pass
+    from .ops.visibility_pallas import morton_sort
+
+    rast.rasterize(scene, width, height, 40, assets)
+    cache = rast._scene_cache
+    packed = cache["packed"]
+    d3, atlas = cache["d3"], cache["atlas"]
+    lights = dict(packed.lights)
+    lights["flicker_factor"] = rast._flicker_factors(lights)
+    ld = {k: jnp.asarray(v) for k, v in lights.items()}
+    uni = rast._uniforms(scene)
+    if packed.occlusion is not None:
+        uni["occ_box"] = jnp.asarray(packed.occlusion["occ_box"])
+        uni["occ_val"] = jnp.asarray(packed.occlusion["occ_val"])
+    view = uni["view"]
+
+    out = {}
+
+    def perturb_view(acc):
+        return view + acc
+
+    def run_setup(v):
+        return setup_pass(
+            d3["pos"], d3["uv"], d3["nrm"], d3["valid"], d3["cull"],
+            v, uni["proj"], width, height,
+        )
+
+    out["setup_ms"] = round(_chain(run_setup, perturb_view), 3)
+
+    vis, attr, bbox, alive, tri_id = run_setup(view)
+    alive_f = alive.astype(jnp.float32)
+
+    if rast.use_pallas and not scene.shaders:
+        from .ops.megakernel import (
+            atlas_rows_i32,
+            mega_render,
+            pack_background_u32,
+            pack_mega_params,
+            pack_mega_table,
+        )
+        from .ops.shade_pallas import pack_light_params, pack_occ_params
+
+        table = pack_mega_table(attr, tri_id, d3, atlas, uni["anim_frame"], False)
+
+        def run_sort(v):
+            return morton_sort(
+                vis + v[0, 0] * 0, bbox, alive_f, tri_id, width, height,
+                extra=table,
+            )
+
+        out["pack_morton_ms"] = round(_chain(run_sort, perturb_view), 3)
+        vis_s, bbox_s, alive_s, _, table_s = run_sort(view)
+
+        bg = pack_background_u32(rast._bg_dev)
+        params = pack_mega_params(uni, width, height, atlas["w"], False)
+        lp = pack_light_params(ld)
+        occ = pack_occ_params(uni)
+
+        def run_mega(v):
+            return mega_render(
+                vis_s + v[0, 0] * 0, alive_s, bbox_s, table_s,
+                atlas_rows_i32(atlas["flat_u32"]), bg, params, lp, occ,
+                width, height, int(rast.sample_mode), False,
+            )
+
+        out["megakernel_ms"] = round(_chain(run_mega, perturb_view), 3)
+    else:
+        from .ops.shade import shade_pass
+        from .ops.visibility import visibility_pass
+
+        def run_vis(v):
+            return visibility_pass(vis + v[0, 0] * 0, alive_f, width, height)
+
+        out["visibility_ms"] = round(_chain(run_vis, perturb_view), 3)
+        z, idx, hit = run_vis(view)
+
+        def run_shade(v):
+            return shade_pass(
+                z + v[0, 0] * 0, idx, hit, attr, tri_id, d3, atlas, ld, uni,
+                width, height, int(rast.sample_mode),
+                shaders=tuple(scene.shaders),
+            )
+
+        out["shade_ms"] = round(_chain(run_shade, perturb_view), 3)
+
+    dt = _chain(
+        lambda v: _full_frame(rast, cache, packed, ld, uni, v, width, height),
+        perturb_view,
+    )
+    out["frame_ms"] = round(dt, 3)
+    out["fps"] = round(1e3 / dt, 1)
+    return out
+
+
+def _full_frame(rast, cache, packed, ld, uni, view, width, height):
+    from .ops.raster import render_frame
+
+    u = dict(uni)
+    u["view"] = view
+    return render_frame(
+        cache["d3"], cache["d3_op"], cache["d2"], ld, cache["atlas"], u,
+        rast._bg_dev, width, height, int(rast.sample_mode), False,
+        rast.ambient_color is not None, packed.light_count > 0,
+        bool(packed.d3_opacity.valid.any()), bool(packed.d2.valid.any()),
+        (), rast.use_pallas,
+    )
