@@ -281,6 +281,46 @@ class D3Builder:
                 ck = chunk_at(verts[0][0], verts[0][2])
                 ck.terrain_batch3d = batch
 
+        # --- sky plane (map.sky_texture) ---
+        # The live reference lost `add_sky` to the SceneVM refactor (dangling
+        # call at src/scenebuilder/d3builder.rs:342-350 inside the commented
+        # legacy build); the visual contract survives in screenshot_map.png:
+        # a fullbright textured ceiling plane spanning the world.
+        if map_.sky_texture is not None:
+            src = resolve_source(PixelSource.tile_id(map_.sky_texture), assets)
+            if src is not None:
+                xs = [v.x for v in map_.vertices] or [0.0]
+                ys = [v.y for v in map_.vertices] or [0.0]
+                cx = (min(xs) + max(xs)) / 2.0
+                cz = (min(ys) + max(ys)) / 2.0
+                ext = max(max(xs) - min(xs), max(ys) - min(ys), 10.0) * 4.0
+                sky_h = 2.0
+                for l in map_.linedefs:
+                    sky_h = max(
+                        sky_h, l.properties.get_float_default("wall_height", 0.0)
+                    )
+                uv_max = ext / 8.0  # one texture repeat per 8 world units
+                quad = Batch3D(
+                    vertices=np.array(
+                        [
+                            [cx - ext, sky_h, cz - ext, 1.0],
+                            [cx + ext, sky_h, cz - ext, 1.0],
+                            [cx + ext, sky_h, cz + ext, 1.0],
+                            [cx - ext, sky_h, cz + ext, 1.0],
+                        ],
+                        np.float32,
+                    ),
+                    indices=[(0, 2, 1), (0, 3, 2)],
+                    uvs=np.array(
+                        [[0, 0], [uv_max, 0], [uv_max, uv_max], [0, uv_max]],
+                        np.float32,
+                    ),
+                    source=src,
+                    repeat_mode=RepeatMode.RepeatXY,
+                    receives_light=False,
+                )
+                chunk_at(cx, cz).batches3d.append(quad)
+
         scene.chunks = chunks
         scene.mapmini = map_.as_mini()
 

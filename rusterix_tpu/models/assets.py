@@ -142,6 +142,15 @@ class Assets:
                     with open(full, "r") as f:
                         self.config = f.read()
 
+    def get_map(self, name: str):
+        """Compiled map by name, compiling its MapScript source on first use
+        (reference src/server/assets.rs get_map + compile_source_map)."""
+        if name not in self.maps and name in self.map_sources:
+            from ..builders import compile_source_map
+
+            self.maps[name] = compile_source_map(self.map_sources[name], self)
+        return self.maps.get(name)
+
     @staticmethod
     def _sibling_toml(root: str, stem: str) -> str:
         p = os.path.join(root, stem + ".toml")

@@ -63,7 +63,9 @@ class Wavefront:
                 if ti != 0 and self.uvs:
                     uvs.append(self.uvs[resolve(ti, len(self.uvs))])
                 else:
-                    uvs.append([0.0, 0.0])
+                    # no texture coords: planar default uv = vertex (x, y)
+                    # (reference src/wavefront.rs:92-98)
+                    uvs.append([p[0], p[1]])
                 if ni != 0 and self.normals:
                     normals.append(self.normals[resolve(ni, len(self.normals))])
                 elif has_any_normal:

@@ -268,6 +268,8 @@ def _mega_kernel(
 
     kind = a_scr[18]
     repeat = a_scr[19]
+    fullbright = (repeat >= 4.0).astype(jnp.float32)
+    repeat = repeat - 4.0 * fullbright
     has_n = a_scr[20]
     rgba_cols = [a_scr[21 + c] for c in range(4)]
     amb_r, amb_g, amb_b = a_scr[25], a_scr[26], a_scr[27]
@@ -493,6 +495,11 @@ def _mega_kernel(
     out_g = _linear_to_srgb(lit_g)
     out_b = _linear_to_srgb(lit_b)
 
+    # fullbright batches bypass lighting entirely (raw sRGB texel)
+    out_r = fullbright * tex_r + (1.0 - fullbright) * out_r
+    out_g = fullbright * tex_g + (1.0 - fullbright) * out_g
+    out_b = fullbright * tex_b + (1.0 - fullbright) * out_b
+
     # ---- stage 5: distance fog (Fog render node, shapefx.rs:1071-1083) ----
     has_fog = params_ref[48]
     fog_t = has_fog * jnp.clip(
@@ -528,10 +535,14 @@ def pack_mega_table(attr_planes, tri_id, meta, atlas, anim_frame,
         )
         return jnp.take(atlas["rects"], tex_id, axis=0).astype(jnp.float32)
 
+    # receives_light=False rides the repeat column as +4 (decoded in-kernel)
+    repeat_enc = meta["repeat"].astype(jnp.float32) + 4.0 * (
+        meta["receives_light"] < 0.5
+    )
     cols = [
         attr_planes[:, :18],
         jnp.take(meta["kind"].astype(jnp.float32), tri_id)[:, None],
-        jnp.take(meta["repeat"].astype(jnp.float32), tri_id)[:, None],
+        jnp.take(repeat_enc, tri_id)[:, None],
         jnp.take(meta["has_normals"], tri_id)[:, None],
         jnp.take(meta["rgba"], tri_id, axis=0),
         jnp.take(meta["ambient"], tri_id, axis=0),

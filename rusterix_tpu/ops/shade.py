@@ -338,10 +338,16 @@ def shade_pass(
     # single fused row-gather: plane floats + meta fields per winning
     # triangle (separate jnp.take per field costs ~2x in gather traffic).
     # Unblended scenes drop the b/w plane + source2 meta from the gather.
+    # receives_light=False rides the repeat column (+4) so the gather width
+    # stays put; 3D fullbright batches (e.g. the sky plane) write the raw
+    # texel like the reference 2D pass does for unlit batches
+    repeat_enc = meta["repeat"].astype(jnp.float32) + 4.0 * (
+        meta["receives_light"] < 0.5
+    )
     meta_cols = [
         meta["kind"].astype(jnp.float32)[:, None],
         meta["tex_slot"].astype(jnp.float32)[:, None],
-        meta["repeat"].astype(jnp.float32)[:, None],
+        repeat_enc[:, None],
         meta["has_normals"][:, None],
         meta["shader"].astype(jnp.float32)[:, None],
         meta["rgba"],
@@ -363,6 +369,8 @@ def shade_pass(
     kind = gathered[..., n_planes + 0].astype(jnp.int32)
     tex_slot = gathered[..., n_planes + 1].astype(jnp.int32)
     repeat = gathered[..., n_planes + 2].astype(jnp.int32)
+    fullbright = repeat >= 4
+    repeat = repeat & 3
     has_n = gathered[..., n_planes + 3]
     shader_px = gathered[..., n_planes + 4].astype(jnp.int32)
     rgba = gathered[..., n_planes + 5 : n_planes + 9]
@@ -522,6 +530,8 @@ def shade_pass(
     lit = lit + emissive
 
     out_rgb = linear_to_srgb_fast(lit)
+    # fullbright batches bypass lighting entirely (raw sRGB texel)
+    out_rgb = jnp.where(fullbright[..., None], texel[..., :3], out_rgb)
 
     # distance fog on hit geometry (Fog render node, shapefx.rs:1071-1083)
     if has_fog:
