@@ -53,6 +53,63 @@ def build_cube_scene(width, height):
     return rast, scene, assets
 
 
+WOOD_SHADER = """
+fn shade() {
+    let t = time * 0.0;
+    let uv2 = uv / 3.0 - vec2(1.5);
+    let n1 = sample(uv2 + vec2(t, 0.0), "fbm_perlin");
+    let n2 = sample(uv2 * 2.0 + vec2(0.0, t*0.7), "fbm_perlin");
+    let turb = 0.65 * n1 + 0.35 * n2;
+    let rings = length(uv2) + 0.22 * (turb - 0.5) * 2.0;
+    let rings_mask = pow(1.0 - abs(sin(rings * 10.0)), 3.0);
+    color = mix(vec3(0.72, 0.52, 0.32), vec3(0.45, 0.30, 0.16), rings_mask);
+    roughness = 0.6;
+}
+"""
+
+
+def build_cube_shaded_scene(width, height):
+    """cube_shaded config (reference examples/cube_shaded.rs): procedural
+    wood rusteria shader + point light. The shader is time-independent so it
+    bakes to an atlas tile at pack time and the frame rides the megakernel."""
+    from rusterix_tpu import (
+        Assets,
+        Batch3D,
+        CullMode,
+        D3OrbitCamera,
+        Light,
+        LightType,
+        Scene,
+        VGrayGradientShader,
+    )
+    from rusterix_tpu.ops.raster import Rasterizer
+
+    scene = Scene.from_static(
+        [],
+        [
+            Batch3D.from_box(-0.5, -0.5, -0.5, 1.0, 1.0, 1.0)
+            .set_cull_mode(CullMode.Off)
+            .with_computed_normals()
+            .set_shader(0)
+        ],
+    ).set_background(VGrayGradientShader()).set_lights(
+        [
+            Light(LightType.Point)
+            .with_position([2.0, 0.8, 1.0])
+            .with_intensity(1.0)
+            .compile()
+        ]
+    )
+    scene.add_shader(WOOD_SHADER)
+    assets = Assets.default()
+    camera = D3OrbitCamera()
+    camera.set_parameter_f32("distance", 1.5)
+    rast = Rasterizer.setup(
+        None, camera.view_matrix(), camera.projection_matrix(width, height)
+    ).ambient([0.1, 0.1, 0.1, 1.0])
+    return rast, scene, assets
+
+
 MAP_SOURCE_HEADER = """
 set_default("wall_tex", "brick")
 set_default("floor_tex", "floor")
@@ -152,7 +209,7 @@ def measure_chained(rast, scene, assets, width, height, n=20):
                 packed.light_count > 0,
                 bool(packed.d3_opacity.valid.any()),
                 bool(packed.d2.valid.any()),
-                (),
+                packed.runtime_shaders,
                 rast.use_pallas,
             )
             return acc + f[0, 0, 0].astype(jnp.float32)
@@ -174,6 +231,10 @@ def main():
     dt = measure_chained(rast, scene, assets, 800, 600)
     results["cube_800x600_fps"] = round(1.0 / dt, 1)
     results["cube_800x600_mpix_s"] = round(800 * 600 / dt / 1e6, 1)
+
+    rast, scene, assets = build_cube_shaded_scene(800, 600)
+    dt = measure_chained(rast, scene, assets, 800, 600)
+    results["cube_shaded_800x600_fps"] = round(1.0 / dt, 1)
 
     rast, scene, assets = build_map_scene(1920, 1080)
     if os.environ.get("RUSTERIX_TPU_PROFILE") == "1":

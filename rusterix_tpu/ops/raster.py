@@ -603,7 +603,7 @@ class Rasterizer:
             packed.light_count > 0,
             self.render_mode.d3_active and bool(packed.d3_opacity.valid.any()),
             self.render_mode.d2_active and bool(packed.d2.valid.any()),
-            tuple(scene.shaders),
+            packed.runtime_shaders,
             self.use_pallas,
             has_sky,
             has_fog,

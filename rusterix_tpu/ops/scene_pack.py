@@ -42,6 +42,8 @@ class AtlasIndex:
     dynamic_offset: int
     entity_slots: Dict[Tuple[int, int], int]
     item_slots: Dict[Tuple[int, int], int]
+    #: scene.shaders index -> atlas slot for baked (time-independent) shaders
+    shader_slots: Dict[int, int] = None
 
     @staticmethod
     def build(assets, scene) -> "AtlasIndex":
@@ -60,12 +62,34 @@ class AtlasIndex:
             for i, tile in enumerate(seqs.values()):
                 item_slots[(item_id, i)] = len(tiles)
                 tiles.append(tile)
+        # time-independent per-batch rusteria shaders bake to atlas tiles at
+        # pack time (the reference's own chunk-shader trick, src/chunk.rs:
+        # 104-121) so shaded batches render through the uniform texture path
+        shader_slots: Dict[int, int] = {}
+        for si, prog in enumerate(getattr(scene, "shaders", []) or []):
+            if prog is None or not getattr(prog, "shade_index", False):
+                continue
+            from ..models.texture import Texture
+            from ..shader.jaxc import Rusteria
+
+            rgba = Rusteria.bake_tile(prog, 128, assets.palette, time=0.0)
+            if getattr(prog, "uses_time", False):
+                # syntactic `time` reads don't prove animation (the reference
+                # wood shader does `time * 0.0`) — bake at two times and only
+                # keep the tile if the output is provably time-independent
+                # (probe time irrational so periodic shaders can't alias)
+                rgba1 = Rusteria.bake_tile(prog, 128, assets.palette, time=0.7318531)
+                if not np.array_equal(rgba, rgba1):
+                    continue
+            shader_slots[si] = len(tiles)
+            tiles.append(Tile.from_texture(Texture(rgba)))
         return AtlasIndex(
             atlas=TextureAtlas.build(tiles),
             static_offset=static_offset,
             dynamic_offset=dynamic_offset,
             entity_slots=entity_slots,
             item_slots=item_slots,
+            shader_slots=shader_slots,
         )
 
     def resolve(self, source) -> Tuple[int, int, Tuple[float, float, float, float]]:
@@ -142,6 +166,14 @@ def pack_batches_3d(
         if not np.allclose(tf, np.eye(4)):
             verts = verts @ tf.T.astype(np.float32)
         kind, tex_slot, rgba = atlas_index.resolve(batch.source)
+        shader_idx = -1 if batch.shader is None else int(batch.shader)
+        baked = (atlas_index.shader_slots or {}).get(shader_idx)
+        if baked is not None:
+            # shader baked to an atlas tile: the batch becomes a plain
+            # textured batch sampling the bake with shader-uv = uv/4 and
+            # RepeatXY (the per-pixel path's uv convention, see shade_pass)
+            kind, tex_slot, rgba = SRC_TEXTURE, baked, (0.0, 0.0, 0.0, 1.0)
+            shader_idx = -1
         # secondary blend source (vertex-blended batches,
         # d3chunkbuilder.rs:789-806 add_poly_3d_blended)
         has_blend = batch.source2 is not None and batch.blend_weights is not None
@@ -172,6 +204,8 @@ def pack_batches_3d(
             nrm_all = (
                 batch.normals[idx] if has_n else np.zeros((len(idx), 3, 3), np.float32)
             )
+        if baked is not None:
+            uv_all = uv_all * 0.25
         if has_blend:
             bw_all = np.asarray(batch.blend_weights, np.float32)[
                 np.asarray(batch.indices, np.int64)
@@ -189,9 +223,9 @@ def pack_batches_3d(
                     kind,
                     tex_slot,
                     rgba,
-                    int(batch.repeat_mode),
+                    int(batch.repeat_mode) if baked is None else 1,  # RepeatXY
                     1.0 if batch.receives_light else 0.0,
-                    -1 if batch.shader is None else int(batch.shader),
+                    shader_idx,
                     batch.ambient_color,
                     -1 if batch.profile_id is None else int(batch.profile_id),
                     0.0 if opaque else 1.0,
@@ -390,6 +424,9 @@ class PackedScene:
     atlas_index: AtlasIndex = None
     light_count: int = 0
     occlusion: dict = None
+    #: scene.shaders entries still needed per-pixel after pack-time baking
+    #: (time-dependent programs and 2D-batch shaders); () when all baked
+    runtime_shaders: tuple = ()
 
     @staticmethod
     def from_scene(
@@ -407,6 +444,16 @@ class PackedScene:
         packed_lights = pack_lights(
             lights, light_capacity if light_capacity is not None else next_pow2(len(lights), lo=4)
         )
+        used = set(np.unique(d3.shader[d3.valid > 0.5]).tolist())
+        used |= set(np.unique(d3_op.shader[d3_op.valid > 0.5]).tolist())
+        d2_shader = getattr(d2, "shader", None)
+        if d2_shader is not None:
+            used |= set(np.unique(d2_shader[d2.valid > 0.5]).tolist())
+        used.discard(-1)
+        progs = list(getattr(scene, "shaders", []) or [])
+        runtime = tuple(p if i in used else None for i, p in enumerate(progs))
+        if not any(runtime):
+            runtime = ()
         return PackedScene(
             d3=d3,
             d3_opacity=d3_op,
@@ -416,4 +463,5 @@ class PackedScene:
             atlas_index=atlas_index,
             light_count=len(lights),
             occlusion=pack_occlusion(scene),
+            runtime_shaders=runtime,
         )

@@ -122,7 +122,7 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
             return shade_pass(
                 z + v[0, 0] * 0, idx, hit, attr, tri_id, d3, atlas, ld, uni,
                 width, height, int(rast.sample_mode),
-                shaders=tuple(scene.shaders),
+                shaders=packed.runtime_shaders,
             )
 
         out["shade_ms"] = round(_chain(run_shade, perturb_view), 3)

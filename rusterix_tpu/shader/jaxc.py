@@ -683,17 +683,26 @@ class Program:
         self.module = module
         self.functions = module.functions()
         self.shade_index = "shade" in self.functions
-        self.supports_opacity = self._scan_opacity(module.stmts)
+        self.supports_opacity = self._scan(
+            module.stmts,
+            lambda n: isinstance(n, A.Assign)
+            and isinstance(n.target, A.Ident)
+            and n.target.name == "opacity",
+        )
+        #: True when the shader reads `time` — such programs cannot be baked
+        #: to a static atlas tile and stay on the per-pixel path
+        self.uses_time = self._scan(
+            module.stmts, lambda n: isinstance(n, A.Ident) and n.name == "time"
+        )
         self._bank_dev = None
 
-    def _scan_opacity(self, stmts) -> bool:
+    def _scan(self, stmts, pred) -> bool:
         found = False
 
         def walk(node):
             nonlocal found
-            if isinstance(node, A.Assign) and isinstance(node.target, A.Ident):
-                if node.target.name == "opacity":
-                    found = True
+            if pred(node):
+                found = True
             for attr in getattr(node, "__dict__", {}).values():
                 if isinstance(attr, list):
                     for x in attr:
@@ -716,7 +725,12 @@ class Program:
 
     def pattern_bank_dev(self):
         if self._bank_dev is None:
-            self._bank_dev = jnp.asarray(pattern_bank())
+            import jax
+
+            # concrete even when first touched inside a jit trace — caching
+            # a traced constant would leak the tracer into later traces
+            with jax.ensure_compile_time_eval():
+                self._bank_dev = jnp.asarray(pattern_bank())
         return self._bank_dev
 
     def run_globals(self, ev: Evaluator):
@@ -795,3 +809,44 @@ class Rusteria:
             return jnp.broadcast_to(out["color"], (height, width, 3))
 
         return np.asarray(run())
+
+    @staticmethod
+    def bake_tile(program: Program, size: int = 128, palette=None,
+                  time: float = 0.0) -> np.ndarray:
+        """Bake fn shade() to a (size, size, 4) RGBA8 texture over shader-uv
+        [0,1)^2 — the reference's chunk-shader pre-bake (src/chunk.rs:104-121)
+        generalized to per-batch shaders so shaded batches stay on the
+        uniform texture path. Alpha comes from the shader's opacity register
+        when the program writes it."""
+        import jax
+
+        @jax.jit
+        def run():
+            u = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+            uu, vv = jnp.meshgrid(u, u)
+            zeros = jnp.zeros((size, size), jnp.float32)
+
+            def r3(x):
+                return jnp.stack([x, x, x], axis=-1)
+
+            state = {
+                "uv": jnp.stack([uu, vv, zeros], axis=-1),
+                "color": r3(zeros),
+                "roughness": r3(zeros + 0.5),
+                "metallic": r3(zeros),
+                "emissive": r3(zeros),
+                "opacity": r3(zeros + 1.0),
+                "bump": r3(zeros),
+                "normal": r3(zeros),
+                "hitpoint": r3(zeros),
+                "time": r3(zeros + time),
+            }
+            out = program.shade(state, palette)
+            rgb = jnp.broadcast_to(out["color"], (size, size, 3))
+            a = jnp.broadcast_to(out["opacity"], (size, size, 3))[..., :1]
+            return jnp.concatenate([rgb, a], axis=-1)
+
+        rgba = np.array(run())  # copy: jax buffers are read-only views
+        if not program.supports_opacity:
+            rgba[..., 3] = 1.0
+        return (np.clip(rgba, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)

@@ -1,0 +1,105 @@
+"""Pack-time shader baking: time-independent rusteria shaders become atlas
+tiles (reference chunk-shader trick, src/chunk.rs:104-121) so shader frames
+ride the uniform texture path — including the Pallas megakernel."""
+
+import numpy as np
+
+from rusterix_tpu import (
+    Assets,
+    Batch3D,
+    CullMode,
+    D3OrbitCamera,
+    PixelSource,
+    Scene,
+)
+from rusterix_tpu.ops.raster import Rasterizer
+from rusterix_tpu.ops.scene_pack import PackedScene
+
+W, H = 96, 64
+
+STATIC_WOOD = """
+fn shade() {
+    let t = time * 0.0;
+    let uv2 = uv / 3.0 - vec2(1.5);
+    let n1 = sample(uv2 + vec2(t, 0.0), "fbm_perlin");
+    color = mix(vec3(0.72, 0.52, 0.32), vec3(0.45, 0.30, 0.16), n1);
+}
+"""
+
+ANIMATED = """
+fn shade() {
+    color = vec3(fract(time * 0.31), 0.2, 0.4);
+}
+"""
+
+
+def _scene(shader_src):
+    scene = Scene.from_static(
+        [],
+        [
+            Batch3D.from_box(-0.6, -0.6, -0.6, 1.2, 1.2, 1.2)
+            .set_cull_mode(CullMode.Off)
+            .with_computed_normals()
+            .set_shader(0)
+        ],
+    )
+    scene.add_shader(shader_src)
+    return scene
+
+
+def _rast():
+    cam = D3OrbitCamera()
+    cam.set_parameter_f32("distance", 2.2)
+    return Rasterizer.setup(
+        None, cam.view_matrix(), cam.projection_matrix(W, H)
+    ).ambient([0.4, 0.4, 0.4, 1.0])
+
+
+def test_static_shader_bakes_out_of_runtime():
+    scene = _scene(STATIC_WOOD)
+    packed = PackedScene.from_scene(scene, Assets.default())
+    assert packed.runtime_shaders == ()
+    assert packed.atlas_index.shader_slots == {0: len(Assets.default().tile_list)}
+    # the baked batch became a textured batch
+    valid = packed.d3.valid > 0.5
+    assert (packed.d3.shader[valid] == -1).all()
+    assert (packed.d3.tex_slot[valid] == packed.atlas_index.shader_slots[0]).all()
+
+
+def test_animated_shader_stays_runtime():
+    scene = _scene(ANIMATED)
+    packed = PackedScene.from_scene(scene, Assets.default())
+    assert packed.atlas_index.shader_slots == {}
+    assert len(packed.runtime_shaders) == 1
+    assert packed.runtime_shaders[0] is scene.shaders[0]
+
+
+def test_baked_shader_mega_vs_xla_parity():
+    """Shader frames now take the megakernel; both backends sample the same
+    baked tile, so frames agree to <=1 u8 step."""
+    scene = _scene(STATIC_WOOD)
+    frames = []
+    for use in (False, True):
+        rast = _rast()
+        rast.use_pallas = use
+        frames.append(rast.rasterize(scene, W, H, 32, Assets.default()).astype(int))
+    assert np.abs(frames[0] - frames[1]).max() <= 1
+
+
+def test_animated_shader_varies_with_time():
+    scene = _scene(ANIMATED)
+    rast = _rast()
+    rast.use_pallas = False
+    f0 = rast.rasterize(scene, W, H, 32, Assets.default())
+    rast.set_time(0.5)
+    f1 = rast.rasterize(scene, W, H, 32, Assets.default())
+    assert (f0 != f1).any()
+
+
+def test_baked_render_shows_shader_colors():
+    """The baked wood shader actually colors the cube (warm browns)."""
+    scene = _scene(STATIC_WOOD)
+    rast = _rast()
+    f = rast.rasterize(scene, W, H, 32, Assets.default())
+    center = f[H // 2 - 8 : H // 2 + 8, W // 2 - 8 : W // 2 + 8, :3].mean(axis=(0, 1))
+    assert center[0] > center[2] + 10  # red-leaning wood tones
