@@ -15,6 +15,7 @@ from .models import (  # noqa: F401
     CompiledLight,
     CullMode,
     D3Camera,
+    DaylightSimulation,
     D3FirstPCamera,
     D3IsoCamera,
     D3OrbitCamera,
@@ -30,6 +31,7 @@ from .models import (  # noqa: F401
     PixelSourceKind,
     PrimitiveMode,
     Ray,
+    RenderSettings,
     RepeatMode,
     SampleMode,
     Scene,

@@ -79,6 +79,10 @@ class Client:
         self.camera_d3 = D3FirstPCamera()
         self.draw2d = Draw2D()
         self.daylight = Daylight()
+        #: optional RenderSettings applied to every 3D draw
+        #: (reference SceneHandler.settings, scene_handler.rs:70)
+        self.render_settings = None
+        self.hour = 12.0
         self.msg_parser = MsgParser()
         self.messages: List[Tuple[float, str]] = []
         self.player_id: Optional[int] = None
@@ -257,6 +261,8 @@ class Client:
         view = self.camera_d3.view_matrix()
         proj = self.camera_d3.projection_matrix(width, height)
         rast = Rasterizer.setup(None, view, proj)
+        if self.render_settings is not None:
+            rast.apply_render_settings(self.render_settings, hour=self.hour)
         if ambient is not None:
             rast.ambient(ambient)
         return rast.rasterize(self.scene, width, height, 128, assets)

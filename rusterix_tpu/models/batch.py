@@ -85,15 +85,42 @@ class PixelSourceKind(enum.IntEnum):
     ShapeFXGraphId = 11
 
 
-@dataclass
 class PixelSource:
-    kind: PixelSourceKind = PixelSourceKind.Off
-    # payloads (meaning depends on kind)
-    index: int = 0  # StaticTileIndex/DynamicTileIndex index; EntityTile/ItemTile seq index
-    entity_id: int = 0  # EntityTile/ItemTile id
-    pixel: tuple = (0, 0, 0, 255)  # Pixel/Color RGBA8
-    uuid: Optional[str] = None  # TileId / MaterialId / ShapeFXGraphId
-    name: Optional[str] = None  # Sequence
+    """Pixel-source descriptor (reference src/map/pixelsource.rs:23-37).
+
+    NOT a dataclass: the `pixel` payload field shares its name with the
+    `PixelSource.pixel(...)` variant constructor (mirroring the reference
+    enum), so __init__ must set the instance attribute explicitly — a
+    dataclass would capture the staticmethod as the field default."""
+
+    def __init__(
+        self,
+        kind: PixelSourceKind = PixelSourceKind.Off,
+        index: int = 0,  # StaticTileIndex/DynamicTileIndex; EntityTile seq
+        entity_id: int = 0,  # EntityTile/ItemTile id
+        pixel: tuple = (0, 0, 0, 255),  # Pixel/Color RGBA8
+        uuid: Optional[str] = None,  # TileId / MaterialId / ShapeFXGraphId
+        name: Optional[str] = None,  # Sequence
+    ):
+        self.kind = kind
+        self.index = index
+        self.entity_id = entity_id
+        self.pixel = pixel
+        self.uuid = uuid
+        self.name = name
+
+    def _key(self):
+        return (self.kind, self.index, self.entity_id, self.pixel, self.uuid,
+                self.name)
+
+    def __eq__(self, other):
+        return isinstance(other, PixelSource) and self._key() == other._key()
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __repr__(self):
+        return f"PixelSource(kind={self.kind!r}, index={self.index})"
 
     # Constructors mirroring the reference enum variants
     @staticmethod

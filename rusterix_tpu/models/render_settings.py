@@ -66,12 +66,19 @@ class RenderSettings:
             data = tomllib.loads(text)
         except Exception:
             return rs
+        def color(v):
+            """[r,g,b] floats or '#RRGGBB' hex (the example file uses hex)."""
+            if isinstance(v, str):
+                h = v.lstrip("#")
+                return tuple(int(h[i : i + 2], 16) / 255.0 for i in (0, 2, 4))
+            return tuple(float(x) for x in v)
+
         r = data.get("render", data)
         for key in (
             "sky_color", "sun_color", "sun_direction", "ambient_color", "fog_color",
         ):
             if key in r:
-                setattr(rs, key, tuple(float(x) for x in r[key]))
+                setattr(rs, key, color(r[key]))
         for key in (
             "sun_intensity", "ambient_strength", "fog_density", "ao_samples",
             "ao_radius", "bump_strength", "max_transparency_bounces",
@@ -82,7 +89,8 @@ class RenderSettings:
                 setattr(rs, key, float(r[key]))
         if "sun_enabled" in r:
             rs.sun_enabled = bool(r["sun_enabled"])
-        d = data.get("daylight", {})
+        # the example file names the table [simulation]; accept both
+        d = data.get("simulation", data.get("daylight", {}))
         sim = rs.simulation
         if d:
             sim.enabled = bool(d.get("enabled", True))
@@ -92,7 +100,7 @@ class RenderSettings:
                 "midday_sun_color", "evening_sun_color",
             ):
                 if key in d:
-                    setattr(sim, key, tuple(float(x) for x in d[key]))
+                    setattr(sim, key, color(d[key]))
             sim.sunrise_time = float(d.get("sunrise_time", sim.sunrise_time))
             sim.sunset_time = float(d.get("sunset_time", sim.sunset_time))
         return rs

@@ -13,14 +13,14 @@ texel fetch rides the VPU with everything else and the intermediate
 (32,H,W) attribute image + its HBM round trip disappear.
 
 Stages inside one grid step (one VMEM-resident tile):
-  1. hierarchical visibility scan (super-chunk/chunk bbox skip, identical
-     semantics to visibility_pallas._attr_kernel): z + winner attr channels
+  1. hierarchical visibility scan (super-chunk/chunk bbox skip, same
+     semantics as visibility_pallas._kernel): z + winner attr channels
   2. plane-form attribute interpolation (inv_w, u, v, normal)
   3. texel resolve from the atlas: per-pixel flat index -> (row, lane) split;
      fori_loop over the tile's [min_row, max_row] with one lane-gather +
      select per row (nearest) or four (bilinear)   [texture.rs:203-460]
-  4. the full lighting chain of shade_pallas._kernel (ambient hemisphere,
-     sun BRDF, occlusion boxes, unrolled light loop) [rasterizer.rs:1319-1412]
+  4. the full per-pixel lighting chain (ambient hemisphere, sun BRDF,
+     occlusion boxes, unrolled light loop)           [rasterizer.rs:1319-1412]
   5. optional distance fog on hit pixels            [shapefx.rs:1071-1083]
   6. compose over the packed-u32 background + RGBA8 quantize
      [rasterizer.rs:1400-1412 write + lib.rs:63-68 rounding]
@@ -191,7 +191,7 @@ def _mega_kernel(
     yg = rows_f + (y0.astype(jnp.float32) + 0.5)
     xg = cols_f + (x0.astype(jnp.float32) + 0.5)
 
-    # ---- stage 1: visibility scan (visibility_pallas._attr_kernel) ----
+    # ---- stage 1: visibility scan (hierarchy of visibility_pallas) ----
     zeff_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
     idx_scr[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
     a_scr[:] = jnp.zeros((n_attr, TILE_H, TILE_W), jnp.float32)
@@ -294,7 +294,7 @@ def _mega_kernel(
         tex = [a * (1.0 - blend_on) + b * blend_on for a, b in zip(tex, tex2)]
     tex_r, tex_g, tex_b, tex_a = tex
 
-    # ---- stage 4: lighting (shade_pallas._kernel body) ----
+    # ---- stage 4: lighting (rasterizer.rs:1319-1412 + light.rs:491-653) ----
     width = params_ref[41]
     height = params_ref[42]
     x_ndc = 2.0 * (xg / width) - 1.0
@@ -393,7 +393,10 @@ def _mega_kernel(
     slen = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
     inv_slen = 1.0 / jnp.maximum(slen, 1e-30)
     day = params_ref[47]
-    sr, sg, sb = brdf(sdx * inv_slen, sdy * inv_slen, sdz * inv_slen, day, day, day)
+    sr, sg, sb = brdf(
+        sdx * inv_slen, sdy * inv_slen, sdz * inv_slen,
+        day * params_ref[55], day * params_ref[56], day * params_ref[57],
+    )
     lit_r += has_sun * sr
     lit_g += has_sun * sg
     lit_b += has_sun * sb
@@ -559,10 +562,46 @@ def pack_mega_table(attr_planes, tri_id, meta, atlas, anim_frame,
     return jnp.concatenate(cols, axis=1)
 
 
+def pack_light_params(lights) -> jnp.ndarray:
+    """SoA light dict -> (L, 24) scalar-prefetch array. Light-type dispatch
+    uses host-precomputed one-hot floats (slots 3/21/22/23): scalar-pred
+    selects over vector operands don't legalize in Mosaic."""
+    L = lights["position"].shape[0]
+    out = jnp.zeros((L, 24), jnp.float32)
+    out = out.at[:, 0:3].set(lights["position"])
+    t = lights["type"].astype(jnp.int32)
+    out = out.at[:, 3].set((t == 0).astype(jnp.float32))  # one-hot point
+    out = out.at[:, 21].set(((t == 1) | (t == 2)).astype(jnp.float32))
+    out = out.at[:, 22].set((t == 3).astype(jnp.float32))
+    out = out.at[:, 23].set((t == 4).astype(jnp.float32))
+    out = out.at[:, 4].set(lights["start"])
+    out = out.at[:, 5].set(lights["end"])
+    out = out.at[:, 6].set(lights["intensity"] * lights["flicker_factor"])
+    out = out.at[:, 7:10].set(lights["color"])
+    out = out.at[:, 10:13].set(lights["direction"])
+    out = out.at[:, 13].set(jnp.cos(lights["cone_angle"]))
+    out = out.at[:, 14].set(lights["width"])
+    out = out.at[:, 15].set(lights["height"])
+    out = out.at[:, 16:19].set(lights["normal"])
+    out = out.at[:, 19].set(lights["from_linedef"])
+    out = out.at[:, 20].set(lights["valid"])
+    return out
+
+
+def pack_occ_params(uniforms) -> jnp.ndarray:
+    """Occluded-sector boxes -> (B, 5) [x0 z0 x1 z1 value] (mini.rs:57)."""
+    if "occ_box" in uniforms:
+        return jnp.concatenate(
+            [uniforms["occ_box"], uniforms["occ_val"][:, None]], axis=1
+        )
+    # one inverted dummy box (matches no pixel)
+    return jnp.array([[1e9, 1e9, -1e9, -1e9, 1.0]], jnp.float32)
+
+
 def pack_mega_params(uniforms, width: int, height: int, atlas_w,
                      has_fog: bool = False) -> jnp.ndarray:
-    """shade_pallas.pack_shade_params layout, extended with fog at 48-53 and
-    the atlas row width at 54."""
+    """inv_proj/inv_view/camera/ambient/sun scalars + fog at 48-53 and the
+    atlas row width at 54 -> (64,) SMEM array."""
     p = jnp.zeros(64, jnp.float32)
     p = p.at[0:16].set(uniforms["inv_proj"].reshape(-1))
     p = p.at[16:32].set(uniforms["inv_view"].reshape(-1))
@@ -579,6 +618,7 @@ def pack_mega_params(uniforms, width: int, height: int, atlas_w,
     p = p.at[52].set(uniforms["fog_end"])
     p = p.at[53].set(uniforms["fog_fade"])
     p = p.at[54].set(jnp.asarray(atlas_w, jnp.float32))
+    p = p.at[55:58].set(uniforms.get("sun_color", jnp.ones(3, jnp.float32)))
     return p
 
 
@@ -613,7 +653,7 @@ def mega_render(
 ):
     """One composed opaque frame -> (rgba_u32 (H,W) i32, z_eff (H,W) f32).
 
-    Inputs follow visibility_attr_pass_pallas: Morton-sorted candidate
+    Inputs are Morton-sorted candidate
     planes/bbox/alive plus the mega attr table; atlas_rows from
     atlas_rows_i32; bg_u32 from pack_background_u32."""
     t2 = vis_planes.shape[0]

@@ -158,11 +158,12 @@ def render_frame(
             atlas_rows_i32,
             mega_render,
             pack_background_u32,
+            pack_light_params,
             pack_mega_params,
             pack_mega_table,
+            pack_occ_params,
             unpack_frame_u32,
         )
-        from .shade_pallas import pack_light_params, pack_occ_params
         from .visibility_pallas import morton_sort
 
         table = pack_mega_table(
@@ -312,7 +313,9 @@ class Rasterizer:
         self.hour = 12.0
         self.time = 0.0
         self.sun_dir: Optional[np.ndarray] = None
+        self.sun_color: Optional[np.ndarray] = None
         self.day_factor = 0.0
+        self._rs_has_fog = False
         self.hash_anim = 0
         self.render_graph = None
         self.mapmini = None
@@ -356,6 +359,40 @@ class Rasterizer:
 
     def set_time(self, t: float) -> "Rasterizer":
         self.time = t
+        return self
+
+    def apply_render_settings(self, rs, hour: float = None) -> "Rasterizer":
+        """Plumb a RenderSettings block into the renderer uniforms
+        (reference src/render_settings.rs:10-120 + apply_hour :282).
+
+        sky_color -> background fill; sun -> directional sun radiance;
+        ambient_color*strength -> hemisphere ambient; fog_density -> the
+        distance-fog blend (density d == fog factor clip(dist*d))."""
+        if hour is not None:
+            self.hour = hour
+        if rs.simulation.enabled:
+            rs.apply_hour(self.hour)
+        self.background_color = tuple(
+            int(round(c * 255.0)) for c in rs.sky_color
+        ) + (255,)
+        if rs.sun_enabled:
+            self.sun_dir = np.asarray(rs.sun_direction, np.float32)
+            self.sun_color = np.asarray(rs.sun_color, np.float32)
+            self.day_factor = float(rs.sun_intensity)
+        else:
+            self.sun_dir = None
+            self.day_factor = 0.0
+        amb = np.asarray(rs.ambient_color, np.float32) * float(rs.ambient_strength)
+        self.ambient_color = np.concatenate([amb, [1.0]]).astype(np.float32)
+        if rs.fog_density > 0.0:
+            self._rs_has_fog = True
+            self._fog_color = np.asarray(
+                tuple(rs.fog_color) + (1.0,), np.float32
+            )
+            self._fog_end = 0.0
+            self._fog_fade = 1.0 / max(float(rs.fog_density), 1e-6)
+        else:
+            self._rs_has_fog = False
         return self
 
     # -- helpers --
@@ -412,6 +449,9 @@ class Rasterizer:
             else np.zeros(4, np.float32)
         )
         sun = self.sun_dir if self.sun_dir is not None else np.array([0, -1, 0], np.float32)
+        sun_c = (
+            self.sun_color if self.sun_color is not None else np.ones(3, np.float32)
+        )
         return {
             "view": jnp.asarray(self.view_matrix),
             "proj": jnp.asarray(self.projection_matrix),
@@ -421,6 +461,7 @@ class Rasterizer:
             "ambient": jnp.asarray(amb, jnp.float32),
             "has_ambient": jnp.float32(1.0 if self.ambient_color is not None else 0.0),
             "sun_dir": jnp.asarray(sun, jnp.float32),
+            "sun_color": jnp.asarray(sun_c, jnp.float32),
             "day_factor": jnp.float32(self.day_factor),
             "has_sun": jnp.float32(1.0 if (self.sun_dir is not None and self.day_factor > 0) else 0.0),
             "anim_frame": jnp.int32(scene.animation_frame),
@@ -481,7 +522,7 @@ class Rasterizer:
         # Sky contributes sun_dir/day_factor/ambient + the miss pass;
         # Fog contributes the distance blend on hit geometry.
         has_sky = False
-        has_fog = False
+        has_fog = self._rs_has_fog
         sky_pre = None
         self._sky_node = None
         if self.render_graph is not None:

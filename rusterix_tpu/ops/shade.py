@@ -314,7 +314,6 @@ def shade_pass(
     shaders: tuple = (),
     has_fog: bool = False,
     has_blend: bool = False,
-    use_pallas_tail: bool = False,
 ):
     """Shade every pixel from its winning triangle.
 
@@ -324,14 +323,6 @@ def shade_pass(
     row-sharded framebuffers (height = local rows, full_height = screen)."""
     if full_height is None:
         full_height = height
-    # Fused Pallas lighting tail (no-shader/no-fog frames): gathers run
-    # channel-major and the entire post-texel lighting chain executes per
-    # 64x128 VMEM tile — see ops/shade_pallas.py and _pallas_tail_path.
-    if use_pallas_tail and not shaders and not has_fog and y0 == 0:
-        return _pallas_tail_path(
-            z, idx, hit, attr_planes, tri_id, meta, atlas, lights, uniforms,
-            width, height, sample_mode, has_blend, full_height,
-        )
     slot = jnp.maximum(idx, 0)
     t = take_iso(tri_id, slot)  # (H,W) source triangle index
 
@@ -491,6 +482,9 @@ def shade_pass(
     lit = lit + has_ambient * sky * kd * hemi[..., None]
 
     shin6 = 6 if not shaders else None  # roughness fixed at 0.5 w/o shaders
+    sun_radiance = uniforms["day_factor"] * uniforms.get(
+        "sun_color", jnp.ones(3, jnp.float32)
+    )
     sun = shade_fast_brdf(
         base,
         roughness,
@@ -499,7 +493,7 @@ def shade_pass(
         normal,
         view_dir,
         _normalize(-uniforms["sun_dir"][None, None, :]),
-        uniforms["day_factor"],
+        sun_radiance,
         static_shininess=shin6,
     )
     lit = lit + jnp.where(uniforms["has_sun"] > 0.5, sun, 0.0)
@@ -546,363 +540,5 @@ def shade_pass(
 
     # u8 quantization decides the alpha==255 write test (rasterizer.rs:1404)
     a_u8 = jnp.floor(jnp.clip(opacity, 0.0, 1.0) * 255.0 + 0.5)
-    wrote = hit & (a_u8 >= 255.0)
-    return out, wrote
-
-
-def _pallas_tail_path(
-    z, idx, hit, attr_planes, tri_id, meta, atlas, lights, uniforms,
-    width, height, sample_mode, has_blend, full_height,
-):
-    """Front-end for the fused Pallas lighting tail.
-
-    Uses the SAME fused row-gather + texel resolve as the XLA path (that
-    layout measured fastest), then hands the kernel 12 separate padded 2D
-    channel arrays — one (C,H,W) array would need full-frame transposes that
-    cost more than the lighting itself (35ms -> 65ms measured)."""
-    from .shade_pallas import (
-        TILE_H,
-        TILE_W,
-        pack_light_params,
-        pack_occ_params,
-        pack_shade_params,
-        shade_tail_pallas,
-    )
-
-    slot = jnp.maximum(idx, 0)
-    meta_cols = [
-        meta["kind"].astype(jnp.float32)[:, None],
-        meta["tex_slot"].astype(jnp.float32)[:, None],
-        meta["repeat"].astype(jnp.float32)[:, None],
-        meta["has_normals"][:, None],
-        meta["rgba"],
-        meta["ambient"],
-    ]
-    if has_blend:
-        meta_cols += [
-            meta["kind2"].astype(jnp.float32)[:, None],
-            meta["tex_slot2"].astype(jnp.float32)[:, None],
-            meta["rgba2"],
-        ]
-    n_planes = 21 if has_blend else 18
-    meta_mat = jnp.concatenate(meta_cols, axis=1)
-    fused = jnp.concatenate(
-        [attr_planes[..., :n_planes], jnp.take(meta_mat, tri_id, axis=0)], axis=1
-    )
-    gathered = take_iso(fused, slot)  # (H,W,C)
-    planes = gathered[..., :n_planes]
-    kind = gathered[..., n_planes + 0].astype(jnp.int32)
-    tex_slot = gathered[..., n_planes + 1].astype(jnp.int32)
-    repeat = gathered[..., n_planes + 2].astype(jnp.int32)
-    has_n = gathered[..., n_planes + 3]
-    rgba = gathered[..., n_planes + 4 : n_planes + 8]
-    batch_ambient = gathered[..., n_planes + 8 : n_planes + 11]
-
-    px = jnp.broadcast_to(
-        jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5, (height, width)
-    )
-    py = jnp.broadcast_to(
-        jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5, (height, width)
-    )
-
-    def interp(i):
-        return planes[..., 3 * i] * px + planes[..., 3 * i + 1] * py + planes[..., 3 * i + 2]
-
-    inv_w = interp(0)
-    u = interp(1) / inv_w
-    v = interp(2) / inv_w
-
-    texel = resolve_texel(
-        kind, tex_slot, rgba, repeat, u, v, atlas, uniforms["anim_frame"], sample_mode
-    )
-    if has_blend:
-        kind2 = gathered[..., n_planes + 11].astype(jnp.int32)
-        tex_slot2 = gathered[..., n_planes + 12].astype(jnp.int32)
-        rgba2 = gathered[..., n_planes + 13 : n_planes + 17]
-        b_w = jnp.clip(interp(6) / inv_w, 0.0, 1.0)
-        texel2 = resolve_texel(
-            kind2, tex_slot2, rgba2, repeat, u, v, atlas,
-            uniforms["anim_frame"], sample_mode,
-        )
-        blended = texel * (1.0 - b_w[..., None]) + texel2 * b_w[..., None]
-        texel = jnp.where((kind2 >= 0)[..., None], blended, texel)
-
-    hp = -(-height // TILE_H) * TILE_H
-    wp = -(-width // TILE_W) * TILE_W
-
-    def padded(a):
-        if hp == height and wp == width:
-            return a
-        return jnp.pad(a, ((0, hp - height), (0, wp - width)))
-
-    channels = [
-        padded(z),
-        padded(texel[..., 0]),
-        padded(texel[..., 1]),
-        padded(texel[..., 2]),
-        padded(texel[..., 3]),
-        padded(interp(3)),
-        padded(interp(4)),
-        padded(interp(5)),
-        padded(has_n),
-        padded(batch_ambient[..., 0]),
-        padded(batch_ambient[..., 1]),
-        padded(batch_ambient[..., 2]),
-    ]
-
-    interpret = jax.devices()[0].platform not in ("tpu", "axon")
-    out4 = shade_tail_pallas(
-        channels,
-        pack_shade_params(uniforms, width, full_height),
-        pack_light_params(lights),
-        pack_occ_params(uniforms),
-        width,
-        height,
-        interpret=interpret,
-    )
-    out = jnp.moveaxis(out4[:, :height, :width], 0, -1)
-    a_u8 = jnp.floor(jnp.clip(texel[..., 3], 0.0, 1.0) * 255.0 + 0.5)
-    wrote = hit & (a_u8 >= 255.0)
-    return out, wrote
-
-
-def _resolve_texel_channels(
-    kind, tex_slot, rgba_ch, repeat, u, v, atlas, anim_frame, sample_mode: int
-):
-    """resolve_texel, channel-split: returns [r, g, b, a] as (H,W) arrays.
-    One 1-channel gather per output channel keeps every array 2D."""
-    uu, vv = apply_repeat(u, v, repeat)
-    slot_i = jnp.maximum(tex_slot, 0)
-    tex_id = take_iso(atlas["tile_first"], slot_i) + jnp.remainder(
-        anim_frame, jnp.maximum(take_iso(atlas["tile_count"], slot_i), 1)
-    )
-    r = take_iso(atlas["rects"], tex_id)
-    rx, ry, rw, rh = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
-    flat_t = atlas["flat"].T  # (4, AH*AW)
-
-    if sample_mode == 0:
-        tx = jnp.clip(
-            _round_half_away(uu * (rw.astype(jnp.float32) - 1.0)).astype(jnp.int32),
-            0, rw - 1,
-        )
-        ty = jnp.clip(
-            _round_half_away(vv * (rh.astype(jnp.float32) - 1.0)).astype(jnp.int32),
-            0, rh - 1,
-        )
-        flat = (ry + ty) * atlas["w"] + (rx + tx)
-        tex = [
-            take_iso(flat_t[c], flat).astype(jnp.float32) for c in range(4)
-        ]
-    else:
-        x = uu * (rw.astype(jnp.float32) - 1.0)
-        y = vv * (rh.astype(jnp.float32) - 1.0)
-        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, rw - 1)
-        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, rh - 1)
-        x1 = jnp.minimum(x0 + 1, rw - 1)
-        y1 = jnp.minimum(y0 + 1, rh - 1)
-        dx = x - jnp.floor(x)
-        dy = y - jnp.floor(y)
-        tex = []
-        for c in range(4):
-            def at(xx, yy):
-                return take_iso(
-                    flat_t[c], (ry + yy) * atlas["w"] + (rx + xx)
-                ).astype(jnp.float32)
-            val = (
-                at(x0, y0) * (1 - dx) * (1 - dy)
-                + at(x1, y0) * dx * (1 - dy)
-                + at(x0, y1) * (1 - dx) * dy
-                + at(x1, y1) * dx * dy
-            )
-            tex.append(_round_half_away(val))
-
-    is_tex = (kind == SRC_TEXTURE).astype(jnp.float32)
-    is_pix = (kind == SRC_PIXEL).astype(jnp.float32)
-    other = 1.0 - is_tex - is_pix
-    out = []
-    for c in range(4):
-        val = is_tex * tex[c] * (1.0 / 255.0) + is_pix * rgba_ch[c]
-        if c == 3:
-            val = val + other * 1.0  # SRC_OFF -> opaque black (3D default)
-        out.append(val)
-    return out
-
-
-def pack_attr_table(attr_planes, tri_id, meta, has_blend: bool):
-    """Per-candidate attribute rows for the visibility+attr kernel:
-    [21 attr-plane floats | kind tex_slot repeat has_n rgba(4) ambient(3)]
-    (+ blend: kind2 tex_slot2 rgba2(4), padded to 40)."""
-    meta_cols = [
-        meta["kind"].astype(jnp.float32)[:, None],
-        meta["tex_slot"].astype(jnp.float32)[:, None],
-        meta["repeat"].astype(jnp.float32)[:, None],
-        meta["has_normals"][:, None],
-        meta["rgba"],
-        meta["ambient"],
-    ]
-    if has_blend:
-        meta_cols += [
-            meta["kind2"].astype(jnp.float32)[:, None],
-            meta["tex_slot2"].astype(jnp.float32)[:, None],
-            meta["rgba2"],
-        ]
-    table = jnp.concatenate(
-        [attr_planes, jnp.take(jnp.concatenate(meta_cols, axis=1), tri_id, axis=0)],
-        axis=1,
-    )
-    if table.shape[1] % 8:
-        table = jnp.pad(table, ((0, 0), (0, 8 - table.shape[1] % 8)))
-    return table
-
-
-def _texel_channels_u32(kind, tex_slot, rgba_ch, repeat, u, v, atlas, anim_frame,
-                        sample_mode: int):
-    """Texel resolve with ONE u32 gather per tap (vs a 4-element row gather):
-    TPU gathers cost per element. Returns [r,g,b,a] in 0..1 as (H,W)."""
-    uu, vv = apply_repeat(u, v, repeat)
-    slot_i = jnp.maximum(tex_slot, 0)
-    tex_id = take_iso(atlas["tile_first"], slot_i) + jnp.remainder(
-        anim_frame, jnp.maximum(take_iso(atlas["tile_count"], slot_i), 1)
-    )
-    r = take_iso(atlas["rects"], tex_id)
-    rx, ry, rw, rh = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
-    flat32 = atlas["flat_u32"]
-
-    def unpack(t32):
-        return [
-            (t32 & 0xFF).astype(jnp.float32),
-            ((t32 >> 8) & 0xFF).astype(jnp.float32),
-            ((t32 >> 16) & 0xFF).astype(jnp.float32),
-            ((t32 >> 24) & 0xFF).astype(jnp.float32),
-        ]
-
-    if sample_mode == 0:
-        tx = jnp.clip(
-            _round_half_away(uu * (rw.astype(jnp.float32) - 1.0)).astype(jnp.int32),
-            0, rw - 1,
-        )
-        ty = jnp.clip(
-            _round_half_away(vv * (rh.astype(jnp.float32) - 1.0)).astype(jnp.int32),
-            0, rh - 1,
-        )
-        tex = unpack(take_iso(flat32, (ry + ty) * atlas["w"] + (rx + tx)))
-    else:
-        x = uu * (rw.astype(jnp.float32) - 1.0)
-        y = vv * (rh.astype(jnp.float32) - 1.0)
-        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, rw - 1)
-        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, rh - 1)
-        x1 = jnp.minimum(x0 + 1, rw - 1)
-        y1 = jnp.minimum(y0 + 1, rh - 1)
-        dx = x - jnp.floor(x)
-        dy = y - jnp.floor(y)
-        c00 = unpack(take_iso(flat32, (ry + y0) * atlas["w"] + (rx + x0)))
-        c10 = unpack(take_iso(flat32, (ry + y0) * atlas["w"] + (rx + x1)))
-        c01 = unpack(take_iso(flat32, (ry + y1) * atlas["w"] + (rx + x0)))
-        c11 = unpack(take_iso(flat32, (ry + y1) * atlas["w"] + (rx + x1)))
-        tex = [
-            _round_half_away(
-                a * (1 - dx) * (1 - dy) + b * dx * (1 - dy)
-                + c * (1 - dx) * dy + d * dx * dy
-            )
-            for a, b, c, d in zip(c00, c10, c01, c11)
-        ]
-
-    is_tex = (kind == SRC_TEXTURE).astype(jnp.float32)
-    is_pix = (kind == SRC_PIXEL).astype(jnp.float32)
-    other = 1.0 - is_tex - is_pix
-    out = []
-    for c in range(4):
-        val = is_tex * tex[c] * (1.0 / 255.0) + is_pix * rgba_ch[c]
-        if c == 3:
-            val = val + other * 1.0  # SRC_OFF -> opaque black (3D default)
-        out.append(val)
-    return out
-
-
-def pallas_attr_shade(
-    z, idx, hit, attr_img, atlas, lights, uniforms,
-    width: int, height: int, sample_mode: int = 0, has_blend: bool = False,
-    full_height: int = None,
-):
-    """Shade from kernel-resolved per-pixel attribute channels: no per-pixel
-    table gather at all. attr_img (A, H, W) from visibility_attr_pass_pallas
-    with rows from pack_attr_table."""
-    from .shade_pallas import (
-        TILE_H,
-        TILE_W,
-        pack_light_params,
-        pack_occ_params,
-        pack_shade_params,
-        shade_tail_pallas,
-    )
-
-    if full_height is None:
-        full_height = height
-
-    px = jnp.broadcast_to(
-        jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5, (height, width)
-    )
-    py = jnp.broadcast_to(
-        jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5, (height, width)
-    )
-
-    def interp(i):
-        return attr_img[3 * i] * px + attr_img[3 * i + 1] * py + attr_img[3 * i + 2]
-
-    inv_w = interp(0)
-    u = interp(1) / inv_w
-    v = interp(2) / inv_w
-
-    kind = attr_img[21].astype(jnp.int32)
-    tex_slot = attr_img[22].astype(jnp.int32)
-    repeat = attr_img[23].astype(jnp.int32)
-    has_n = attr_img[24]
-    rgba_ch = attr_img[25:29]
-    ambient_ch = attr_img[29:32]
-
-    tex = _texel_channels_u32(
-        kind, tex_slot, rgba_ch, repeat, u, v, atlas,
-        uniforms["anim_frame"], sample_mode,
-    )
-    if has_blend:
-        kind2 = attr_img[32].astype(jnp.int32)
-        tex_slot2 = attr_img[33].astype(jnp.int32)
-        rgba2_ch = attr_img[34:38]
-        b_w = jnp.clip(interp(6) / inv_w, 0.0, 1.0)
-        tex2 = _texel_channels_u32(
-            kind2, tex_slot2, rgba2_ch, repeat, u, v, atlas,
-            uniforms["anim_frame"], sample_mode,
-        )
-        blend_on = (kind2 >= 0).astype(jnp.float32) * b_w
-        tex = [a * (1.0 - blend_on) + b * blend_on for a, b in zip(tex, tex2)]
-
-    hp = -(-height // TILE_H) * TILE_H
-    wp = -(-width // TILE_W) * TILE_W
-
-    def padded(a):
-        if hp == height and wp == width:
-            return a
-        return jnp.pad(a, ((0, hp - height), (0, wp - width)))
-
-    channels = [
-        padded(z),
-        padded(tex[0]), padded(tex[1]), padded(tex[2]), padded(tex[3]),
-        padded(interp(3)), padded(interp(4)), padded(interp(5)),
-        padded(has_n),
-        padded(ambient_ch[0]), padded(ambient_ch[1]), padded(ambient_ch[2]),
-    ]
-
-    interpret = jax.devices()[0].platform not in ("tpu", "axon")
-    out4 = shade_tail_pallas(
-        channels,
-        pack_shade_params(uniforms, width, full_height),
-        pack_light_params(lights),
-        pack_occ_params(uniforms),
-        width,
-        height,
-        interpret=interpret,
-    )
-    out = jnp.moveaxis(out4[:, :height, :width], 0, -1)
-    a_u8 = jnp.floor(jnp.clip(tex[3], 0.0, 1.0) * 255.0 + 0.5)
     wrote = hit & (a_u8 >= 255.0)
     return out, wrote

@@ -230,164 +230,3 @@ def pallas_supported() -> bool:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
-
-
-# ---------------------------------------------------------------------------
-# visibility + attribute resolve in one kernel
-# ---------------------------------------------------------------------------
-#
-# The XLA shade path gathers a ~30-float row per pixel from the candidate
-# table ((H,W) random indices -> 60M element-gathers ~= 25ms @1080p: TPU
-# gathers are element-at-a-time). This kernel variant instead keeps the
-# winner's attribute row as per-tile channel accumulators updated with
-# vector selects DURING the scan — the gather disappears entirely.
-
-
-def _attr_kernel(n_attr, sbox_ref, cbox_ref, planes_ref, attr_ref, z_ref, idx_ref, a_ref):
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    y0 = ti * TILE_H
-    x0 = tj * TILE_W
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    yg = rows + (y0.astype(jnp.float32) + 0.5)
-    xg = cols + (x0.astype(jnp.float32) + 0.5)
-
-    z_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
-    idx_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
-    a_ref[:] = jnp.zeros((n_attr, TILE_H, TILE_W), jnp.float32)
-
-    ns = planes_ref.shape[0] // (CHUNK * SUPER)
-
-    def super_body(s, _):
-        s_hit = (
-            (sbox_ref[s * 4 + 0] < x0 + TILE_W)
-            & (sbox_ref[s * 4 + 2] > x0)
-            & (sbox_ref[s * 4 + 1] < y0 + TILE_H)
-            & (sbox_ref[s * 4 + 3] > y0)
-        )
-
-        @pl.when(s_hit)
-        def _():
-            def chunk_body(c, _2):
-                c_hit = (
-                    (cbox_ref[c * 4 + 0] < x0 + TILE_W)
-                    & (cbox_ref[c * 4 + 2] > x0)
-                    & (cbox_ref[c * 4 + 1] < y0 + TILE_H)
-                    & (cbox_ref[c * 4 + 3] > y0)
-                )
-
-                @pl.when(c_hit)
-                def _():
-                    z = z_ref[:]
-                    idx = idx_ref[:]
-                    for k in range(CHUNK):
-                        t = c * CHUNK + k
-                        row = planes_ref[t, :]
-                        e0 = row[0] * xg + row[1] * yg + row[2]
-                        e1 = row[3] * xg + row[4] * yg + row[5]
-                        e2 = row[6] * xg + row[7] * yg + row[8]
-                        invz = row[9] * xg + row[10] * yg + row[11]
-                        zc = 1.0 / invz
-                        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (invz != 0.0)
-                        better = cov & (zc < z)
-                        z = jnp.where(better, zc, z)
-                        idx = jnp.where(better, t, idx)
-                    z_ref[:] = z
-                    idx_ref[:] = idx
-                    # winners of this chunk pull their attribute rows in
-                    masks = [idx == (c * CHUNK + k) for k in range(CHUNK)]
-                    for ch in range(n_attr):
-                        acc = a_ref[ch]
-                        for k in range(CHUNK):
-                            acc = jnp.where(
-                                masks[k], attr_ref[c * CHUNK + k, ch], acc
-                            )
-                        a_ref[ch] = acc
-
-                return 0
-
-            jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, chunk_body, 0)
-
-        return 0
-
-    jax.lax.fori_loop(0, ns, super_body, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
-def visibility_attr_pass_pallas(
-    vis_planes, alive, bbox, attr, width: int, height: int, interpret: bool = False
-):
-    """visibility_pass_pallas + in-scan winner-attribute resolve.
-
-    attr (T2, A) per-candidate attribute rows (A multiple of 8) ->
-    (z, idx, hit, attr_img (A, height+pad, width+pad))."""
-    t2 = vis_planes.shape[0]
-    n_attr = attr.shape[1]
-    group = CHUNK * SUPER
-    pad = (-t2) % group
-    if pad:
-        vis_planes = jnp.pad(vis_planes, ((0, pad), (0, 0)))
-        alive = jnp.pad(alive, (0, pad))
-        attr = jnp.pad(attr, ((0, pad), (0, 0)))
-        bbox = jnp.pad(bbox, ((0, pad), (0, 0)))
-        bbox = (
-            bbox.at[t2:, 0].set(1e9)
-            .at[t2:, 1].set(1e9)
-            .at[t2:, 2].set(-1e9)
-            .at[t2:, 3].set(-1e9)
-        )
-        t2 += pad
-
-    dead = jnp.array([0.0, 0.0, -1.0] * 3 + [0.0, 0.0, 1.0], jnp.float32)
-    planes = jnp.where((alive > 0.5)[:, None], vis_planes, dead[None, :])
-    bbox = jnp.where(
-        (alive > 0.5)[:, None],
-        bbox,
-        jnp.array([1e9, 1e9, -1e9, -1e9], jnp.float32)[None, :],
-    )
-
-    cboxes = _group_boxes(bbox, CHUNK)
-    sboxes = _group_boxes(bbox, group)
-
-    ph = -height % TILE_H
-    pw = -width % TILE_W
-    grid = ((height + ph) // TILE_H, (width + pw) // TILE_W)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (planes.shape[0], 12),
-                lambda i, j, sb, cb: (0, 0),
-                memory_space=pl.ANY if interpret else pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (attr.shape[0], n_attr),
-                lambda i, j, sb, cb: (0, 0),
-                memory_space=pl.ANY if interpret else pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, sb, cb: (i, j)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, sb, cb: (i, j)),
-            pl.BlockSpec((n_attr, TILE_H, TILE_W), lambda i, j, sb, cb: (0, i, j)),
-        ],
-    )
-
-    z, idx, attr_img = pl.pallas_call(
-        functools.partial(_attr_kernel, n_attr),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((height + ph, width + pw), jnp.float32),
-            jax.ShapeDtypeStruct((height + ph, width + pw), jnp.int32),
-            jax.ShapeDtypeStruct((n_attr, height + ph, width + pw), jnp.float32),
-        ],
-        interpret=interpret,
-    )(sboxes, cboxes, planes, attr)
-
-    z = z[:height, :width]
-    idx = idx[:height, :width]
-    return z, idx, idx >= 0, attr_img[:, :height, :width]

@@ -79,10 +79,11 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
             atlas_rows_i32,
             mega_render,
             pack_background_u32,
+            pack_light_params,
             pack_mega_params,
             pack_mega_table,
+            pack_occ_params,
         )
-        from .ops.shade_pallas import pack_light_params, pack_occ_params
 
         table = pack_mega_table(attr, tri_id, d3, atlas, uni["anim_frame"], False)
 

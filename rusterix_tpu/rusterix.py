@@ -38,11 +38,15 @@ class Rusterix:
         self.assets.set_tiles(tiles)
 
     def create_regions(self) -> None:
-        """One region per map source (reference rusterix.rs:89-95)."""
+        """One region per map source (reference rusterix.rs:89-95).
+
+        Precompiled maps already in `assets.maps` (e.g. loaded from a
+        save-game via map.persist.load_map) get regions too."""
         for name, source in self.assets.map_sources.items():
             map_ = compile_source_map(source, self.assets)
             map_.name = name
             self.assets.maps[name] = map_
+        for name, map_ in self.assets.maps.items():
             self.server.create_region_instance(
                 name,
                 map_,

@@ -562,6 +562,45 @@ class RegionInstance:
                 continue
             self.spawn_entity(entity)
 
+    def restore_entities(self, saved: list) -> None:
+        """Apply a save-game entity snapshot (map/persist.entity_to_json
+        dicts) over the live region: position/orientation/tilt, attributes,
+        inventory, equipment, wallet. Matched by entity id; unmatched saves
+        are added. Everything is marked dirty so mirrors resync on the next
+        redraw tick (the reference reloads serde-saved entities the same
+        way: full state in, delta protocol out)."""
+        from ..map.persist import entity_from_json
+        from .entity import (
+            DIRTY_EQUIPPED,
+            DIRTY_INVENTORY,
+            DIRTY_ORIENTATION,
+            DIRTY_POSITION,
+            DIRTY_TILT,
+            DIRTY_WALLET,
+        )
+
+        all_dirty = (
+            DIRTY_POSITION | DIRTY_ORIENTATION | DIRTY_TILT
+            | DIRTY_INVENTORY | DIRTY_EQUIPPED | DIRTY_WALLET
+        )
+        by_id = {e.id: e for e in self.ctx.entities}
+        for d in saved:
+            restored = entity_from_json(d)
+            live = by_id.get(restored.id)
+            if live is None:
+                self.ctx.entities.append(restored)
+                live = restored
+            else:
+                live.position = restored.position
+                live.orientation = restored.orientation
+                live.tilt = restored.tilt
+                live.attributes = restored.attributes
+                live.inventory = restored.inventory
+                live.equipped = restored.equipped
+                live.wallet = restored.wallet
+            live.dirty_flags |= all_dirty
+            live.dirty_attributes |= set(live.attributes.keys())
+
     def _build_collision(self, map_) -> None:
         cw = CollisionWorld(CHUNK_SIZE)
         per_chunk: Dict[Tuple[int, int], ChunkCollision] = {}

@@ -1,0 +1,109 @@
+"""RenderSettings -> Rasterizer plumbing (reference src/render_settings.rs:
+10-120 consumed by the SceneHandler; here apply_render_settings maps the
+block onto renderer uniforms): sky/sun/ambient/fog params and the
+DaylightSimulation apply_hour drive actual frame changes."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rusterix_tpu import (
+    Assets,
+    Batch3D,
+    CullMode,
+    D3FirstPCamera,
+    PixelSource,
+    RenderSettings,
+    Scene,
+)
+from rusterix_tpu.ops.raster import Rasterizer
+
+W, H = 128, 96
+REF_TOML = "/root/reference/render_settings_example.toml"
+
+
+def _scene():
+    # a long wall receding into the distance (fog needs depth spread)
+    return Scene.from_static(
+        [],
+        [
+            Batch3D.from_box(-0.5, 0.0, -40.0, 1.0, 3.0, 40.0)
+            .set_cull_mode(CullMode.Off)
+            .set_source(PixelSource.pixel((180, 160, 140, 255)))
+            .with_computed_normals()
+        ],
+    )
+
+
+def _render(rs=None, hour=None):
+    cam = D3FirstPCamera()
+    cam.set_parameter_vec3("position", [2.5, 1.5, 2.0])
+    cam.set_parameter_vec3("center", [0.0, 1.5, -20.0])
+    rast = Rasterizer.setup(
+        None, cam.view_matrix(), cam.projection_matrix(W, H)
+    )
+    if rs is not None:
+        rast.apply_render_settings(rs, hour=hour)
+    return rast.rasterize(_scene(), W, H, 32, Assets.default())
+
+
+def test_defaults_change_frame():
+    plain = _render()
+    lit = _render(RenderSettings())
+    assert (plain != lit).any()
+    # sky_color becomes the background fill
+    rs = RenderSettings()
+    f = _render(rs)
+    corner = f[2, 2]  # top corner = background
+    expect = [round(c * 255) for c in rs.sky_color] + [255]
+    assert np.abs(corner.astype(int) - expect).max() <= 1
+
+
+def test_fog_density_pulls_distant_pixels_to_fog_color():
+    rs_clear = RenderSettings()
+    rs_fog = RenderSettings()
+    rs_fog.fog_density = 0.08
+    rs_fog.fog_color = (1.0, 0.2, 0.2)
+    clear = _render(rs_clear).astype(int)
+    foggy = _render(rs_fog).astype(int)
+    assert (clear != foggy).any()
+    # distant geometry (top middle of the wall) approaches the fog color;
+    # the wall recedes toward the image center
+    far = foggy[H // 2 - 4, W // 2 - 20]
+    assert far[0] > far[2] + 40, far  # strongly red-shifted by fog
+
+
+def test_apply_hour_daylight_changes_frame():
+    rs_noon = RenderSettings()
+    rs_noon.simulation.enabled = True
+    rs_night = RenderSettings()
+    rs_night.simulation.enabled = True
+    noon = _render(rs_noon, hour=12.0).astype(int)
+    night = _render(rs_night, hour=23.0).astype(int)
+    assert (noon != night).any()
+    # night is darker overall and the sun intensity collapses to 0.15
+    assert night.mean() < noon.mean() - 5
+    assert rs_night.sun_intensity == pytest.approx(0.15)
+
+
+def test_sun_disabled_removes_directional_light():
+    rs_on = RenderSettings()
+    rs_on.sun_direction = (-1.0, -0.3, 0.0)  # lights the wall's +x face
+    rs_off = RenderSettings()
+    rs_off.sun_direction = rs_on.sun_direction
+    rs_off.sun_enabled = False
+    on = _render(rs_on).astype(int)
+    off = _render(rs_off).astype(int)
+    assert on[..., :3].sum() > off[..., :3].sum()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_TOML), reason="reference absent")
+def test_reference_example_toml_drives_renderer():
+    with open(REF_TOML) as f:
+        rs = RenderSettings.from_toml(f.read())
+    frame = _render(rs)
+    assert frame.shape == (H, W, 4)
+    # example file: sky #87CEEB
+    corner = frame[2, 2].astype(int)
+    assert np.abs(corner[:3] - [0x87, 0xCE, 0xEB]).max() <= 1
