@@ -264,22 +264,41 @@ class D3Builder:
                 cen = verts3[:, [0, 2]].mean(axis=0)
                 chunk_at(float(cen[0]), float(cen[1])).batches3d.append(batch)
 
-        # --- terrain ---
+        # --- terrain: bake chunk texture (tile sources + ShapeFX Colorize),
+        # run the geometry-node Height pass (Flatten), mesh with overrides
+        # (reference terrain/mod.rs:318 bake_chunk +
+        # terrain/chunk.rs:144-247 process_batch_modifiers) ---
         if map_.terrain is not None and not map_.terrain.is_empty():
+            from ..models.texture import Texture, Tile
+
+            palette = assets.palette if assets is not None else None
             for key in list(map_.terrain.chunks.keys()):
-                mesh = map_.terrain.build_mesh(key)
+                baked = map_.terrain.bake_chunk(map_, key, assets, palette=palette)
+                tex_np, height_ov = baked if baked is not None else (None, {})
+                mesh = map_.terrain.build_mesh(
+                    key, height_overrides=height_ov, chunk_uvs=tex_np is not None
+                )
                 if mesh is None:
                     continue
                 verts, indices, uvs, normals = mesh
+                if tex_np is not None:
+                    src = PixelSource.dynamic_tile_index(len(scene.dynamic_textures))
+                    scene.dynamic_textures.append(
+                        Tile.from_texture(Texture(tex_np))
+                    )
+                else:
+                    src = PixelSource.terrain()
                 batch = Batch3D(
                     vertices=verts,
                     indices=indices,
                     uvs=uvs,
                     normals=normals,
-                    source=PixelSource.terrain(),
+                    source=src,
                 )
                 ck = chunk_at(verts[0][0], verts[0][2])
                 ck.terrain_batch3d = batch
+                if tex_np is not None:
+                    ck.terrain_texture = Texture(tex_np)
 
         # --- sky plane (map.sky_texture) ---
         # The live reference lost `add_sky` to the SceneVM refactor (dangling

@@ -16,6 +16,34 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 
+def _source_patch(src, assets, size: int) -> Optional[np.ndarray]:
+    """Resolve a per-tile PixelSource to a (size,size,4) u8 patch."""
+    from ..models.batch import PixelSourceKind
+
+    if src is None or assets is None:
+        return None
+    tex = None
+    if src.kind in (PixelSourceKind.TileId, PixelSourceKind.MaterialId):
+        tile = assets.tiles.get(src.uuid)
+        if tile is not None and tile.textures:
+            tex = tile.textures[0]
+    elif src.kind == PixelSourceKind.StaticTileIndex:
+        if 0 <= src.index < len(assets.tile_list):
+            tile = assets.tile_list[src.index]
+            if tile.textures:
+                tex = tile.textures[0]
+    elif src.kind in (PixelSourceKind.Pixel, PixelSourceKind.Color):
+        patch = np.empty((size, size, 4), np.uint8)
+        patch[:] = np.asarray(src.pixel, np.uint8)
+        return patch
+    if tex is None:
+        return None
+    data = tex.data
+    ys = (np.arange(size) * data.shape[0] // size).clip(0, data.shape[0] - 1)
+    xs = (np.arange(size) * data.shape[1] // size).clip(0, data.shape[1] - 1)
+    return data[ys][:, xs]
+
+
 class TerrainBlendMode(enum.IntEnum):
     """reference src/terrain/chunk.rs:13"""
 
@@ -106,6 +134,47 @@ class Terrain:
         ln = np.linalg.norm(n)
         return n / ln if ln > 0 else np.array([0, 1, 0], np.float32)
 
+    def compute_steepness(self, x: float, y: float) -> float:
+        """1 - normal.y of the height field (reference terrain/mod.rs:64-78):
+        0 = flat, -> 1 = vertical."""
+        eps = 0.5
+        h = self.sample_height(x, y)
+        hx = self.sample_height(x + eps, y)
+        hy = self.sample_height(x, y + eps)
+        dx = (hx - h) / max(self.scale, 1e-6)
+        dy = (hy - h) / max(self.scale, 1e-6)
+        n = np.array([-dx, 1.0, -dy], np.float32)
+        n /= max(np.linalg.norm(n), 1e-20)
+        return float(1.0 - np.clip(n[1], -1.0, 1.0))
+
+    def bake_chunk(self, map_, chunk_key: Tuple[int, int], assets,
+                   pixels_per_tile: int = 8, palette=None) -> Optional[np.ndarray]:
+        """Bake one chunk's terrain texture: per-tile PixelSource fill
+        (reference terrain/mod.rs:318 bake_chunk) followed by the ShapeFX
+        geometry-node Colorize pass. -> (S,S,4) u8 or None."""
+        c = self.chunks.get(chunk_key)
+        if c is None:
+            return None
+        s = CHUNK_SIZE * pixels_per_tile
+        tex = np.zeros((s, s, 4), np.uint8)
+        tex[..., 3] = 255
+        ox, oy = c.origin
+        for (tx, ty), src in c.sources.items():
+            patch = _source_patch(src, assets, pixels_per_tile)
+            if patch is None:
+                continue
+            lx, ly = (tx - ox) * pixels_per_tile, (ty - oy) * pixels_per_tile
+            if 0 <= lx < s and 0 <= ly < s:
+                tex[ly : ly + pixels_per_tile, lx : lx + pixels_per_tile] = patch
+        heights: Dict[Tuple[int, int], float] = {}
+        if map_ is not None and getattr(map_, "shapefx_graphs", None):
+            from ..shapefx.geometry import process_chunk_modifiers
+
+            heights = process_chunk_modifiers(
+                map_, self, c, texture=tex, palette=palette
+            )
+        return tex, heights
+
     def bounds(self) -> Optional[Tuple[int, int, int, int]]:
         if not self.chunks:
             return None
@@ -135,21 +204,31 @@ class Terrain:
             t += step
         return None
 
-    def build_mesh(self, chunk_key: Tuple[int, int]):
+    def build_mesh(self, chunk_key: Tuple[int, int], height_overrides=None,
+                   chunk_uvs: bool = False):
         """One quad per tile of a chunk -> (verts4, indices, uvs, normals)
-        (reference chunk.rs:253+)."""
+        (reference chunk.rs:253+).
+
+        `height_overrides`: {(tx,ty): h} from the ShapeFX geometry-node
+        Height pass (Flatten). `chunk_uvs`: uv spans [0,1] across the whole
+        chunk (for the baked chunk texture) instead of per tile."""
         c = self.chunks.get(chunk_key)
         if c is None:
             return None
+        ov = height_overrides or {}
+
+        def hgt(tx, ty):
+            return ov.get((tx, ty), self.get_height(tx, ty))
+
         ox, oy = c.origin
         verts, uvs, normals, indices = [], [], [], []
         for ly in range(CHUNK_SIZE):
             for lx in range(CHUNK_SIZE):
                 tx, ty = ox + lx, oy + ly
-                h00 = self.get_height(tx, ty)
-                h10 = self.get_height(tx + 1, ty)
-                h01 = self.get_height(tx, ty + 1)
-                h11 = self.get_height(tx + 1, ty + 1)
+                h00 = hgt(tx, ty)
+                h10 = hgt(tx + 1, ty)
+                h01 = hgt(tx, ty + 1)
+                h11 = hgt(tx + 1, ty + 1)
                 base = len(verts)
                 s = self.scale
                 verts.extend(
@@ -160,7 +239,18 @@ class Terrain:
                         [tx * s, h01, (ty + 1) * s, 1.0],
                     ]
                 )
-                uvs.extend([[0, 0], [1, 0], [1, 1], [0, 1]])
+                if chunk_uvs:
+                    n = float(CHUNK_SIZE)
+                    uvs.extend(
+                        [
+                            [lx / n, ly / n],
+                            [(lx + 1) / n, ly / n],
+                            [(lx + 1) / n, (ly + 1) / n],
+                            [lx / n, (ly + 1) / n],
+                        ]
+                    )
+                else:
+                    uvs.extend([[0, 0], [1, 0], [1, 1], [0, 1]])
                 for vx, vy in ((tx, ty), (tx + 1, ty), (tx + 1, ty + 1), (tx, ty + 1)):
                     normals.append(self.sample_normal(vx * s, vy * s))
                 indices.append((base, base + 2, base + 1))
