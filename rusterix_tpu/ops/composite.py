@@ -314,6 +314,59 @@ def sky_miss_pass(frame, z_eff, sky_pre, uniforms, width: int, height: int, y0=0
     return jnp.where(miss[..., None], jnp.clip(color, 0.0, 1.0), frame)
 
 
+def brush_preview_pass(frame, z_eff, uniforms, width: int, height: int, y0=0):
+    """Editor brush-circle highlight on miss pixels (reference
+    rasterizer.rs:434-457): intersect the screen ray with the y=0 plane and
+    brighten inside the brush radius with the falloff fade."""
+    hh = frame.shape[0]
+    px = jnp.broadcast_to(
+        jnp.arange(width, dtype=jnp.float32)[None, :], (hh, width)
+    )
+    py = jnp.broadcast_to(
+        jnp.arange(hh, dtype=jnp.float32)[:, None] + jnp.float32(y0), (hh, width)
+    )
+    ndc_x = 2.0 * (px / width) - 1.0
+    ndc_y = 1.0 - 2.0 * (py / height)
+
+    def unproject(zv):
+        ndc = jnp.stack(
+            [ndc_x, ndc_y, jnp.full_like(ndc_x, zv), jnp.ones_like(ndc_x)], axis=-1
+        )
+        view = jnp.einsum(
+            "ij,...j->...i", uniforms["inv_proj"], ndc,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        view = view / view[..., 3:4]
+        world = jnp.einsum(
+            "ij,...j->...i", uniforms["inv_view"], view,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return world[..., :3]
+
+    near = unproject(-1.0)
+    far = unproject(1.0)
+    d = far - near
+    d = d / jnp.maximum(
+        jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True)), 1e-20
+    )
+
+    dy = d[..., 1]
+    t = -near[..., 1] / jnp.where(jnp.abs(dy) > 1e-5, dy, 1e-5)
+    world = near + d * t[..., None]
+    dist = jnp.sqrt(jnp.sum((world - uniforms["brush_pos"]) ** 2, axis=-1))
+
+    radius = uniforms["brush_radius"]
+    falloff = jnp.clip(uniforms["brush_falloff"], 0.001, 1.0)
+    fade = jnp.clip((1.0 - dist / radius) / falloff, 0.0, 1.0)
+    blend = 0.2 + 0.6 * fade
+
+    hit_plane = (jnp.abs(dy) > 1e-5) & (t > 0.0) & (dist < radius)
+    active = hit_plane & (z_eff >= 1.0)
+    rgb = jnp.minimum(frame[..., :3] * (1.0 - blend[..., None]) + blend[..., None], 1.0)
+    out_rgb = jnp.where(active[..., None], rgb, frame[..., :3])
+    return jnp.concatenate([out_rgb, frame[..., 3:4]], axis=-1)
+
+
 def frame_to_u8(frame):
     """f32 0..1 -> RGBA8 with the reference's rounding (src/lib.rs:63-68)."""
     return jnp.floor(jnp.clip(frame, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

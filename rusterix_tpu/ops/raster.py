@@ -9,6 +9,7 @@ packing (numpy) and the final Bresenham line overlay.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 from typing import Optional
 
@@ -115,6 +116,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "has_sky",
         "has_fog",
         "has_blend",
+        "has_brush",
     ),
 )
 def render_frame(
@@ -139,6 +141,7 @@ def render_frame(
     has_fog: bool = False,
     sky_pre: dict = None,
     has_blend: bool = False,
+    has_brush: bool = False,
 ):
     """One full frame on device -> (H, W, 4) uint8."""
     view = uniforms["view"]
@@ -182,7 +185,7 @@ def render_frame(
             pack_occ_params(uniforms),
             width, height, sample_mode, has_blend, interpret=interpret,
         )
-        if not (has_sky or has_opacity or has_d2):
+        if not (has_sky or has_opacity or has_d2 or has_brush):
             return unpack_frame_u32(rgba_u32)
         # downstream passes blend in f32 over the already-quantized opaque
         # result — exactly the reference's u8 tile-buffer behavior
@@ -216,6 +219,11 @@ def render_frame(
         from .composite import sky_miss_pass
 
         frame = sky_miss_pass(frame, z_eff, sky_pre, uniforms, width, height)
+
+    if has_brush:
+        from .composite import brush_preview_pass
+
+        frame = brush_preview_pass(frame, z_eff, uniforms, width, height)
 
     if has_opacity:
         vis_o, attr_o, bbox_o, alive_o, tri_id_o = setup_pass(
@@ -274,6 +282,15 @@ def draw_lines_bresenham(pixels: np.ndarray, segments: np.ndarray, colors: np.nd
             if e2 < dx:
                 err += dx
                 y += sy
+
+
+@dataclass
+class BrushPreview:
+    """Editor brush highlight (reference rasterizer.rs:13-17)."""
+
+    position: np.ndarray
+    radius: float = 1.0
+    falloff: float = 0.5
 
 
 #: process-wide device-resident scene cache (survives Rasterizer instances —
@@ -604,6 +621,12 @@ class Rasterizer:
         lights_dev = {k: jnp.asarray(v) for k, v in lights.items()}
 
         uniforms = self._uniforms(scene)
+        if self.brush_preview is not None:
+            uniforms["brush_pos"] = jnp.asarray(
+                self.brush_preview.position, jnp.float32
+            )
+            uniforms["brush_radius"] = jnp.float32(self.brush_preview.radius)
+            uniforms["brush_falloff"] = jnp.float32(self.brush_preview.falloff)
         if packed.occlusion is not None:
             uniforms["occ_box"] = jnp.asarray(packed.occlusion["occ_box"])
             uniforms["occ_val"] = jnp.asarray(packed.occlusion["occ_val"])
@@ -650,6 +673,7 @@ class Rasterizer:
             has_fog,
             sky_pre,
             bool((packed.d3.kind2 >= 0).any()),
+            self.brush_preview is not None,
         )
         out = np.asarray(frame)
 

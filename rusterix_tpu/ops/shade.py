@@ -193,6 +193,46 @@ def shade_fast_brdf(base, roughness, metallic, emissive, n, v, l, radiance,
     return jnp.where((n_dot_l <= 0.0)[..., None], emissive, lit)
 
 
+def shade_brdf_ggx(base, roughness, metallic, emissive, n, v, l, radiance):
+    """Full GGX/Trowbridge-Reitz BRDF with height-correlated Smith G and
+    Schlick Fresnel (reference rasterizer.rs:1954-2009 `_shade_brdf` —
+    dormant there behind the fast Blinn-Phong path, available here the same
+    way). Shapes follow shade_fast_brdf: trailing 3-axis on vectors,
+    roughness/metallic scalar fields."""
+    n = _normalize(n)
+    v = _normalize(v)
+    l = _normalize(l)
+    h = _normalize(v + l)
+
+    ndotl = jnp.maximum(_dot(n, l), 0.0)
+    ndotv = jnp.maximum(_dot(n, v), 0.0)
+
+    f0 = 0.04 + (base - 0.04) * metallic[..., None]
+
+    r = jnp.clip(roughness, 0.045, 1.0)
+    a = r * r
+    a2 = a * a
+
+    ndoth = jnp.maximum(_dot(n, h), 0.0)
+    denom_d = ndoth * ndoth * (a2 - 1.0) + 1.0
+    dist = a2 / (jnp.pi * denom_d * denom_d + 1e-7)
+
+    k = (r + 1.0) * (r + 1.0) * 0.125
+    gv = ndotv / (ndotv * (1.0 - k) + k + 1e-7)
+    gl = ndotl / (ndotl * (1.0 - k) + k + 1e-7)
+    g = gv * gl
+
+    x = 1.0 - jnp.maximum(_dot(h, v), 0.0)
+    x5 = x * x * x * x * x
+    f = f0 + (1.0 - f0) * x5[..., None]
+
+    spec = f * ((dist * g) / (4.0 * ndotl * ndotv + 1e-7))[..., None]
+    kd = (1.0 - f) * (1.0 - metallic[..., None])
+    diffuse = kd * base * (ndotl / jnp.pi)[..., None]
+    lit = (diffuse + spec) * radiance + emissive
+    return jnp.where(((ndotl <= 0.0) | (ndotv <= 0.0))[..., None], emissive, lit)
+
+
 def light_radiance(lights, world, normal, d2: bool = False):
     """Vectorized `CompiledLight::radiance_at` over all pixels × lights.
 

@@ -39,6 +39,12 @@ class Notification:
     value: object = None
 
 
+def _new_debug_module():
+    from ..codegridfx.debugmodule import DebugModule
+
+    return DebugModule()
+
+
 @dataclass
 class RegionCtx:
     """reference src/server/regionctx.rs:11-69."""
@@ -68,6 +74,9 @@ class RegionCtx:
     debug_mode: bool = False
     #: codegridfx debug location from set_debug_loc (region_host.rs:106-116)
     curr_debug_loc: Optional[Tuple[str, int, int]] = None
+    #: per-cell runtime values captured while debug_mode is on
+    #: (codegridfx/lib/src/debugmodule.rs; streamed via DebugData)
+    debug: "DebugModule" = field(default_factory=lambda: _new_debug_module())
 
 
 class RegionHost(HostHandler):
@@ -77,6 +86,20 @@ class RegionHost(HostHandler):
         super().__init__()
         self.region = region
         self.entity: Optional[Entity] = None  # current script subject
+
+    def _debug(self, value, error: bool = False) -> None:
+        """Record a value at the current codegridfx cell
+        (reference src/server/region.rs:2514 add_debug_value)."""
+        ctx = self.region.ctx
+        if not ctx.debug_mode or ctx.curr_debug_loc is None:
+            return
+        event, x, y = ctx.curr_debug_loc
+        eid = self.entity.id if self.entity is not None else 0
+        ctx.debug.add_value(eid, event, x, y, value)
+        if error:
+            ctx.debug.add_error(eid, event, x, y)
+        else:
+            ctx.debug.remove_error(eid, event, x, y)
 
     def on_host_call(self, name: str, args: List[VMValue], vm: Execution) -> VMValue:
         handler = getattr(self, f"h_{name}", None)
@@ -330,6 +353,8 @@ class RegionHost(HostHandler):
         for k, v in data.get("attributes", {}).items():
             item.set_attribute(k, v)
         slot = self.entity.add_item(item)
+        self._debug("Ok" if slot is not None else "Inventory Full",
+                    error=slot is None)
         return VMValue.broadcast(float(slot if slot is not None else -1))
 
     def h_equip(self, args, vm) -> VMValue:
@@ -340,6 +365,9 @@ class RegionHost(HostHandler):
         if item is not None:
             slot_name = item.attributes.get_str_default("slot", "hand")
             self.entity.equip(slot_name, item)
+            self._debug("Ok")
+        else:
+            self._debug("Unknown Item", error=True)
         return VMValue.zero()
 
     def h_drop(self, args, vm) -> VMValue:
@@ -456,6 +484,7 @@ class RegionHost(HostHandler):
                 category or "",
             )
         )
+        self._debug("Ok")
         return VMValue.zero()
 
     def h_intent(self, args, vm) -> VMValue:
@@ -464,11 +493,11 @@ class RegionHost(HostHandler):
         return VMValue.zero()
 
     def h_debug(self, args, vm) -> VMValue:
+        text = " ".join(a.display() for a in args)
         self.region.out_messages.append(
-            RegionMessage.log(
-                self.region.ctx.region_id, " ".join(a.display() for a in args)
-            )
+            RegionMessage.log(self.region.ctx.region_id, text)
         )
+        self._debug(text)
         return VMValue.zero()
 
     def h_random(self, args, vm) -> VMValue:
@@ -740,6 +769,22 @@ class RegionInstance:
                     continue
                 if float(np.linalg.norm(other.get_pos_xz() - me)) <= radius:
                     self.run_entity_event(e, "proximity", float(other.id))
+
+        # stream captured per-cell debug values to the editor
+        # (region.rs:1070-1075)
+        if self.ctx.debug_mode:
+            self.outbox.put(
+                RegionMessage(
+                    RegionMessageKind.DebugData,
+                    self.ctx.region_id,
+                    data=self.ctx.debug.copy(),
+                )
+            )
+
+    def set_debug_mode(self, on: bool) -> None:
+        """region.rs:372-377 — toggling clears previous captures."""
+        self.ctx.debug_mode = bool(on)
+        self.ctx.debug.clear()
 
     def redraw_tick(self) -> None:
         """Drain inbox, advance actions, apply movement, send deltas

@@ -49,6 +49,9 @@ class Server:
 
     log: str = ""
     log_changed: bool = False
+    #: region_id -> merged DebugModule (reference src/server/mod.rs:44-45)
+    debug_modules: Dict[int, object] = field(default_factory=dict)
+    debug_changed: bool = False
     _next_region_id: int = 0
 
     # ---- region lifecycle (mod.rs:119-142, 534-588) ----
@@ -128,6 +131,14 @@ class Server:
             self.choices.append(msg.data)
         elif k == RegionMessageKind.TransferEntity:
             self._transfer_entity(rid, msg)
+        elif k == RegionMessageKind.DebugData:
+            # merge per-region debug captures (mod.rs:44-45 debug registry)
+            existing = self.debug_modules.get(rid)
+            if existing is None:
+                self.debug_modules[rid] = msg.data
+            else:
+                existing.merge(msg.data)
+            self.debug_changed = True
 
     def _transfer_entity(self, source_rid: int, msg: RegionMessage) -> None:
         """Cross-region handoff incl. player re-homing (mod.rs:340-415)."""
