@@ -110,6 +110,97 @@ def build_cube_shaded_scene(width, height):
     return rast, scene, assets
 
 
+def build_obj_scene(width, height):
+    """obj config (reference examples/obj.rs / BASELINE.json): teapot.obj
+    with culling + depth test, textured, orbit camera."""
+    import os
+
+    import numpy as np
+
+    from rusterix_tpu import (
+        Assets,
+        Batch3D,
+        D3OrbitCamera,
+        Light,
+        LightType,
+        PixelSource,
+        RepeatMode,
+        Scene,
+        Texture,
+        Tile,
+        VGrayGradientShader,
+    )
+    from rusterix_tpu.ops.raster import Rasterizer
+
+    teapot = "/root/reference/examples/teapot.obj"
+    if not os.path.exists(teapot):
+        return None
+    scale = np.diag([0.35, -0.35, 0.35, 1.0]).astype(np.float32)
+    scene = Scene.from_static(
+        [],
+        [
+            Batch3D.from_obj(teapot)
+            .set_source(PixelSource.static_tile_index(0))
+            .set_repeat_mode(RepeatMode.RepeatXY)
+            .set_transform(scale)
+            .with_computed_normals()
+        ],
+    ).set_lights(
+        [Light(LightType.Point).with_position([2.0, 0.8, 0.0])
+         .with_intensity(1.0).compile()]
+    ).set_background(VGrayGradientShader())
+    assets = Assets.default().with_textures(
+        [Tile.from_texture(Texture.checkerboard(64, 8))]
+    )
+    camera = D3OrbitCamera()
+    camera.set_parameter_f32("distance", 1.5)
+    rast = Rasterizer.setup(
+        None, camera.view_matrix(), camera.projection_matrix(width, height)
+    ).ambient([0.8, 0.8, 0.8, 1.0])
+    return rast, scene, assets
+
+
+def measure_minigame_loop(n=30):
+    """Full engine loop (BASELINE.json minigame config): server tick +
+    entity mirror + billboard rebuild + device render, host wall clock per
+    frame. Returns (dt_with_readback, dt_device_resident) — over the dev
+    tunnel the D2H frame copy costs ~140ms that a real TPU host does in
+    sub-ms, so the device-resident number is the architecture-honest one."""
+    import sys
+
+    import jax
+
+    sys.path.insert(0, "tests")
+    from test_minigame import build_engine
+
+    rx = build_engine()
+    world = rx.assets.maps["world"]
+    rx.local_player_event("key_down", "w")
+
+    def frame(readback=True):
+        rx.update_server()
+        rx.apply_entities_items(world)
+        rx.build_entities_items_d3(world)
+        return rx.client.draw_d3(
+            640, 400, rx.assets, ambient=[0.4, 0.4, 0.4, 1.0], readback=readback
+        )
+
+    frame()  # warm up (compiles)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        frame()
+    dt_rb = (time.perf_counter() - t0) / n
+
+    frame(readback=False)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        f = frame(readback=False)
+    jax.block_until_ready(f)
+    dt_dev = (time.perf_counter() - t0) / n
+    rx.server.stop()
+    return dt_rb, dt_dev
+
+
 MAP_SOURCE_HEADER = """
 set_default("wall_tex", "brick")
 set_default("floor_tex", "floor")
@@ -235,6 +326,21 @@ def main():
     rast, scene, assets = build_cube_shaded_scene(800, 600)
     dt = measure_chained(rast, scene, assets, 800, 600)
     results["cube_shaded_800x600_fps"] = round(1.0 / dt, 1)
+
+    obj = build_obj_scene(800, 600)
+    if obj is not None:
+        dt = measure_chained(*obj, 800, 600)
+        results["obj_800x600_fps"] = round(1.0 / dt, 1)
+
+    rast, scene, assets = build_map_scene(800, 600)
+    dt = measure_chained(rast, scene, assets, 800, 600)
+    results["map_800x600_fps"] = round(1.0 / dt, 1)
+    results["map_800x600_mpix_s"] = round(800 * 600 / dt / 1e6, 1)
+
+    if os.environ.get("RUSTERIX_TPU_BENCH_MINIGAME") == "1":
+        dt_rb, dt_dev = measure_minigame_loop()
+        results["minigame_640x400_loop_fps"] = round(1.0 / dt_rb, 1)
+        results["minigame_640x400_loop_fps_device"] = round(1.0 / dt_dev, 1)
 
     rast, scene, assets = build_map_scene(1920, 1080)
     if os.environ.get("RUSTERIX_TPU_PROFILE") == "1":

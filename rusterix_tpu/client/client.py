@@ -218,7 +218,9 @@ class Client:
         self.scene.d3_dynamic = batches
         self.scene.d3_dynamic_opacity = bb_transparent
         self.scene.dynamic_lights = lights
-        self.scene.touch()
+        # dynamic-only edit: the static device cache stays valid (per-frame
+        # repack of these lists happens in Rasterizer.rasterize)
+        self.scene.touch_dynamic()
 
     def _entity_source(self, entity, assets: Assets) -> Optional[PixelSource]:
         # baked character-map sequence tiles (pixelsource.rs:140)
@@ -257,7 +259,8 @@ class Client:
 
     # ---- drawing ----
 
-    def draw_d3(self, width: int, height: int, assets: Assets, ambient=None) -> np.ndarray:
+    def draw_d3(self, width: int, height: int, assets: Assets, ambient=None,
+                readback: bool = True) -> np.ndarray:
         view = self.camera_d3.view_matrix()
         proj = self.camera_d3.projection_matrix(width, height)
         rast = Rasterizer.setup(None, view, proj)
@@ -265,7 +268,9 @@ class Client:
             rast.apply_render_settings(self.render_settings, hour=self.hour)
         if ambient is not None:
             rast.ambient(ambient)
-        return rast.rasterize(self.scene, width, height, 128, assets)
+        return rast.rasterize(
+            self.scene, width, height, 128, assets, readback=readback
+        )
 
     def draw_d2(self, width: int, height: int, assets: Assets, grid_size: Optional[float] = None) -> np.ndarray:
         gs = grid_size if grid_size is not None else self.config.grid_size

@@ -32,6 +32,9 @@ class Scene:
     d2_dynamic: List[Batch2D] = field(default_factory=list)
     dynamic_textures: List[Tile] = field(default_factory=list)
     animation_frame: int = 1
+    #: bump touch_dynamic() after editing only the dynamic lists (entity
+    #: billboards, floating 2D) — the static device cache stays valid
+    dynamic_revision: int = 0
     #: bump (or call touch()) after editing batches/lights so cached device
     #: buffers are re-uploaded; animation_frame changes do NOT require it
     revision: int = 0
@@ -78,6 +81,10 @@ class Scene:
         """reference scene.rs:149-151"""
         self.animation_frame += 1
 
+    def touch_dynamic(self) -> None:
+        """Dynamic-only edit: entity billboards / floating 2D changed."""
+        self.dynamic_revision += 1
+
     def touch(self) -> None:
         """Mark scene content changed (device buffers will be re-uploaded)."""
         self.revision += 1
@@ -90,9 +97,11 @@ class Scene:
         for b in self.d3_dynamic:
             b.compute_vertex_normals()
 
-    def all_d3_batches(self):
+    def all_d3_batches(self, include_dynamic: bool = True):
         """Opaque 3D batches in reference draw order (chunks, static, dynamic,
-        overlay — src/rasterizer.rs:312-405)."""
+        overlay — src/rasterizer.rs:312-405). With include_dynamic=False the
+        dynamic list is left out (it packs separately per frame; z-buffering
+        makes the order deviation observable only on exact z-ties)."""
         batches = []
         for chunk in self.chunks.values():
             batches.extend(getattr(chunk, "batches3d", []))
@@ -100,18 +109,20 @@ class Scene:
             if tb is not None:
                 batches.append(tb)
         batches.extend(self.d3_static)
-        batches.extend(self.d3_dynamic)
+        if include_dynamic:
+            batches.extend(self.d3_dynamic)
         batches.extend(self.d3_overlay)
         return batches
 
-    def all_d3_opacity_batches(self):
+    def all_d3_opacity_batches(self, include_dynamic: bool = True):
         batches = []
         for chunk in self.chunks.values():
             batches.extend(getattr(chunk, "batches3d_opacity", []))
-        batches.extend(self.d3_dynamic_opacity)
+        if include_dynamic:
+            batches.extend(self.d3_dynamic_opacity)
         return batches
 
-    def all_d2_batches(self):
+    def all_d2_batches(self, include_dynamic: bool = True):
         batches = []
         for chunk in self.chunks.values():
             batches.extend(getattr(chunk, "batches2d", []))
@@ -119,7 +130,8 @@ class Scene:
             if tb is not None:
                 batches.append(tb)
         batches.extend(self.d2_static)
-        batches.extend(self.d2_dynamic)
+        if include_dynamic:
+            batches.extend(self.d2_dynamic)
         return batches
 
     def all_lights(self):

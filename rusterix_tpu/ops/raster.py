@@ -117,6 +117,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "has_fog",
         "has_blend",
         "has_brush",
+        "has_dyn",
     ),
 )
 def render_frame(
@@ -142,10 +143,24 @@ def render_frame(
     sky_pre: dict = None,
     has_blend: bool = False,
     has_brush: bool = False,
+    has_dyn: bool = False,
+    d3_dyn=None,
+    d3_op_dyn=None,
+    d2_dyn=None,
 ):
     """One full frame on device -> (H, W, 4) uint8."""
     view = uniforms["view"]
     proj = uniforms["proj"]
+
+    if has_dyn:
+        # dynamic batches (entity billboards, floating 2D) pack separately
+        # per frame and concatenate here — entity motion re-uploads a few KB
+        # instead of the whole static world
+        d3 = {k: jnp.concatenate([d3[k], d3_dyn[k]], axis=0) for k in d3}
+        d3_op = {
+            k: jnp.concatenate([d3_op[k], d3_op_dyn[k]], axis=0) for k in d3_op
+        }
+        d2 = {k: jnp.concatenate([d2[k], d2_dyn[k]], axis=0) for k in d2}
 
     vis, attr, bbox, alive, tri_id = setup_pass(
         d3["pos"], d3["uv"], d3["nrm"], d3["valid"], d3["cull"], view, proj,
@@ -521,11 +536,14 @@ class Rasterizer:
         tile_size: int = 128,
         assets=None,
         packed: Optional[PackedScene] = None,
+        readback: bool = True,
     ) -> np.ndarray:
         """Render the scene -> (H, W, 4) uint8 numpy frame.
 
         `tile_size` is accepted for API parity; device tiling is chosen by
-        the kernels."""
+        the kernels. `readback=False` returns the jax device array instead
+        (no D2H transfer — for pipelines that keep consuming on device);
+        host-side 2D line overlays are skipped in that mode."""
         from ..models.assets import Assets
 
         if assets is None:
@@ -582,7 +600,7 @@ class Rasterizer:
         cache = _SCENE_CACHE.get(key)
         if cache is None or packed is not None:
             if packed is None:
-                packed = PackedScene.from_scene(scene, assets)
+                packed = PackedScene.from_scene(scene, assets, static_only=True)
             atlas_np = packed.atlas_index.atlas
             cache = {
                 "packed": packed,
@@ -612,13 +630,50 @@ class Rasterizer:
         d3 = cache["d3"]
         d3_op = cache["d3_op"]
         d2 = cache["d2"]
+
+        # dynamic batches: packed fresh per frame into stable-capacity
+        # buffers, concatenated on device — entity motion uploads a few KB
+        has_dyn = bool(
+            scene.d3_dynamic or scene.d3_dynamic_opacity or scene.d2_dynamic
+        )
+        d3_dyn = d3_op_dyn = d2_dyn = None
+        dyn_lines = None
+        if has_dyn:
+            from .scene_pack import pack_dynamic, stable_dynamic_caps
+
+            caps = stable_dynamic_caps(scene, cache.get("dyn_caps"))
+            cache["dyn_caps"] = caps
+            p3, p3op, p2, dyn_lines = pack_dynamic(
+                scene, packed.atlas_index, *caps
+            )
+            d3_dyn = {k: jnp.asarray(v) for k, v in vars(p3).items()}
+            d3_op_dyn = {k: jnp.asarray(v) for k, v in vars(p3op).items()}
+            d2_dyn = {k: jnp.asarray(v) for k, v in vars(p2).items()}
+
         if not self.render_mode.d3_active:
             d3 = dict(d3)
             d3["valid"] = jnp.zeros_like(d3["valid"])
+            if d3_dyn is not None:
+                d3_dyn = dict(d3_dyn)
+                d3_dyn["valid"] = jnp.zeros_like(d3_dyn["valid"])
+                d3_op_dyn = dict(d3_op_dyn)
+                d3_op_dyn["valid"] = jnp.zeros_like(d3_op_dyn["valid"])
 
-        lights = dict(packed.lights)
+        # lights repack EVERY frame (they're tiny): the reference reads light
+        # positions fresh per frame — examples animate scene.lights[0]
+        # without touching the scene revision (examples/cube.rs:72-73)
+        from ..models.light import pack_lights
+
+        live_lights = scene.all_lights()
+        cap = packed.lights["valid"].shape[0]
+        if len(live_lights) > cap:
+            from .scene_pack import next_pow2
+
+            cap = next_pow2(len(live_lights), lo=4)
+        lights = pack_lights(live_lights, cap)
         lights["flicker_factor"] = self._flicker_factors(lights)
         lights_dev = {k: jnp.asarray(v) for k, v in lights.items()}
+        light_count = len(live_lights)
 
         uniforms = self._uniforms(scene)
         if self.brush_preview is not None:
@@ -664,9 +719,14 @@ class Rasterizer:
             int(self.sample_mode),
             self.preserve_transparency,
             self.ambient_color is not None,
-            packed.light_count > 0,
-            self.render_mode.d3_active and bool(packed.d3_opacity.valid.any()),
-            self.render_mode.d2_active and bool(packed.d2.valid.any()),
+            light_count > 0,
+            self.render_mode.d3_active
+            and bool(
+                packed.d3_opacity.valid.any()
+                or (has_dyn and len(scene.d3_dynamic_opacity))
+            ),
+            self.render_mode.d2_active
+            and bool(packed.d2.valid.any() or (has_dyn and len(scene.d2_dynamic))),
             packed.runtime_shaders,
             self.use_pallas,
             has_sky,
@@ -674,16 +734,31 @@ class Rasterizer:
             sky_pre,
             bool((packed.d3.kind2 >= 0).any()),
             self.brush_preview is not None,
+            has_dyn,
+            d3_dyn,
+            d3_op_dyn,
+            d2_dyn,
         )
+        if not readback:
+            return frame
         out = np.asarray(frame)
 
-        if len(packed.d2_lines.segments):
-            segs = packed.d2_lines.segments
+        line_segs = [packed.d2_lines.segments]
+        line_cols = [packed.d2_lines.colors]
+        if dyn_lines is not None and len(dyn_lines.segments):
+            line_segs.append(dyn_lines.segments)
+            line_cols.append(dyn_lines.colors)
+        all_segs = np.concatenate([s_ for s_ in line_segs if len(s_)]) if any(
+            len(s_) for s_ in line_segs
+        ) else packed.d2_lines.segments
+        if len(all_segs):
+            segs = all_segs
+            packed_colors = np.concatenate([c for c in line_cols if len(c)])
             ones = np.ones((len(segs), 1), np.float32)
             p0 = np.concatenate([segs[:, 0:2], ones], axis=1) @ self.proj2d.T
             p1 = np.concatenate([segs[:, 2:4], ones], axis=1) @ self.proj2d.T
             projected = np.concatenate([p0[:, :2], p1[:, :2]], axis=1)
             out = out.copy()
-            draw_lines_bresenham(out, projected, packed.d2_lines.colors)
+            draw_lines_bresenham(out, projected, packed_colors)
 
         return out

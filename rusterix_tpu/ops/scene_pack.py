@@ -435,11 +435,22 @@ class PackedScene:
         d3_capacity: Optional[int] = None,
         d2_capacity: Optional[int] = None,
         light_capacity: Optional[int] = None,
+        static_only: bool = False,
     ) -> "PackedScene":
+        """static_only=True leaves the dynamic batch lists out — they pack
+        per frame via pack_dynamic() and concatenate on device, so entity
+        motion never re-uploads the static world."""
+        inc = not static_only
         atlas_index = AtlasIndex.build(assets, scene)
-        d3 = pack_batches_3d(scene.all_d3_batches(), atlas_index, d3_capacity)
-        d3_op = pack_batches_3d(scene.all_d3_opacity_batches(), atlas_index, None)
-        d2, lines = pack_batches_2d(scene.all_d2_batches(), atlas_index, d2_capacity)
+        d3 = pack_batches_3d(
+            scene.all_d3_batches(include_dynamic=inc), atlas_index, d3_capacity
+        )
+        d3_op = pack_batches_3d(
+            scene.all_d3_opacity_batches(include_dynamic=inc), atlas_index, None
+        )
+        d2, lines = pack_batches_2d(
+            scene.all_d2_batches(include_dynamic=inc), atlas_index, d2_capacity
+        )
         lights = scene.all_lights()
         packed_lights = pack_lights(
             lights, light_capacity if light_capacity is not None else next_pow2(len(lights), lo=4)
@@ -465,3 +476,35 @@ class PackedScene:
             occlusion=pack_occlusion(scene),
             runtime_shaders=runtime,
         )
+
+
+def pack_dynamic(scene, atlas_index, d3_cap=None, d3_op_cap=None, d2_cap=None):
+    """Per-frame pack of ONLY the dynamic batch lists (entity billboards,
+    dynamic 2D) -> (d3, d3_opacity, (d2, d2_lines)). Capacities should come
+    from stable_dynamic_caps so device shapes stay put across frames."""
+    d3 = pack_batches_3d(list(scene.d3_dynamic), atlas_index, d3_cap)
+    d3_op = pack_batches_3d(list(scene.d3_dynamic_opacity), atlas_index, d3_op_cap)
+    d2, lines = pack_batches_2d(list(scene.d2_dynamic), atlas_index, d2_cap)
+    return d3, d3_op, d2, lines
+
+
+def stable_dynamic_caps(scene, prev=None):
+    """Power-of-two capacities for the dynamic lists, monotonically grown
+    from `prev` so jit shapes only change when the scene outgrows them."""
+    def tris3(batches):
+        return sum(len(b.indices) for b in batches)
+
+    def tris2(batches):
+        n = 0
+        for b in batches:
+            n += max(len(getattr(b, "indices", [])), 2)
+        return n
+
+    caps = (
+        next_pow2(tris3(scene.d3_dynamic), lo=16),
+        next_pow2(tris3(scene.d3_dynamic_opacity), lo=16),
+        next_pow2(tris2(scene.d2_dynamic), lo=8),
+    )
+    if prev is not None:
+        caps = tuple(max(a, b) for a, b in zip(caps, prev))
+    return caps
