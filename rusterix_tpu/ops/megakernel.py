@@ -218,7 +218,10 @@ def _mega_kernel(
 
                 @pl.when(c_hit)
                 def _():
-                    z = zeff_ref[:]
+                    # winner tracked as MAX 1/z: strictly monotonic in z, so
+                    # the per-triangle reciprocal disappears from the scan
+                    # (one 1/x at the end instead of one per tri per pixel)
+                    best = zeff_ref[:]
                     idx = idx_scr[:]
                     for k in range(CHUNK):
                         t = c * CHUNK + k
@@ -227,12 +230,11 @@ def _mega_kernel(
                         e1 = row[3] * xg + row[4] * yg + row[5]
                         e2 = row[6] * xg + row[7] * yg + row[8]
                         invz = row[9] * xg + row[10] * yg + row[11]
-                        zc = 1.0 / invz
-                        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (invz != 0.0)
-                        better = cov & (zc < z)
-                        z = jnp.where(better, zc, z)
+                        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                        better = cov & (invz > best)
+                        best = jnp.where(better, invz, best)
                         idx = jnp.where(better, t, idx)
-                    zeff_ref[:] = z
+                    zeff_ref[:] = best
                     idx_scr[:] = idx
                     masks = [idx == (c * CHUNK + k) for k in range(CHUNK)]
                     for ch in range(n_attr):
@@ -251,7 +253,7 @@ def _mega_kernel(
 
     jax.lax.fori_loop(0, ns, super_body, 0)
 
-    z = zeff_ref[:]
+    z = 1.0 / zeff_ref[:]  # back from the max-1/z scan domain
     hit = idx_scr[:] >= 0
 
     # ---- stage 2: plane interpolation ----

@@ -58,6 +58,9 @@ def visibility_pass(vis_planes, alive, width: int, height: int, chunk: int = 8, 
     i0 = jnp.full((height, width), -1, jnp.int32)
 
     def step(carry, xs):
+        # winner tracked as MAX 1/z (strictly monotonic in z): keeps the
+        # per-candidate reciprocal out of the scan and matches the Pallas
+        # kernels' selection bit-for-bit
         zbest, ibest = carry
         pl, base = xs  # (C, 12), scalar
         for c in range(pl.shape[0]):
@@ -65,13 +68,12 @@ def visibility_pass(vis_planes, alive, width: int, height: int, chunk: int = 8, 
             e1 = pl[c, 3] * px + pl[c, 4] * py + pl[c, 5]
             e2 = pl[c, 6] * px + pl[c, 7] * py + pl[c, 8]
             invz = pl[c, 9] * px + pl[c, 10] * py + pl[c, 11]
-            z = 1.0 / invz
             cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-            better = cov & (z < zbest) & (invz != 0.0)
-            zbest = jnp.where(better, z, zbest)
+            better = cov & (invz > zbest)
+            zbest = jnp.where(better, invz, zbest)
             ibest = jnp.where(better, base + c, ibest)
         return (zbest, ibest), None
 
-    (z, idx), _ = jax.lax.scan(step, (z0, i0), (planes_c, starts))
+    (best, idx), _ = jax.lax.scan(step, (z0, i0), (planes_c, starts))
     hit = idx >= 0
-    return z, idx, hit
+    return 1.0 / best, idx, hit

@@ -79,7 +79,8 @@ def _kernel(sbox_ref, cbox_ref, planes_ref, z_ref, idx_ref):
 
                 @pl.when(c_hit)
                 def _():
-                    z = z_ref[:]
+                    # max-1/z scan: no per-triangle reciprocal (see megakernel)
+                    best = z_ref[:]
                     idx = idx_ref[:]
                     for k in range(CHUNK):
                         t = c * CHUNK + k
@@ -88,12 +89,11 @@ def _kernel(sbox_ref, cbox_ref, planes_ref, z_ref, idx_ref):
                         e1 = row[3] * xg + row[4] * yg + row[5]
                         e2 = row[6] * xg + row[7] * yg + row[8]
                         invz = row[9] * xg + row[10] * yg + row[11]
-                        zc = 1.0 / invz
-                        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (invz != 0.0)
-                        better = cov & (zc < z)
-                        z = jnp.where(better, zc, z)
+                        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                        better = cov & (invz > best)
+                        best = jnp.where(better, invz, best)
                         idx = jnp.where(better, t, idx)
-                    z_ref[:] = z
+                    z_ref[:] = best
                     idx_ref[:] = idx
 
                 return 0
@@ -182,7 +182,7 @@ def visibility_pass_pallas(
         interpret=interpret,
     )(sboxes, cboxes, planes)
 
-    z = z[:height, :width]
+    z = 1.0 / z[:height, :width]  # back from the max-1/z scan domain
     idx = idx[:height, :width]
     return z, idx, idx >= 0
 
