@@ -59,9 +59,14 @@ def main():
 
     buf = AccumBuffer(WIDTH, HEIGHT)
     tracer = Tracer()
+    tracer.trace(cam, scene, buf, 64, Assets.default())  # compile warm-up
+    buf.reset()
     t0 = time.time()
     for _ in range(SAMPLES):
         tracer.trace(cam, scene, buf, 64, Assets.default())
+    import jax
+
+    jax.block_until_ready(buf._dev)
     dt = (time.time() - t0) / SAMPLES
     print(f"tracer: {dt*1000:.1f} ms/sample at {WIDTH}x{HEIGHT}, {SAMPLES} samples")
 

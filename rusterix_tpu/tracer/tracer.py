@@ -32,23 +32,34 @@ from ..utils.color import hash_u32, srgb_to_linear_fast
 
 @dataclass
 class AccumBuffer:
-    """Running-average accumulation buffer (reference buffer.rs:5-127)."""
+    """Running-average accumulation buffer (reference buffer.rs:5-127).
+
+    Accumulation happens DEVICE-side (samples never leave HBM between
+    bounces/samples); `pixels`/`to_u8` read back on demand."""
 
     width: int
     height: int
-    pixels: np.ndarray = None  # (H, W, 4) f32 linear
+    _dev: object = None  # (H, W, 4) f32 linear, jax array
     frame: int = 0
 
     def __post_init__(self):
-        if self.pixels is None:
-            self.pixels = np.zeros((self.height, self.width, 4), np.float32)
+        if self._dev is None:
+            import jax.numpy as jnp
+
+            self._dev = jnp.zeros((self.height, self.width, 4), jnp.float32)
 
     def reset(self):
         self.frame = 0
 
-    def accumulate(self, linear_rgba: np.ndarray):
+    @property
+    def pixels(self) -> np.ndarray:
+        return np.asarray(self._dev)
+
+    def accumulate(self, linear_rgba):
+        import jax.numpy as jnp
+
         t = 1.0 / (self.frame + 1.0)
-        self.pixels = self.pixels * (1.0 - t) + np.asarray(linear_rgba) * t
+        self._dev = self._dev * (1.0 - t) + jnp.asarray(linear_rgba) * t
         self.frame += 1
 
     def to_u8(self) -> np.ndarray:
@@ -208,7 +219,7 @@ class Tracer:
             self.bounces,
             self.use_aabb_skip,
         )
-        buffer.accumulate(np.asarray(linear))
+        buffer.accumulate(linear)
 
     @staticmethod
     def _camera_basis(camera):
