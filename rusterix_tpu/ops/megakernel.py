@@ -186,9 +186,12 @@ def _mega_kernel(
     y0 = ti * TILE_H
     x0 = tj * TILE_W
 
+    # row-sharded framebuffers offset every pixel row by params[58]
+    # (edge planes and lighting both live in GLOBAL screen coordinates)
+    y_base = params_ref[58].astype(jnp.int32) + y0
     rows_f = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
     cols_f = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    yg = rows_f + (y0.astype(jnp.float32) + 0.5)
+    yg = rows_f + (y_base.astype(jnp.float32) + 0.5)
     xg = cols_f + (x0.astype(jnp.float32) + 0.5)
 
     # ---- stage 1: visibility scan (hierarchy of visibility_pallas) ----
@@ -202,8 +205,8 @@ def _mega_kernel(
         s_hit = (
             (sbox_ref[s * 4 + 0] < x0 + TILE_W)
             & (sbox_ref[s * 4 + 2] > x0)
-            & (sbox_ref[s * 4 + 1] < y0 + TILE_H)
-            & (sbox_ref[s * 4 + 3] > y0)
+            & (sbox_ref[s * 4 + 1] < y_base + TILE_H)
+            & (sbox_ref[s * 4 + 3] > y_base)
         )
 
         @pl.when(s_hit)
@@ -212,8 +215,8 @@ def _mega_kernel(
                 c_hit = (
                     (cbox_ref[c * 4 + 0] < x0 + TILE_W)
                     & (cbox_ref[c * 4 + 2] > x0)
-                    & (cbox_ref[c * 4 + 1] < y0 + TILE_H)
-                    & (cbox_ref[c * 4 + 3] > y0)
+                    & (cbox_ref[c * 4 + 1] < y_base + TILE_H)
+                    & (cbox_ref[c * 4 + 3] > y_base)
                 )
 
                 @pl.when(c_hit)
@@ -601,7 +604,7 @@ def pack_occ_params(uniforms) -> jnp.ndarray:
 
 
 def pack_mega_params(uniforms, width: int, height: int, atlas_w,
-                     has_fog: bool = False) -> jnp.ndarray:
+                     has_fog: bool = False, y0: int = 0) -> jnp.ndarray:
     """inv_proj/inv_view/camera/ambient/sun scalars + fog at 48-53 and the
     atlas row width at 54 -> (64,) SMEM array."""
     p = jnp.zeros(64, jnp.float32)
@@ -621,6 +624,7 @@ def pack_mega_params(uniforms, width: int, height: int, atlas_w,
     p = p.at[53].set(uniforms["fog_fade"])
     p = p.at[54].set(jnp.asarray(atlas_w, jnp.float32))
     p = p.at[55:58].set(uniforms.get("sun_color", jnp.ones(3, jnp.float32)))
+    p = p.at[58].set(jnp.asarray(y0, jnp.float32))
     return p
 
 

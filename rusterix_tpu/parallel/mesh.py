@@ -56,6 +56,7 @@ def render_frame_sharded(
     has_ambient: bool = False,
     has_lights: bool = False,
     has_d2: bool = False,
+    use_pallas: bool = False,
 ):
     """Render one frame with triangles+rows sharded over `mesh`.
 
@@ -76,6 +77,7 @@ def render_frame_sharded(
         )
         vis = jax.lax.all_gather(vis_l, AXIS, axis=0, tiled=True)
         attr = jax.lax.all_gather(attr_l, AXIS, axis=0, tiled=True)
+        bbox = jax.lax.all_gather(bbox_l, AXIS, axis=0, tiled=True)
         ok = jax.lax.all_gather(ok_l, AXIS, axis=0, tiled=True)
         t_total = vis.shape[0] // 2
         tri_id = jnp.repeat(jnp.arange(t_total, dtype=jnp.int32), 2)
@@ -83,19 +85,55 @@ def render_frame_sharded(
         # but meta arrays live in original order: slots of shard k map to
         # triangles [k*T/n, (k+1)*T/n) — tiled all_gather preserves order.
 
-        z, idx, hit = visibility_pass(
-            vis, ok.astype(jnp.float32), width, rows_local, y0=y0
-        )
         d3_full = {
             k: jax.lax.all_gather(v, AXIS, axis=0, tiled=True)
             for k, v in d3_l.items()
         }
-        shaded, wrote = shade_pass(
-            z, idx, hit, attr, tri_id, d3_full, atlas_r, lights_r,
-            uniforms_r, width, rows_local, sample_mode,
-            y0=y0, full_height=height,
-        )
-        frame, z_eff = compose_opaque(shaded, wrote, z, background_l)
+        if use_pallas:
+            # each device runs the megakernel over its row slab; edge planes
+            # and lighting live in global screen coords via the y0 offset
+            from ..ops.megakernel import (
+                atlas_rows_i32,
+                mega_render,
+                pack_background_u32,
+                pack_light_params,
+                pack_mega_params,
+                pack_mega_table,
+                pack_occ_params,
+                unpack_frame_u32,
+            )
+            from ..ops.visibility_pallas import morton_sort
+
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+            table = pack_mega_table(
+                attr, tri_id, d3_full, atlas_r, uniforms_r["anim_frame"], False
+            )
+            vis_s, bbox_s, alive_s, _, table_s = morton_sort(
+                vis, bbox, ok.astype(jnp.float32), tri_id, width, height,
+                extra=table,
+            )
+            rgba_u32, z_eff = mega_render(
+                vis_s, alive_s, bbox_s, table_s,
+                atlas_rows_i32(atlas_r["flat_u32"]),
+                pack_background_u32(background_l),
+                pack_mega_params(
+                    uniforms_r, width, height, atlas_r["w"], False, y0=y0
+                ),
+                pack_light_params(lights_r),
+                pack_occ_params(uniforms_r),
+                width, rows_local, sample_mode, False, interpret=interpret,
+            )
+            frame = unpack_frame_u32(rgba_u32).astype(jnp.float32) * (1.0 / 255.0)
+        else:
+            z, idx, hit = visibility_pass(
+                vis, ok.astype(jnp.float32), width, rows_local, y0=y0
+            )
+            shaded, wrote = shade_pass(
+                z, idx, hit, attr, tri_id, d3_full, atlas_r, lights_r,
+                uniforms_r, width, rows_local, sample_mode,
+                y0=y0, full_height=height,
+            )
+            frame, z_eff = compose_opaque(shaded, wrote, z, background_l)
         if has_d2:
             frame = d2_pass(
                 frame, d2_r, atlas_r, lights_r, uniforms_r, width, rows_local,
@@ -122,7 +160,8 @@ def render_frame_sharded(
     return fn(d3, d2, lights, atlas, uniforms, background)
 
 
-def render_sharded_jit(mesh, width, height, sample_mode, has_ambient, has_lights, has_d2):
+def render_sharded_jit(mesh, width, height, sample_mode, has_ambient,
+                       has_lights, has_d2, use_pallas=False):
     """jitted closure for a fixed config."""
 
     @jax.jit
@@ -130,6 +169,7 @@ def render_sharded_jit(mesh, width, height, sample_mode, has_ambient, has_lights
         return render_frame_sharded(
             mesh, d3, d2, lights, atlas, uniforms, background,
             width, height, sample_mode, has_ambient, has_lights, has_d2,
+            use_pallas,
         )
 
     return run
