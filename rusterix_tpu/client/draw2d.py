@@ -236,13 +236,16 @@ class Draw2D:
     def rounded_rect(self, buf, x, y, w, h, color, rounding) -> None:
         """rounding = (top-right, bottom-right, top-left, bottom-left)."""
         d = self._rounded_rect_sdf(x, y, w, h, rounding)
-        self._sdf_paint(buf, x, y, w, h, d, color)
+        a = np.asarray(color, np.float32)[3] / 255.0
+        self._sdf_paint(buf, x, y, w, h, d, color, alpha_scale=a)
 
     def rounded_rect_with_border(
         self, buf, x, y, w, h, color, rounding, border_color, border_size: float
     ) -> None:
         d = self._rounded_rect_sdf(x, y, w, h, rounding)
-        self._sdf_paint(buf, x, y, w, h, d, color, border_color, border_size)
+        a = np.asarray(color, np.float32)[3] / 255.0
+        self._sdf_paint(buf, x, y, w, h, d, color, border_color, border_size,
+                        alpha_scale=a)
 
     def circle_with_border(
         self, buf, x, y, w, h, color, radius, border_color, border_size: float
@@ -269,9 +272,11 @@ class Draw2D:
         dot = np.minimum(kx * px + ky * py, 0.0)
         px = px - 2.0 * kx * dot
         py = py - 2.0 * ky * dot
-        px = np.clip(px, -kz * r, kz * r)
-        py2 = py - r
-        d = np.hypot(px - np.clip(px, -kz * r, kz * r), py2) * np.sign(py2)
+        # canonical hexagon SDF. The reference's body (draw2d.rs:507-509)
+        # clamps the whole reflected vector and signs by the clamped |y| —
+        # which is never negative, so ported literally it fills nothing;
+        # this is the formula it was clearly transcribing.
+        d = np.hypot(px - np.clip(px, -kz * r, kz * r), py - r) * np.sign(py - r)
         alpha = np.asarray(color, np.float32)[3] / 255.0
         self._sdf_paint(buf, x, y, w, h, d, color, border_color, border_size,
                         alpha_scale=alpha)
@@ -295,7 +300,9 @@ class Draw2D:
         )
         d = np.hypot(px - 0.5 * bx * (1.0 - f), py - 0.5 * by * (1.0 + f))
         d = d * np.sign(px * by + py * bx - bx * by)
-        self._sdf_paint(buf, x, y, w, h, d, color, border_color, border_size)
+        a = np.asarray(color, np.float32)[3] / 255.0
+        self._sdf_paint(buf, x, y, w, h, d, color, border_color, border_size,
+                        alpha_scale=a)
 
     def square_pattern(self, buf, x, y, w, h, color, line_color,
                        pattern_size: int) -> None:

@@ -124,6 +124,49 @@ class Terrain:
             (h00 * (1 - fx) + h10 * fx) * (1 - fy) + (h01 * (1 - fx) + h11 * fx) * fy
         )
 
+    def heights_at(self, ix, iy) -> np.ndarray:
+        """Vectorized get_height over integer tile-index arrays."""
+        ix = np.asarray(ix, np.int64)
+        iy = np.asarray(iy, np.int64)
+        out = np.zeros(ix.shape, np.float32)
+        cx = np.floor_divide(ix, CHUNK_SIZE)
+        cy = np.floor_divide(iy, CHUNK_SIZE)
+        keys = np.unique(np.stack([cx.reshape(-1), cy.reshape(-1)], -1), axis=0)
+        for kx, ky in keys:
+            c = self.chunks.get((int(kx), int(ky)))
+            if c is None:
+                continue
+            m = (cx == kx) & (cy == ky)
+            out[m] = c.heights[iy[m] - c.origin[1], ix[m] - c.origin[0]]
+        return out
+
+    def sample_height_many(self, x, y) -> np.ndarray:
+        """Vectorized bilinear sample_height over world-coordinate arrays."""
+        gx = np.asarray(x, np.float64) / self.scale
+        gy = np.asarray(y, np.float64) / self.scale
+        x0 = np.floor(gx).astype(np.int64)
+        y0 = np.floor(gy).astype(np.int64)
+        fx = (gx - x0).astype(np.float32)
+        fy = (gy - y0).astype(np.float32)
+        h00 = self.heights_at(x0, y0)
+        h10 = self.heights_at(x0 + 1, y0)
+        h01 = self.heights_at(x0, y0 + 1)
+        h11 = self.heights_at(x0 + 1, y0 + 1)
+        return (h00 * (1 - fx) + h10 * fx) * (1 - fy) + (
+            h01 * (1 - fx) + h11 * fx
+        ) * fy
+
+    def compute_steepness_many(self, x, y) -> np.ndarray:
+        """Vectorized compute_steepness over world-coordinate arrays."""
+        eps = 0.5
+        h = self.sample_height_many(x, y)
+        hx = self.sample_height_many(np.asarray(x) + eps, y)
+        hy = self.sample_height_many(x, np.asarray(y) + eps)
+        dx = (hx - h) / max(self.scale, 1e-6)
+        dy = (hy - h) / max(self.scale, 1e-6)
+        ny = 1.0 / np.sqrt(dx * dx + 1.0 + dy * dy)
+        return 1.0 - np.clip(ny, -1.0, 1.0)
+
     def sample_normal(self, x: float, y: float, eps: float = 0.1) -> np.ndarray:
         """Central-difference normal (reference mod.rs:301+)."""
         hx0 = self.sample_height(x - eps, y)
@@ -148,13 +191,20 @@ class Terrain:
         return float(1.0 - np.clip(n[1], -1.0, 1.0))
 
     def bake_chunk(self, map_, chunk_key: Tuple[int, int], assets,
-                   pixels_per_tile: int = 8, palette=None) -> Optional[np.ndarray]:
+                   pixels_per_tile: int = 8, palette=None):
         """Bake one chunk's terrain texture: per-tile PixelSource fill
         (reference terrain/mod.rs:318 bake_chunk) followed by the ShapeFX
-        geometry-node Colorize pass. -> (S,S,4) u8 or None."""
+        geometry-node modifier passes. -> ((S,S,4) u8 | None, height
+        overrides dict) or None for a missing chunk; the texture is None
+        when the chunk has neither tile sources nor graphs to paint."""
         c = self.chunks.get(chunk_key)
         if c is None:
             return None
+        has_graphs = map_ is not None and bool(getattr(map_, "shapefx_graphs", None))
+        if not c.sources and not has_graphs:
+            # nothing to paint: plain height-only chunks keep the per-tile
+            # PixelSource.terrain() path and upload no texture
+            return None, {}
         s = CHUNK_SIZE * pixels_per_tile
         tex = np.zeros((s, s, 4), np.uint8)
         tex[..., 3] = 255
@@ -167,7 +217,7 @@ class Terrain:
             if 0 <= lx < s and 0 <= ly < s:
                 tex[ly : ly + pixels_per_tile, lx : lx + pixels_per_tile] = patch
         heights: Dict[Tuple[int, int], float] = {}
-        if map_ is not None and getattr(map_, "shapefx_graphs", None):
+        if has_graphs:
             from ..shapefx.geometry import process_chunk_modifiers
 
             heights = process_chunk_modifiers(

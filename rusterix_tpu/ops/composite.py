@@ -229,9 +229,9 @@ def d2_pass(
         # (receives_light && lights) || ambient present
         rl = tri["receives_light"] > 0.5
         if has_ambient:
-            active = jnp.broadcast_to(
-                jnp.logical_or(jnp.logical_and(rl, has_lights), True), cov.shape
-            )
+            # reference: (receives_light && lights) || ambient — with ambient
+            # present every 2D batch is lit (rasterizer.rs:799-803)
+            active = jnp.ones(cov.shape, bool)
             acc = acc_with_ambient
         elif has_lights:
             active = jnp.broadcast_to(rl, cov.shape)

@@ -39,7 +39,11 @@ def _chain(fn, perturb, n=20):
 
 def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
     """Phase times (ms) for one frame of `scene` through `rast`'s active
-    path. Renders once first to populate the device scene cache."""
+    path. Renders once first to populate the device scene cache.
+
+    Limitation: the breakdown profiles the base opaque pipeline — sky/fog/
+    brush/opacity/2D extras are not included in the per-phase numbers (the
+    full rasterize() path is; compare against bench.measure_chained)."""
     import jax.numpy as jnp
 
     from .ops.setup_pass import setup_pass
@@ -74,7 +78,7 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
     vis, attr, bbox, alive, tri_id = run_setup(view)
     alive_f = alive.astype(jnp.float32)
 
-    if rast.use_pallas and not scene.shaders:
+    if rast.use_pallas and not packed.runtime_shaders:
         from .ops.megakernel import (
             atlas_rows_i32,
             mega_render,
@@ -147,5 +151,5 @@ def _full_frame(rast, cache, packed, ld, uni, view, width, height):
         rast._bg_dev, width, height, int(rast.sample_mode), False,
         rast.ambient_color is not None, packed.light_count > 0,
         bool(packed.d3_opacity.valid.any()), bool(packed.d2.valid.any()),
-        (), rast.use_pallas,
+        packed.runtime_shaders, rast.use_pallas,
     )

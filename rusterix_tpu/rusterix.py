@@ -43,6 +43,10 @@ class Rusterix:
         Precompiled maps already in `assets.maps` (e.g. loaded from a
         save-game via map.persist.load_map) get regions too."""
         for name, source in self.assets.map_sources.items():
+            if name in self.assets.maps:
+                # a precompiled (e.g. save-game-loaded) map wins over its
+                # source; delete assets.maps[name] to force a recompile
+                continue
             map_ = compile_source_map(source, self.assets)
             map_.name = name
             self.assets.maps[name] = map_

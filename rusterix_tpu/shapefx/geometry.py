@@ -159,12 +159,10 @@ def _colorize_extra_fade(node, terrain, wpts, fade_distance):
     max_s = node.values.get_float_default("max_steepness", 1.0)
     fd = max(fade_distance, 1e-6)
     if min_s > 0.0 or max_s < 1.0:
-        steep = np.array(
-            [terrain.compute_steepness(p[0], p[1]) for p in wpts], np.float32
-        )
+        steep = terrain.compute_steepness_many(wpts[:, 0], wpts[:, 1])
         total *= _fade_outside_range(steep, min_s, max_s, fd)
     if min_h != 0.0 or max_h != 10.0:
-        h = np.array([terrain.sample_height(p[0], p[1]) for p in wpts], np.float32)
+        h = terrain.sample_height_many(wpts[:, 0], wpts[:, 1])
         total *= _fade_outside_range(h, min_h, max_h, fd)
     return total
 
@@ -226,20 +224,22 @@ def _sector_modify(node, sector, map_, terrain, chunk, heights, graph,
     ox, oy = chunk.origin
 
     if not is_colorize and pass_ == PASS_HEIGHT:
-        # control-vertex flattening over the chunk grid
+        # control-vertex flattening: vertex (tx, ty) sits at world
+        # (tx*scale, ty*scale); the sector polygon lives in world/map units
         lx, ly = np.meshgrid(
             np.arange(CHUNK_SIZE + 1), np.arange(CHUNK_SIZE + 1)
         )
-        pts = np.stack(
+        idx = np.stack(
             [(lx.reshape(-1) + ox), (ly.reshape(-1) + oy)], axis=-1
-        ).astype(np.float32)
+        )
+        pts = idx.astype(np.float32) * terrain.scale
         sd = sector_signed_distance(map_, sector, pts)
         if sd is None:
             return
         s = smoothstep(0.0, max(bevel, 1e-6), bevel - sd)
         affect = sd < bevel * 4.0
         for i in np.nonzero(affect & (s > 0.0))[0]:
-            tx, ty = int(pts[i, 0]), int(pts[i, 1])
+            tx, ty = int(idx[i, 0]), int(idx[i, 1])
             orig = heights.get((tx, ty), terrain.get_height(tx, ty))
             heights[(tx, ty)] = orig * (1.0 - s[i]) + floor_h * s[i]
         return
@@ -299,17 +299,17 @@ def _linedef_modify(node, linedefs, map_, terrain, chunk, heights, graph,
 
     if is_flatten and pass_ == PASS_HEIGHT:
         lx, ly = np.meshgrid(np.arange(CHUNK_SIZE + 1), np.arange(CHUNK_SIZE + 1))
-        pts = np.stack(
-            [(lx.reshape(-1) + ox + 0.5), (ly.reshape(-1) + oy + 0.5)], axis=-1
-        ).astype(np.float32)
+        grid = np.stack(
+            [(lx.reshape(-1) + ox), (ly.reshape(-1) + oy)], axis=-1
+        )
+        pts = grid.astype(np.float32) * terrain.scale
         dist, t, idx = _segments_closest(pts, segs)
         blend = smoothstep(0.0, max(bevel, 1e-6), bevel - dist)
         h0 = np.array([segs[i]["h0"] for i in idx], np.float32)
         h1 = np.array([segs[i]["h1"] for i in idx], np.float32)
         target = h0 * (1.0 - t) + h1 * t
         for i in np.nonzero((dist <= bevel) & (blend > 0.0))[0]:
-            tx = int(round(pts[i, 0] - 0.5))
-            ty = int(round(pts[i, 1] - 0.5))
+            tx, ty = int(grid[i, 0]), int(grid[i, 1])
             orig = heights.get((tx, ty), terrain.get_height(tx, ty))
             heights[(tx, ty)] = orig * (1.0 - blend[i]) + target[i] * blend[i]
         return

@@ -7,7 +7,13 @@ check (VERDICT r1 weak #8)."""
 
 import os
 
-_plat = os.environ.get("RUSTERIX_TPU_TEST_PLATFORM", "cpu")
+_current = os.environ.get("JAX_PLATFORMS", "")
+_plat = os.environ.get(
+    "RUSTERIX_TPU_TEST_PLATFORM",
+    # respect an explicitly user-set JAX_PLATFORMS; the axon harness presets
+    # "axon", which must still default to cpu for deterministic tests
+    _current if _current and _current != "axon" else "cpu",
+)
 os.environ["JAX_PLATFORMS"] = _plat
 if _plat == "cpu":
     flags = os.environ.get("XLA_FLAGS", "")

@@ -156,7 +156,7 @@ def test_cube_sharded_megakernel_matches_single(mesh8):
     rast, scene, assets, packed = _cube_scene(width, height, tris=32)
 
     rast.use_pallas = True  # interpret-mode megakernel on CPU
-    single = rast.rasterize(scene, width, height, 40, assets)
+    rast.rasterize(scene, width, height, 40, assets)  # populate device cache
     cache = rast._scene_cache
     lights = dict(cache["packed"].lights)
     lights["flicker_factor"] = rast._flicker_factors(lights)

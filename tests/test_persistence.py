@@ -191,3 +191,35 @@ def test_server_resumes_from_snapshot(tmp_path):
     assert mirrored is not None
     assert mirrored.attributes.get_int_default("health", 0) == 7
     rx2.server.stop()
+
+
+def test_create_regions_respects_loaded_map(tmp_path):
+    """A save-game map placed in assets.maps must not be clobbered by
+    recompiling its map_source of the same name (review finding r2)."""
+    rx = build_engine()
+    world = rx.assets.maps["world"]
+    world.properties.set("save_marker", 123)
+    save_map(world, str(tmp_path / "w.json"))
+    rx.server.stop()
+
+    from rusterix_tpu.rusterix import Rusterix
+    from rusterix_tpu.models import Texture
+
+    rx2 = Rusterix()
+    rx2.assets.textures["brickwall"] = Texture.checkerboard(16, 4)
+    rx2.assets.textures["brickfloor"] = Texture.checkerboard(16, 8)
+    rx2.assets.textures["sky"] = Texture.from_color((60, 60, 120, 255))
+    from .test_minigame import CONFIG_TOML, MONSTER_RXE, PLAYER_RXE, PLAYER_TOML, WORLD_RXM
+
+    rx2.assets.map_sources["world"] = WORLD_RXM  # source ALSO present
+    rx2.assets.entities = {
+        "Player": (PLAYER_RXE, PLAYER_TOML),
+        "Monster": (MONSTER_RXE, ""),
+    }
+    rx2.assets.config = CONFIG_TOML
+    rx2.assets.maps["world"] = load_map(str(tmp_path / "w.json"))
+    rx2.create_regions()
+    assert rx2.assets.maps["world"].properties.get_int_default("save_marker", 0) == 123
+    assert len(rx2.server.instances) == 1
+    rx2.update_server()
+    rx2.server.stop()
