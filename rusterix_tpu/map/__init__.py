@@ -1,5 +1,6 @@
 from .elements import CompiledLinedef, Linedef, Sector, Vertex
 from .geometry import earcut, polygon_area, triangulate_polygon
+from .meta import MapMeta
 from .mini import MapMini
 from .particle import Particle, ParticleEmitter
 from .softrig import Keyform, SoftRig, SoftRigAnimator
@@ -23,6 +24,7 @@ __all__ = [
     "earcut",
     "polygon_area",
     "triangulate_polygon",
+    "MapMeta",
     "MapMini",
     "Particle",
     "ParticleEmitter",

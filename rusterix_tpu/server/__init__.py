@@ -1,3 +1,14 @@
+from .currency import (
+    Currencies,
+    Currency,
+    CurrencyError,
+    wallet_add,
+    wallet_add_base,
+    wallet_balance,
+    wallet_can_afford,
+    wallet_spend,
+)
+from .data import apply_entity_data, apply_item_data, read_light
 from .collision import (
     BlockingVolume,
     ChunkCollision,
@@ -19,6 +30,17 @@ from .message import (
 )
 
 __all__ = [
+    "Currencies",
+    "Currency",
+    "CurrencyError",
+    "wallet_add",
+    "wallet_add_base",
+    "wallet_balance",
+    "wallet_can_afford",
+    "wallet_spend",
+    "apply_entity_data",
+    "apply_item_data",
+    "read_light",
     "BlockingVolume",
     "ChunkCollision",
     "CollisionWorld",

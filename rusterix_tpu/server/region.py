@@ -345,13 +345,13 @@ class RegionHost(HostHandler):
     def h_add_item(self, args, vm) -> VMValue:
         if self.entity is None or not args:
             return VMValue.broadcast(-1.0)
+        from .data import apply_item_data
+
         item = Item()
         item.id = self.region.next_item_id()
         item.set_attribute("name", args[0].as_string() or "")
         class_name = args[0].as_string() or ""
-        data = self.region.ctx.item_class_data.get(class_name, {})
-        for k, v in data.get("attributes", {}).items():
-            item.set_attribute(k, v)
+        apply_item_data(item, self.region.ctx.item_class_data.get(class_name, {}))
         slot = self.entity.add_item(item)
         self._debug("Ok" if slot is not None else "Inventory Full",
                     error=slot is None)
@@ -683,9 +683,9 @@ class RegionInstance:
                     entity.attributes._values[k] = v
                     entity.dirty_attributes.add(k)
                 break
-        data = self.ctx.entity_class_data.get(class_name, {})
-        for k, v in data.get("attributes", {}).items():
-            entity.set_attribute(k, v)
+        from .data import apply_entity_data
+
+        apply_entity_data(entity, self.ctx.entity_class_data.get(class_name, {}))
         if position is not None:
             entity.set_position(position)
         return self.spawn_entity(entity)
