@@ -1,5 +1,6 @@
 from .chunk import CHUNK_SIZE, BillboardMetadata, Chunk, ChunkCollision
 from .d2builder import D2Builder
+from .d2builder import D2MaterialBuilder
 from .d2preview import D2PreviewBuilder
 from .d3builder import D3Builder, resolve_source
 from .mapscript import MapScript, compile_source_map
@@ -29,6 +30,7 @@ __all__ = [
     "Chunk",
     "ChunkCollision",
     "D2Builder",
+    "D2MaterialBuilder",
     "D2PreviewBuilder",
     "D3Builder",
     "resolve_source",

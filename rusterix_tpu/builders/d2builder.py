@@ -86,3 +86,15 @@ class D2Builder:
             chunk_at(*mid).batches2d.append(batch)
 
         scene.chunks = chunks
+
+
+class D2MaterialBuilder:
+    """Material-mode preview bake of a (profile) map's shape graphs into a
+    texture over the fixed [-5, 5]^2 editor domain
+    (reference src/scenebuilder/d2material.rs:20-24)."""
+
+    def build_texture(self, map_, assets, texture) -> None:
+        from ..shapestack.stack import ShapeStack
+
+        stack = ShapeStack((-5.0, -5.0), (5.0, 5.0))
+        stack.render_geometry(texture, map_, assets, material_mode=True)

@@ -309,8 +309,12 @@ class Batch3D:
 
     @staticmethod
     def from_obj(text_or_path) -> "Batch3D":
+        """OBJ from a path, source text, or bytes (the reference's
+        IntoDataInput unification, src/intodata.rs:5-33)."""
         from .wavefront import Wavefront
 
+        if isinstance(text_or_path, (bytes, bytearray, memoryview)):
+            text_or_path = bytes(text_or_path).decode("utf-8")
         if "\n" not in str(text_or_path) and len(str(text_or_path)) < 4096:
             try:
                 with open(text_or_path, "r") as f:

@@ -99,10 +99,16 @@ class Texture:
         return Texture(data)
 
     @staticmethod
-    def from_image(path) -> "Texture":
+    def from_image(source) -> "Texture":
+        """Load from a path, bytes, or file-like object — the reference's
+        IntoDataInput unification (src/intodata.rs:5-33)."""
+        import io
+
         from PIL import Image
 
-        img = Image.open(path).convert("RGBA")
+        if isinstance(source, (bytes, bytearray, memoryview)):
+            source = io.BytesIO(bytes(source))
+        img = Image.open(source).convert("RGBA")
         return Texture(np.asarray(img, np.uint8))
 
     @staticmethod
