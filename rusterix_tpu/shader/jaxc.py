@@ -605,6 +605,56 @@ class Evaluator:
         s = sum(x.arr[..., i] * y.arr[..., i] for i in range(w))
         return Val(jnp.stack([s, s, s], axis=-1), 1)
 
+    # arity-suffixed variants (rusteria nodeop.rs Sin1/Sin2/Cos1/Cos2/
+    # Length2/Length3/Dot2/Dot3): read exactly N lanes, scalar/vec2 result
+    def _b_length2(self, a, e):
+        v = a[0].arr
+        r = jnp.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2)
+        return Val(jnp.stack([r, r, r], axis=-1), 1)
+
+    def _b_length3(self, a, e):
+        v = a[0].arr
+        r = jnp.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2 + v[..., 2] ** 2)
+        return Val(jnp.stack([r, r, r], axis=-1), 1)
+
+    def _b_dot2(self, a, e):
+        x, y = a[0].arr, a[1].arr
+        s = x[..., 0] * y[..., 0] + x[..., 1] * y[..., 1]
+        return Val(jnp.stack([s, s, s], axis=-1), 1)
+
+    def _b_dot3(self, a, e):
+        x, y = a[0].arr, a[1].arr
+        s = (
+            x[..., 0] * y[..., 0]
+            + x[..., 1] * y[..., 1]
+            + x[..., 2] * y[..., 2]
+        )
+        return Val(jnp.stack([s, s, s], axis=-1), 1)
+
+    def _b_sin1(self, a, e):
+        r = jnp.sin(a[0].arr[..., 0])
+        z = jnp.zeros_like(r)
+        return Val(jnp.stack([r, z, z], axis=-1), 1)
+
+    def _b_sin2(self, a, e):
+        v = a[0].arr
+        z = jnp.zeros_like(v[..., 0])
+        return Val(
+            jnp.stack([jnp.sin(v[..., 0]), jnp.sin(v[..., 1]), z], axis=-1), 2
+        )
+
+    def _b_cos1(self, a, e):
+        r = jnp.cos(a[0].arr[..., 0])
+        z = jnp.zeros_like(r)
+        return Val(jnp.stack([r, z, z], axis=-1), 1)
+
+    def _b_cos2(self, a, e):
+        v = a[0].arr
+        z = jnp.zeros_like(v[..., 0])
+        return Val(
+            jnp.stack([jnp.cos(v[..., 0]), jnp.cos(v[..., 1]), z], axis=-1), 2
+        )
+
     def _b_cross(self, a, e):
         x, y = a[0].arr, a[1].arr
         return Val(jnp.cross(x, y), 3)

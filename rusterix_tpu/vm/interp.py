@@ -382,6 +382,15 @@ def _print_impl(vm: "Execution", args: List[VMValue]) -> VMValue:
     return VMValue.zero()
 
 
+def _rotate2d_vm(args):
+    v = args[0].v
+    rad = float(np.radians(args[1].x))
+    s, c = np.sin(rad), np.cos(rad)
+    return VMValue.vec(
+        float(v[0] * c - v[1] * s), float(v[0] * s + v[1] * c), float(v[2])
+    )
+
+
 _BUILTINS: Dict[str, Callable] = {
     "abs": _cw(np.abs),
     "sin": _cw(np.sin),
@@ -423,6 +432,31 @@ _BUILTINS.update(
         "length": lambda vm, args: VMValue.broadcast(
             float(np.linalg.norm(args[0].v))
         ),
+        # arity-suffixed variants (vm/builtin.rs:34-50): the plain forms act
+        # componentwise/3D, the Nd forms read exactly N lanes and return a
+        # scalar-in-x value (execution.rs:262-340)
+        "length2": lambda vm, args: VMValue.vec(
+            float(np.linalg.norm(args[0].v[:2])), 0.0, 0.0
+        ),
+        "length3": lambda vm, args: VMValue.vec(
+            float(np.linalg.norm(args[0].v[:3])), 0.0, 0.0
+        ),
+        "dot2": lambda vm, args: VMValue.vec(
+            float(np.dot(args[0].v[:2], args[1].v[:2])), 0.0, 0.0
+        ),
+        "dot3": lambda vm, args: VMValue.vec(
+            float(np.dot(args[0].v[:3], args[1].v[:3])), 0.0, 0.0
+        ),
+        "sin1": lambda vm, args: VMValue.vec(float(np.sin(args[0].x)), 0.0, 0.0),
+        "sin2": lambda vm, args: VMValue.vec(
+            float(np.sin(args[0].v[0])), float(np.sin(args[0].v[1])), 0.0
+        ),
+        "cos1": lambda vm, args: VMValue.vec(float(np.cos(args[0].x)), 0.0, 0.0),
+        "cos2": lambda vm, args: VMValue.vec(
+            float(np.cos(args[0].v[0])), float(np.cos(args[0].v[1])), 0.0
+        ),
+        # rotate2d(v, angle_degrees) — execution.rs:322-329
+        "rotate2d": lambda vm, args: _rotate2d_vm(args),
         "mix": lambda vm, args: VMValue(
             args[0].v + (args[1].v - args[0].v) * args[2].v
         ),
