@@ -226,6 +226,7 @@ def _mega_kernel(
                     # (one 1/x at the end instead of one per tri per pixel)
                     best = zeff_ref[:]
                     idx = idx_scr[:]
+                    won = False
                     for k in range(CHUNK):
                         t = c * CHUNK + k
                         row = planes_ref[t, :]
@@ -237,16 +238,22 @@ def _mega_kernel(
                         better = cov & (invz > best)
                         best = jnp.where(better, invz, best)
                         idx = jnp.where(better, t, idx)
+                        won = better if won is False else (won | better)
                     zeff_ref[:] = best
                     idx_scr[:] = idx
-                    masks = [idx == (c * CHUNK + k) for k in range(CHUNK)]
-                    for ch in range(n_attr):
-                        acc = a_scr[ch]
-                        for k in range(CHUNK):
-                            acc = jnp.where(
-                                masks[k], attr_ref[c * CHUNK + k, ch], acc
-                            )
-                        a_scr[ch] = acc
+
+                    # chunks that won nothing skip the n_attr*CHUNK-select
+                    # attribute pull-in (common under heavy overlap)
+                    @pl.when(jnp.any(won))
+                    def _():
+                        masks = [idx == (c * CHUNK + k) for k in range(CHUNK)]
+                        for ch in range(n_attr):
+                            acc = a_scr[ch]
+                            for k in range(CHUNK):
+                                acc = jnp.where(
+                                    masks[k], attr_ref[c * CHUNK + k, ch], acc
+                                )
+                            a_scr[ch] = acc
 
                 return 0
 
