@@ -308,9 +308,12 @@ def measure_chained(rast, scene, assets, width, height, n=20):
 
     view = uni["view"]
     many(bg, view).block_until_ready()
-    t0 = time.perf_counter()
-    many(bg, view).block_until_ready()
-    return (time.perf_counter() - t0) / n
+    best = float("inf")
+    for _ in range(3):  # min-of-3: tunnel/chip state adds run-to-run noise
+        t0 = time.perf_counter()
+        many(bg, view).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 def main():

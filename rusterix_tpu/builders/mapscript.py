@@ -36,6 +36,7 @@ class MapScript:
         self.orientation = np.array([1.0, 0.0], np.float32)
         self.last_wall: Optional[int] = None
         self.last_sector: Optional[int] = None
+        self._saved_state = None
         self.defaults: Dict[str, object] = {
             "wall_tex": None,
             "wall_tex_row2": None,
@@ -137,6 +138,24 @@ class MapScript:
         # snap tiny fp noise so axis-aligned turns stay exact
         self.orientation = np.round(self.orientation * 1e6) / 1e6
 
+    def push(self) -> None:
+        """Save the cursor state (mapscript.rs:60-62)."""
+        self._saved_state = (
+            self.position.copy(),
+            self.orientation.copy(),
+            self.last_wall,
+            self.last_sector,
+        )
+
+    def pop(self) -> None:
+        """Restore the saved cursor state (mapscript.rs:64-67)."""
+        if self._saved_state is not None:
+            pos, ori, lw, ls = self._saved_state
+            self.position = pos.copy()
+            self.orientation = ori.copy()
+            self.last_wall = lw
+            self.last_sector = ls
+
     def turn_left(self) -> None:
         self.rotate(-90.0)
 
@@ -179,6 +198,8 @@ class MapScript:
             "rotate": self.rotate,
             "turn_left": self.turn_left,
             "turn_right": self.turn_right,
+            "push": self.push,
+            "pop": self.pop,
             "add_entity": self.add_entity,
             "add_point_light": self.add_point_light,
             "__builtins__": {"range": range, "len": len, "float": float, "int": int},
