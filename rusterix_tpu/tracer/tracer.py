@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..models.batch import MaterialModifier, MaterialRole
 from ..ops.scene_pack import SRC_PIXEL, SRC_TEXTURE, PackedScene
-from ..ops.shade import light_radiance, resolve_texel
+from ..ops.shade import light_radiance, resolve_texel, take_iso
 from ..utils.color import hash_u32, srgb_to_linear_fast
 
 
@@ -368,34 +368,39 @@ def _trace_frame(
         ti = jnp.maximum(tri, 0)
 
         w0 = 1.0 - uu - vv
+        # fusion-isolated row gathers (see ops.shade.take_iso): fused
+        # (P,)-indexed gathers degrade to element-at-a-time on TPU
+        uv_rows = take_iso(d3["uv"], ti)  # (P,3,2)
         uv = (
-            d3["uv"][ti, 0] * w0[:, None]
-            + d3["uv"][ti, 1] * uu[:, None]
-            + d3["uv"][ti, 2] * vv[:, None]
+            uv_rows[:, 0] * w0[:, None]
+            + uv_rows[:, 1] * uu[:, None]
+            + uv_rows[:, 2] * vv[:, None]
         )
-        has_n = d3["has_normals"][ti] > 0.5
+        has_n = take_iso(d3["has_normals"], ti) > 0.5
+        nrm_rows = take_iso(d3["nrm"], ti)  # (P,3,3)
         n_interp = (
-            d3["nrm"][ti, 0] * w0[:, None]
-            + d3["nrm"][ti, 1] * uu[:, None]
-            + d3["nrm"][ti, 2] * vv[:, None]
+            nrm_rows[:, 0] * w0[:, None]
+            + nrm_rows[:, 1] * uu[:, None]
+            + nrm_rows[:, 2] * vv[:, None]
         )
-        n_geo = jnp.cross(tri_e1[ti], tri_e2[ti])
+        n_geo = jnp.cross(take_iso(tri_e1, ti), take_iso(tri_e2, ti))
         n = jnp.where(has_n[:, None], n_interp, n_geo)
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
         # face the incoming ray (batch3d.rs:925-928)
         n = jnp.where(jnp.sum(n * d, axis=-1, keepdims=True) > 0, -n, n)
 
         texel = resolve_texel(
-            d3["kind"][ti], d3["tex_slot"][ti], d3["rgba"][ti], d3["repeat"][ti],
+            take_iso(d3["kind"], ti), take_iso(d3["tex_slot"], ti),
+            take_iso(d3["rgba"], ti), take_iso(d3["repeat"], ti),
             uv[:, 0], uv[:, 1], atlas, anim_frame, 0,
         )
         albedo = srgb_to_linear_fast(texel[:, :3])
 
         # material roles + per-hit modifier (trace.rs evaluate_hit:438-465:
         # modifier.modify(&texel, &material.value) on the SAMPLED texel)
-        role = mats["role"][ti]
-        modifier = mats["modifier"][ti]
-        raw_value = mats["value"][ti]
+        role = take_iso(mats["role"], ti)
+        modifier = take_iso(mats["modifier"], ti)
+        raw_value = take_iso(mats["value"], ti)
         tex = texel[:, :3]
         lum = 0.2126 * tex[:, 0] + 0.7152 * tex[:, 1] + 0.0722 * tex[:, 2]
         mx = jnp.max(tex, axis=-1)
