@@ -28,6 +28,14 @@ Stages inside one grid step (one VMEM-resident tile):
 Outputs: packed RGBA8-in-u32 frame (little-endian r|g<<8|b<<16|a<<24) and
 the effective z buffer (1.0 where the opaque pass did not write), feeding
 the optional sky-miss / opacity / 2D passes unchanged.
+
+Parity note: selection is max-1/z with strict `>`, identical to the XLA
+path, so results are order-independent and match bit-for-bit — EXCEPT at
+pixels where two distinct triangles interpolate to a bitwise-equal invz
+(duplicated coplanar walls, or far-distance tris whose invz quantizes
+together). There the winner depends on scan order (Morton here, slot order
+in XLA) and either choice is valid; measured at 5/307200 px on a 128K
+random-triangle stress scene, 0 on the minigame map.
 """
 
 from __future__ import annotations
@@ -175,12 +183,14 @@ def _texel_lookup(atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode,
 
 
 def _mega_kernel(
-    n_attr, sample_mode, has_blend,
+    n_attr, sample_mode, has_blend, hbm_tables,
     sbox_ref, cbox_ref, params_ref, lights_ref, occ_ref,
     planes_ref, attr_ref, atlas_ref, bg_ref,
     rgba_ref, zeff_ref,
-    a_scr, idx_scr,
+    a_scr, idx_scr, *dma_scratch,
 ):
+    if hbm_tables:
+        planes_buf, dma_sems = dma_scratch
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     y0 = ti * TILE_H
@@ -199,69 +209,136 @@ def _mega_kernel(
     idx_scr[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
     a_scr[:] = jnp.zeros((n_attr, TILE_H, TILE_W), jnp.float32)
 
-    ns = planes_ref.shape[0] // (CHUNK * SUPER)
+    group = CHUNK * SUPER
+    ns = planes_ref.shape[0] // group
 
-    def super_body(s, _):
-        s_hit = (
+    def _scan_super(s, planes_at, attr_at):
+        """Scan one super-chunk; planes_at/attr_at map LOCAL row index ->
+        the row data (VMEM direct or the DMA slot buffer)."""
+
+        def chunk_body(c, _2):
+            c_hit = (
+                (cbox_ref[c * 4 + 0] < x0 + TILE_W)
+                & (cbox_ref[c * 4 + 2] > x0)
+                & (cbox_ref[c * 4 + 1] < y_base + TILE_H)
+                & (cbox_ref[c * 4 + 3] > y_base)
+            )
+
+            @pl.when(c_hit)
+            def _():
+                # winner tracked as MAX 1/z: strictly monotonic in z, so
+                # the per-triangle reciprocal disappears from the scan
+                # (one 1/x at the end instead of one per tri per pixel)
+                best = zeff_ref[:]
+                idx = idx_scr[:]
+                won = False
+                local_c = (c - s * SUPER) * CHUNK
+                for k in range(CHUNK):
+                    t = c * CHUNK + k
+                    row = [planes_at(local_c + k, cf) for cf in range(12)]
+                    e0 = row[0] * xg + row[1] * yg + row[2]
+                    e1 = row[3] * xg + row[4] * yg + row[5]
+                    e2 = row[6] * xg + row[7] * yg + row[8]
+                    invz = row[9] * xg + row[10] * yg + row[11]
+                    cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                    better = cov & (invz > best)
+                    best = jnp.where(better, invz, best)
+                    idx = jnp.where(better, t, idx)
+                    won = better if won is False else (won | better)
+                zeff_ref[:] = best
+                idx_scr[:] = idx
+
+                # chunks that won nothing skip the n_attr*CHUNK-select
+                # attribute pull-in (common under heavy overlap)
+                @pl.when(jnp.any(won))
+                def _():
+                    masks = [idx == (c * CHUNK + k) for k in range(CHUNK)]
+                    for ch in range(n_attr):
+                        acc = a_scr[ch]
+                        for k in range(CHUNK):
+                            acc = jnp.where(
+                                masks[k], attr_at(local_c + k, ch), acc
+                            )
+                        a_scr[ch] = acc
+
+            return 0
+
+        jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, chunk_body, 0)
+
+    def _s_hit(s):
+        return (
             (sbox_ref[s * 4 + 0] < x0 + TILE_W)
             & (sbox_ref[s * 4 + 2] > x0)
             & (sbox_ref[s * 4 + 1] < y_base + TILE_H)
             & (sbox_ref[s * 4 + 3] > y_base)
         )
 
-        @pl.when(s_hit)
-        def _():
-            def chunk_body(c, _2):
-                c_hit = (
-                    (cbox_ref[c * 4 + 0] < x0 + TILE_W)
-                    & (cbox_ref[c * 4 + 2] > x0)
-                    & (cbox_ref[c * 4 + 1] < y_base + TILE_H)
-                    & (cbox_ref[c * 4 + 3] > y_base)
+    if not hbm_tables:
+        # small scenes: whole candidate tables live in VMEM
+        def super_body(s, _):
+            @pl.when(_s_hit(s))
+            def _():
+                _scan_super(
+                    s,
+                    lambda i, cf, s=s: planes_ref[s * group + i, cf],
+                    lambda i, ch, s=s: attr_ref[s * group + i, ch],
                 )
 
-                @pl.when(c_hit)
-                def _():
-                    # winner tracked as MAX 1/z: strictly monotonic in z, so
-                    # the per-triangle reciprocal disappears from the scan
-                    # (one 1/x at the end instead of one per tri per pixel)
-                    best = zeff_ref[:]
-                    idx = idx_scr[:]
-                    won = False
-                    for k in range(CHUNK):
-                        t = c * CHUNK + k
-                        row = planes_ref[t, :]
-                        e0 = row[0] * xg + row[1] * yg + row[2]
-                        e1 = row[3] * xg + row[4] * yg + row[5]
-                        e2 = row[6] * xg + row[7] * yg + row[8]
-                        invz = row[9] * xg + row[10] * yg + row[11]
-                        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-                        better = cov & (invz > best)
-                        best = jnp.where(better, invz, best)
-                        idx = jnp.where(better, t, idx)
-                        won = better if won is False else (won | better)
-                    zeff_ref[:] = best
-                    idx_scr[:] = idx
+            return 0
 
-                    # chunks that won nothing skip the n_attr*CHUNK-select
-                    # attribute pull-in (common under heavy overlap)
-                    @pl.when(jnp.any(won))
-                    def _():
-                        masks = [idx == (c * CHUNK + k) for k in range(CHUNK)]
-                        for ch in range(n_attr):
-                            acc = a_scr[ch]
-                            for k in range(CHUNK):
-                                acc = jnp.where(
-                                    masks[k], attr_ref[c * CHUNK + k, ch], acc
-                                )
-                            a_scr[ch] = acc
+        jax.lax.fori_loop(0, ns, super_body, 0)
+    else:
+        # big scenes: tables stay in HBM; each super-chunk's 64 rows DMA
+        # into a double-buffered VMEM slot while the previous one computes
+        # (pallas-guide double-buffering pattern). Only bbox-PASSING supers
+        # are fetched (`next_hit` skip-ahead) — at 128K random tris this is
+        # 65.6ms vs 95ms for fetch-everything.
+        # HBM mode: planes_ref is the COMBINED (T2, 128) table
+        # [planes 0:12 | attr 12:12+n_attr | pad] (mega_render) so each
+        # super-chunk DMAs one full-width, lane-aligned (64, 128) slice;
+        # reads index the static lane, dynamic sublane — both legal
+        def dma_super(s, slot):
+            return pltpu.make_async_copy(
+                planes_ref.at[pl.ds(s * group, group), :],
+                planes_buf.at[slot],
+                dma_sems.at[slot, 0],
+            )
 
-                return 0
+        # only bbox-passing supers are fetched; the NEXT passing super
+        # prefetches while the current one computes (slot parity tracked by
+        # the count of passing supers seen so far)
+        def next_hit(s0):
+            def cond(s):
+                return (s < ns) & ~_s_hit(s)
 
-            jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, chunk_body, 0)
+            return jax.lax.while_loop(cond, lambda s: s + 1, s0)
 
-        return 0
+        first = next_hit(0)
 
-    jax.lax.fori_loop(0, ns, super_body, 0)
+        @pl.when(first < ns)
+        def _():
+            dma_super(first, 0).start()
+
+        def super_body(carry):
+            s, k = carry  # s = current passing super, k = its slot parity
+            slot = jax.lax.rem(k, 2)
+            nxt = next_hit(s + 1)
+
+            @pl.when(nxt < ns)
+            def _():
+                dma_super(nxt, jax.lax.rem(k + 1, 2)).start()
+
+            dma_super(s, slot).wait()
+            _scan_super(
+                s,
+                lambda i, cf: planes_buf[slot, i, cf],
+                lambda i, ch: planes_buf[slot, i, 12 + ch],
+            )
+            return nxt, k + 1
+
+        jax.lax.while_loop(
+            lambda c: c[0] < ns, super_body, (first, jnp.int32(0))
+        )
 
     z = 1.0 / zeff_ref[:]  # back from the max-1/z scan domain
     hit = idx_scr[:] >= 0
@@ -706,18 +783,54 @@ def mega_render(
     if ph or pw:
         bg_u32 = jnp.pad(bg_u32, ((0, ph), (0, pw)))
 
+    group = CHUNK * SUPER
+    # candidate tables larger than ~4MB stay in HBM and stream per
+    # super-chunk through double-buffered DMA (VMEM-resident tables fail to
+    # compile around 64K candidate slots)
+    table_bytes = (planes.shape[0] * 12 + attr.shape[0] * n_attr) * 4
+    hbm_tables = not interpret and table_bytes > (4 << 20)
+
+    table_space = pl.ANY if (interpret or hbm_tables) else pltpu.VMEM
+    if hbm_tables:
+        # combined 128-wide rows: [planes | attr | pad] per candidate
+        combined = jnp.concatenate([planes, attr], axis=1)
+        planes_in = jnp.pad(
+            combined, ((0, 0), (0, 128 - combined.shape[1]))
+        )
+        attr_in = jnp.zeros((1, 1), jnp.float32)  # unused in hbm mode
+        planes_spec = pl.BlockSpec(
+            planes_in.shape, lambda i, j, *_: (0, 0), memory_space=table_space
+        )
+        attr_spec = pl.BlockSpec(
+            attr_in.shape, lambda i, j, *_: (0, 0), memory_space=table_space
+        )
+    else:
+        planes_in = planes
+        attr_in = attr
+        planes_spec = pl.BlockSpec(
+            (planes.shape[0], 12), lambda i, j, *_: (0, 0),
+            memory_space=table_space,
+        )
+        attr_spec = pl.BlockSpec(
+            (attr.shape[0], n_attr), lambda i, j, *_: (0, 0),
+            memory_space=table_space,
+        )
+    scratch = [
+        pltpu.VMEM((n_attr, TILE_H, TILE_W), jnp.float32),
+        pltpu.VMEM((TILE_H, TILE_W), jnp.int32),
+    ]
+    if hbm_tables:
+        scratch += [
+            pltpu.VMEM((2, group, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 1)),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (planes.shape[0], 12), lambda i, j, *_: (0, 0),
-                memory_space=pl.ANY if interpret else pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (attr.shape[0], n_attr), lambda i, j, *_: (0, 0),
-                memory_space=pl.ANY if interpret else pltpu.VMEM,
-            ),
+            planes_spec,
+            attr_spec,
             pl.BlockSpec(
                 atlas_rows.shape, lambda i, j, *_: (0, 0),
                 memory_space=pl.ANY if interpret else pltpu.VMEM,
@@ -728,14 +841,13 @@ def mega_render(
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((n_attr, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((TILE_H, TILE_W), jnp.int32),
-        ],
+        scratch_shapes=scratch,
     )
 
     rgba, zeff = pl.pallas_call(
-        functools.partial(_mega_kernel, n_attr, sample_mode, has_blend),
+        functools.partial(
+            _mega_kernel, n_attr, sample_mode, has_blend, hbm_tables
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
@@ -743,6 +855,6 @@ def mega_render(
         ],
         interpret=interpret,
     )(sboxes, cboxes, params, lights_packed, occ_packed,
-      planes, attr, atlas_rows, bg_u32)
+      planes_in, attr_in, atlas_rows, bg_u32)
 
     return rgba[:height, :width], zeff[:height, :width]
