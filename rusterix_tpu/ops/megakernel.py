@@ -733,13 +733,15 @@ def unpack_frame_u32(rgba_u32) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "sample_mode", "has_blend", "interpret"),
+    static_argnames=(
+        "width", "height", "sample_mode", "has_blend", "interpret", "force_hbm"
+    ),
 )
 def mega_render(
     vis_planes, alive, bbox, attr, atlas_rows, bg_u32,
     params, lights_packed, occ_packed,
     width: int, height: int, sample_mode: int = 0, has_blend: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, force_hbm: bool = False,
 ):
     """One composed opaque frame -> (rgba_u32 (H,W) i32, z_eff (H,W) f32).
 
@@ -788,7 +790,9 @@ def mega_render(
     # super-chunk through double-buffered DMA (VMEM-resident tables fail to
     # compile around 64K candidate slots)
     table_bytes = (planes.shape[0] * 12 + attr.shape[0] * n_attr) * 4
-    hbm_tables = not interpret and table_bytes > (4 << 20)
+    # force_hbm lets the CPU test suite exercise the DMA-streaming path in
+    # interpret mode on small scenes (the size switch would never take it)
+    hbm_tables = force_hbm or (not interpret and table_bytes > (4 << 20))
 
     table_space = pl.ANY if (interpret or hbm_tables) else pltpu.VMEM
     if hbm_tables:
