@@ -12,7 +12,7 @@ from .surface import (
     ProfileLoop,
     Surface,
 )
-from .terrain import Terrain, TerrainBlendMode, TerrainChunk
+from .terrain import Terrain, TerrainBlendMode, TerrainChunk, TerrainHit
 from .value import Value, ValueContainer, ValueKind
 from .worldmap import Map, MapCamera, MapToolType
 
@@ -40,6 +40,7 @@ __all__ = [
     "Terrain",
     "TerrainBlendMode",
     "TerrainChunk",
+    "TerrainHit",
     "Value",
     "ValueContainer",
     "ValueKind",

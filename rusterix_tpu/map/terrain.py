@@ -55,6 +55,15 @@ CHUNK_SIZE = 16
 
 
 @dataclass
+class TerrainHit:
+    """reference src/terrain/mod.rs:418-425 — editor ray-pick result."""
+
+    world_pos: np.ndarray
+    grid_pos: Tuple[int, int]
+    height: float
+
+
+@dataclass
 class TerrainChunk:
     """reference src/terrain/chunk.rs:21-35 — per-tile height + source maps."""
 
@@ -189,6 +198,52 @@ class Terrain:
         n = np.array([-dx, 1.0, -dy], np.float32)
         n /= max(np.linalg.norm(n), 1e-20)
         return float(1.0 - np.clip(n[1], -1.0, 1.0))
+
+    def exists(self, tx: int, ty: int) -> bool:
+        """True if a control height was written at (tx, ty)
+        (reference terrain/mod.rs:483-490)."""
+        c = self._chunk_for(tx, ty)
+        if c is None:
+            return False
+        lx, ly = tx - c.origin[0], ty - c.origin[1]
+        return bool(c.heights[ly, lx] != 0.0) or (tx, ty) in c.sources
+
+    def ray_terrain_hit(self, origin, direction, max_distance: float = 150.0):
+        """Editor picking: march a ray against the height field
+        (reference terrain/mod.rs:427-480: 0.1-unit steps, then a 4-iter
+        binary refine once the ray dips under the surface).
+
+        -> TerrainHit(world_pos, grid_pos, height) or None. The coarse
+        march is vectorized over all 1500 sample points at once."""
+        o = np.asarray(origin, np.float32)
+        d = np.asarray(direction, np.float32)
+        step = 0.1
+        n = min(1500, max(1, int(np.ceil(max_distance / step))))
+        ts = np.arange(n, dtype=np.float32) * step
+        pts = o[None, :] + d[None, :] * ts[:, None]
+        h = self.sample_height_many(pts[:, 0], pts[:, 2])
+        below = pts[:, 1] - h < 0.01
+        idx = np.argmax(below)
+        if not below[idx]:
+            return None
+        low = max(float(ts[idx]) - step, 0.0)
+        high = float(ts[idx])
+        for _ in range(4):
+            mid = 0.5 * (low + high)
+            p = o + d * mid
+            if p[1] - self.sample_height(p[0], p[2]) < 0.01:
+                high = mid
+            else:
+                low = mid
+        t_hit = 0.5 * (low + high)
+        p = o + d * t_hit
+        hh = self.sample_height(float(p[0]), float(p[2]))
+        world = np.array([p[0], hh, p[2]], np.float32)
+        grid = (
+            int(np.floor(world[0] / self.scale)),
+            int(np.floor(world[2] / self.scale)),
+        )
+        return TerrainHit(world_pos=world, grid_pos=grid, height=float(hh))
 
     def bake_chunk(self, map_, chunk_key: Tuple[int, int], assets,
                    pixels_per_tile: int = 8, palette=None):

@@ -167,6 +167,114 @@ class PixelSource:
     def shapefx_graph(uuid: str) -> "PixelSource":
         return PixelSource(PixelSourceKind.ShapeFXGraphId, uuid=uuid)
 
+    @staticmethod
+    def noise2d(p, scale=(1.0, 1.0), octaves: int = 4):
+        """Vectorized value-noise fbm used by Color tile baking
+        (reference src/map/pixelsource.rs:168-204). `p` is (..., 2)."""
+        p = np.asarray(p, np.float32)
+
+        def _hash(q):
+            p3 = np.stack([q[..., 0], q[..., 1], q[..., 0]], -1) * np.float32(0.13)
+            p3 = p3 - np.floor(p3)
+            dot = (
+                p3[..., 0] * (p3[..., 1] + 3.333)
+                + p3[..., 1] * (p3[..., 2] + 3.333)
+                + p3[..., 2] * (p3[..., 0] + 3.333)
+            )
+            p3 = p3 + dot[..., None]
+            v = (p3[..., 0] + p3[..., 1]) * p3[..., 2]
+            return v - np.floor(v)
+
+        def _noise(x):
+            i = np.floor(x)
+            f = x - i
+            a = _hash(i)
+            b = _hash(i + np.float32([1, 0]))
+            c = _hash(i + np.float32([0, 1]))
+            d = _hash(i + np.float32([1, 1]))
+            u = f * f * (3.0 - 2.0 * f)
+            return (
+                a + (b - a) * u[..., 0]
+                + (c - a) * u[..., 1] * (1.0 - u[..., 0])
+                + (d - b) * u[..., 0] * u[..., 1]
+            )
+
+        x = p * np.float32(8.0) * np.asarray(scale, np.float32)
+        if octaves == 0:
+            return _noise(x)
+        v = np.zeros(x.shape[:-1], np.float32)
+        a = 0.5
+        cs, sn = np.cos(0.5), np.sin(0.5)
+        rot = np.array([[cs, sn], [-sn, cs]], np.float32)
+        for _ in range(octaves):
+            v = v + a * _noise(x)
+            x = x @ rot.T * 2.0 + np.float32(100.0)
+            a *= 0.5
+        return v
+
+    def to_tile(self, assets, size: int, values=None, map_=None):
+        """Bake this source into a Tile for editor previews
+        (reference src/map/pixelsource.rs:43-120): TileId/MaterialId look
+        up assets; Color synthesizes a size x size texture with optional
+        fbm noise on RGB/hue/luminance (noise_target / noise_intensity /
+        pixelization props); ShapeFXGraphId returns the graph's dominant
+        palette color. Other variants -> None."""
+        from ..map.value import ValueContainer
+        from ..utils.color import hsl_to_rgb, rgb_to_hsl
+        from .texture import Texture, Tile
+
+        if values is None:
+            values = ValueContainer()
+        if self.kind == PixelSourceKind.TileId:
+            return assets.tiles.get(self.uuid)
+        if self.kind == PixelSourceKind.MaterialId:
+            return assets.materials.get(self.uuid)
+        if self.kind in (PixelSourceKind.Color, PixelSourceKind.Pixel):
+            target = values.get_int_default("noise_target", 0)
+            intensity = values.get_float_default("noise_intensity", 0.0)
+            pix = max(values.get_int_default("pixelization", 1), 1)
+            base = np.asarray(self.pixel, np.float32) / 255.0
+            xs = np.arange(0, size, pix)
+            gx, gy = np.meshgrid(xs, xs)
+            p = np.stack([gx, gy], -1).astype(np.float32) / float(size)
+            # the reference scales by intensity twice (pixelsource.rs:64-65);
+            # kept for parity
+            noise = self.noise2d(p) * intensity
+            un = (noise * 2.0 - 1.0) * intensity
+            buf = np.empty((len(xs), len(xs), 4), np.float32)
+            buf[..., 3] = base[3] if len(base) > 3 else 1.0
+            if target == 0:  # RGB
+                buf[..., :3] = np.clip(
+                    base[None, None, :3] * (1.0 + un[..., None]), 0.0, 1.0
+                )
+                buf[..., 3] = 1.0
+            else:
+                h, s, l = rgb_to_hsl(base[:3])
+                flat = un.reshape(-1)
+                cols = np.empty((flat.size, 3), np.float32)
+                for i, n in enumerate(flat):
+                    if target == 1:  # Hue
+                        cols[i] = hsl_to_rgb((h + float(n)) % 1.0, s, l)
+                    else:  # Luminance
+                        cols[i] = hsl_to_rgb(h, s, float(np.clip(l + n, 0.0, 1.0)))
+                buf[..., :3] = cols.reshape(un.shape + (3,))
+            data = np.repeat(np.repeat(buf, pix, axis=0), pix, axis=1)[:size, :size]
+            tile = Tile.empty()
+            tile.append(Texture((data * 255.0 + 0.5).astype(np.uint8)))
+            return tile
+        if self.kind == PixelSourceKind.ShapeFXGraphId:
+            graph = None
+            if map_ is not None:
+                graph = getattr(map_, "shapefx_graphs", {}).get(self.uuid)
+            if graph is not None:
+                rgba = graph.get_dominant_color(assets.palette)
+            else:
+                rgba = (0, 0, 0, 255)
+            tile = Tile.empty()
+            tile.append(Texture.from_color(rgba))
+            return tile
+        return None
+
 
 class MaterialRole(enum.IntEnum):
     """reference src/shapestack/material.rs:8-38"""

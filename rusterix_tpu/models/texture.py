@@ -204,6 +204,13 @@ class Texture:
         out = np.round(acc / total).astype(np.int32)
         return tuple(int(c) for c in out)
 
+    def sample_nearest_blur(self, u: float, v: float, blur_strength: float):
+        """reference src/texture.rs:327-411 — same 3x3 inverse-distance
+        kernel as sample_blur, nearest center, clamped."""
+        return self.sample_blur(
+            u, v, SampleMode.Nearest, RepeatMode.ClampXY, blur_strength
+        )
+
     def sample_linear(self, u: float, v: float):
         """reference src/texture.rs:414-460 bilinear."""
         x = u * (self.width - 1)

@@ -104,6 +104,21 @@ class ShapeFX:
             flicker=self.values.get_float_default("flicker", 0.0),
         )
 
+    def get_palette_color(self, named: str, palette) -> tuple:
+        """Palette lookup of an int-valued color property -> RGBA8
+        (reference shapefx.rs:2420-2427; black when out of range)."""
+        idx = self.values.get_int_default(named, 0)
+        if palette is not None and 0 <= idx < len(palette):
+            r, g, b = (float(c) for c in palette[idx][:3])
+            return (int(r * 255 + 0.5), int(g * 255 + 0.5), int(b * 255 + 0.5), 255)
+        return (0, 0, 0, 255)
+
+    def get_dominant_color(self, palette) -> tuple:
+        """reference shapefx.rs:2412-2417: Gradient nodes use their
+        'interior' color, everything else 'color'."""
+        named = "interior" if self.role == ShapeFXRole.Gradient else "color"
+        return self.get_palette_color(named, palette)
+
     def compile_light(self):
         """PointLight node -> Light."""
         from ..models.light import Light, LightType
@@ -167,3 +182,10 @@ class ShapeFXGraph:
 
     def has_role(self, role: ShapeFXRole) -> bool:
         return any(n.role == role for n in self.nodes)
+
+    def get_dominant_color(self, palette) -> tuple:
+        """Sector-preview color (reference shapefxgraph.rs:375-381):
+        the second node's dominant color, mid-gray for trivial graphs."""
+        if len(self.nodes) > 1:
+            return self.nodes[1].get_dominant_color(palette)
+        return (128, 128, 128, 255)

@@ -69,3 +69,43 @@ def hash_u32(seed: int) -> int:
     state = (state * 0x27D4EB2D) & mask
     state ^= state >> 15
     return state
+
+
+def rgb_to_hsl(rgb):
+    """RGB [0,1] -> (h, s, l) each in [0,1] (TheColor::as_hsl semantics)."""
+    r, g, b = (float(c) for c in np.asarray(rgb, np.float32)[:3])
+    mx, mn = max(r, g, b), min(r, g, b)
+    l = 0.5 * (mx + mn)
+    if mx == mn:
+        return 0.0, 0.0, l
+    d = mx - mn
+    s = d / (2.0 - mx - mn) if l > 0.5 else d / (mx + mn)
+    if mx == r:
+        h = (g - b) / d + (6.0 if g < b else 0.0)
+    elif mx == g:
+        h = (b - r) / d + 2.0
+    else:
+        h = (r - g) / d + 4.0
+    return h / 6.0, s, l
+
+
+def hsl_to_rgb(h, s, l):
+    """(h, s, l) in [0,1] -> RGB [0,1] (TheColor::from_hsl semantics)."""
+    if s == 0.0:
+        return np.array([l, l, l], np.float32)
+
+    def hue(p, q, t):
+        t = t % 1.0
+        if t < 1 / 6:
+            return p + (q - p) * 6.0 * t
+        if t < 1 / 2:
+            return q
+        if t < 2 / 3:
+            return p + (q - p) * (2 / 3 - t) * 6.0
+        return p
+
+    q = l * (1.0 + s) if l < 0.5 else l + s - l * s
+    p = 2.0 * l - q
+    return np.array(
+        [hue(p, q, h + 1 / 3), hue(p, q, h), hue(p, q, h - 1 / 3)], np.float32
+    )

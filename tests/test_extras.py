@@ -137,3 +137,61 @@ def test_texture_material_ext():
     assert abs(nx) < 0.01 and abs(ny - 1.0) < 0.01
     t.generate_normals(wrap=True)
     assert t.data_ext is not None
+
+
+def test_pixel_source_to_tile_color_noise_and_lookup():
+    """PixelSource::to_tile (pixelsource.rs:43-120): Color bakes a noisy
+    texture, TileId resolves assets, ShapeFXGraphId uses the graph's
+    dominant palette color, Off -> None."""
+    from rusterix_tpu.map import Map, ValueContainer
+    from rusterix_tpu.models import Assets, PixelSource, Texture, Tile
+    from rusterix_tpu.shapefx import ShapeFX, ShapeFXGraph, ShapeFXRole
+
+    assets = Assets.default()
+    # Color with RGB noise: constant alpha, varying rgb around the base
+    vals = ValueContainer()
+    vals.set("noise_intensity", 0.5)
+    tile = PixelSource.color((200, 100, 50, 255)).to_tile(assets, 32, vals)
+    tex = tile.textures[0].data
+    assert tex.shape == (32, 32, 4) and tex[..., 3].min() == 255
+    assert tex[..., 0].std() > 0  # noise actually moved the channel
+    # zero intensity -> flat fill
+    flat = PixelSource.color((10, 20, 30, 255)).to_tile(assets, 8, ValueContainer())
+    assert (flat.textures[0].data[..., :3] == [10, 20, 30]).all()
+    # hue/luminance targets keep alpha and change rgb
+    vals2 = ValueContainer()
+    vals2.set("noise_target", 2)
+    vals2.set("noise_intensity", 0.4)
+    lum = PixelSource.color((200, 100, 50, 255)).to_tile(assets, 16, vals2)
+    assert lum.textures[0].data[..., :3].std() > 0
+    # TileId lookup
+    t = Tile.from_texture(Texture.checkerboard(8, 4))
+    assets.tiles[t.id] = t
+    assert PixelSource.tile_id(t.id).to_tile(assets, 16) is t
+    # graph dominant color via node[1]'s 'color' palette index
+    m = Map()
+    node = ShapeFX(ShapeFXRole.Color)
+    node.values.set("color", 3)
+    g = ShapeFXGraph(nodes=[ShapeFX(ShapeFXRole.Render), node])
+    m.shapefx_graphs[g.id] = g
+    gt = PixelSource.shapefx_graph(g.id).to_tile(assets, 4, map_=m)
+    expect = tuple(
+        int(float(c) * 255 + 0.5) for c in assets.palette[3][:3]
+    )
+    assert tuple(gt.textures[0].data[0, 0, :3]) == expect
+    assert PixelSource.off().to_tile(assets, 8) is None
+
+
+def test_hsl_round_trip_and_blur_sample():
+    from rusterix_tpu.models import Texture
+    from rusterix_tpu.utils.color import hsl_to_rgb, rgb_to_hsl
+
+    for rgb in ([0.8, 0.4, 0.2], [0.0, 0.0, 0.0], [0.2, 0.9, 0.3]):
+        h, s, l = rgb_to_hsl(rgb)
+        np.testing.assert_allclose(hsl_to_rgb(h, s, l), rgb, atol=1e-5)
+    # sample_nearest_blur: 0 strength = nearest; blur averages neighbors
+    tex = Texture.checkerboard(8, 1)
+    sharp = tex.sample_nearest_blur(0.5, 0.5, 0.0)
+    blurred = tex.sample_nearest_blur(0.5, 0.5, 1.0)
+    assert sharp != blurred
+    assert 0 < blurred[0] < 255

@@ -169,3 +169,29 @@ def test_sample_normal_and_tile_normal():
     assert abs(n[0]) > 1e-4  # tilted by the slope
     flat = gen.tile_normal(m, (35, 35))
     assert np.allclose(flat, [0, 1, 0], atol=1e-5)
+
+
+def test_ray_terrain_hit_picks_hill():
+    """Editor ray-pick (terrain/mod.rs:427-480): a downward ray over a hill
+    lands on the surface within the 0.1-step + binary-refine tolerance."""
+    from rusterix_tpu.map import Terrain
+
+    t = Terrain()
+    for tx in range(8):
+        for ty in range(8):
+            t.set_height(tx, ty, 2.0)
+    hit = t.ray_terrain_hit([2.0, 10.0, 2.0], [0.0, -1.0, 0.0])
+    assert hit is not None
+    assert abs(hit.height - 2.0) < 1e-3
+    assert abs(hit.world_pos[1] - 2.0) < 1e-3
+    assert hit.grid_pos == (2, 2)
+    # an angled ray walks forward until it dips below the field
+    hit2 = t.ray_terrain_hit([0.0, 4.0, 0.0], _norm([1.0, -0.5, 1.0]))
+    assert hit2 is not None and abs(hit2.height - hit2.world_pos[1]) < 1e-4
+    # a ray that never reaches the surface misses
+    assert t.ray_terrain_hit([0.0, 10.0, 0.0], [0.0, 0.0, 1.0], 20.0) is None
+
+
+def _norm(v):
+    v = np.asarray(v, np.float32)
+    return v / np.linalg.norm(v)
