@@ -312,6 +312,9 @@ class BrushPreview:
 #: the reference constructs a fresh Rasterizer::setup every frame)
 _SCENE_CACHE: dict = {}
 _BG_CACHE: dict = {}
+# id(host bg array) -> device copy; host arrays are kept alive by _BG_CACHE
+# so their ids are stable while cached
+_BG_DEV_CACHE: dict = {}
 
 
 class Rasterizer:
@@ -364,8 +367,6 @@ class Rasterizer:
         self._sky_node = None
 
         self._palette = np.zeros((1, 3), np.float32)
-        self._bg_dev = None
-        self._bg_dev_key = None
         self._last_size = (1, 1)
 
     @staticmethod
@@ -484,27 +485,30 @@ class Rasterizer:
         sun_c = (
             self.sun_color if self.sun_color is not None else np.ones(3, np.float32)
         )
+        # numpy leaves on purpose: rasterize() device_puts the whole
+        # per-frame pytree in ONE batched transfer (82 individual
+        # device_puts/frame dominated the engine loop over the dev tunnel)
         return {
-            "view": jnp.asarray(self.view_matrix),
-            "proj": jnp.asarray(self.projection_matrix),
-            "inv_view": jnp.asarray(self.inverse_view_matrix),
-            "inv_proj": jnp.asarray(self.inverse_projection_matrix),
-            "camera_pos": jnp.asarray(self.camera_pos),
-            "ambient": jnp.asarray(amb, jnp.float32),
-            "has_ambient": jnp.float32(1.0 if self.ambient_color is not None else 0.0),
-            "sun_dir": jnp.asarray(sun, jnp.float32),
-            "sun_color": jnp.asarray(sun_c, jnp.float32),
-            "day_factor": jnp.float32(self.day_factor),
-            "has_sun": jnp.float32(1.0 if (self.sun_dir is not None and self.day_factor > 0) else 0.0),
-            "anim_frame": jnp.int32(scene.animation_frame),
-            "proj2d": jnp.asarray(self.proj2d),
-            "translationd2": jnp.asarray(self.translationd2),
-            "scaled2": jnp.float32(self.scaled2),
-            "time": jnp.float32(self.time),
-            "palette": jnp.asarray(self._palette, jnp.float32),
-            "fog_color": jnp.asarray(self._fog_color, jnp.float32),
-            "fog_end": jnp.float32(self._fog_end),
-            "fog_fade": jnp.float32(self._fog_fade),
+            "view": np.asarray(self.view_matrix, np.float32),
+            "proj": np.asarray(self.projection_matrix, np.float32),
+            "inv_view": np.asarray(self.inverse_view_matrix, np.float32),
+            "inv_proj": np.asarray(self.inverse_projection_matrix, np.float32),
+            "camera_pos": np.asarray(self.camera_pos, np.float32),
+            "ambient": np.asarray(amb, np.float32),
+            "has_ambient": np.float32(1.0 if self.ambient_color is not None else 0.0),
+            "sun_dir": np.asarray(sun, np.float32),
+            "sun_color": np.asarray(sun_c, np.float32),
+            "day_factor": np.float32(self.day_factor),
+            "has_sun": np.float32(1.0 if (self.sun_dir is not None and self.day_factor > 0) else 0.0),
+            "anim_frame": np.int32(scene.animation_frame),
+            "proj2d": np.asarray(self.proj2d, np.float32),
+            "translationd2": np.asarray(self.translationd2, np.float32),
+            "scaled2": np.float32(self.scaled2),
+            "time": np.float32(self.time),
+            "palette": np.asarray(self._palette, np.float32),
+            "fog_color": np.asarray(self._fog_color, np.float32),
+            "fog_end": np.float32(self._fog_end),
+            "fog_fade": np.float32(self._fog_fade),
         }
 
     def screen_to_world(self, x: float, y: float, z_ndc: float) -> np.ndarray:
@@ -646,18 +650,19 @@ class Rasterizer:
             p3, p3op, p2, dyn_lines = pack_dynamic(
                 scene, packed.atlas_index, *caps
             )
-            d3_dyn = {k: jnp.asarray(v) for k, v in vars(p3).items()}
-            d3_op_dyn = {k: jnp.asarray(v) for k, v in vars(p3op).items()}
-            d2_dyn = {k: jnp.asarray(v) for k, v in vars(p2).items()}
+            # numpy until the single batched device_put below
+            d3_dyn = dict(vars(p3))
+            d3_op_dyn = dict(vars(p3op))
+            d2_dyn = dict(vars(p2))
 
         if not self.render_mode.d3_active:
             d3 = dict(d3)
             d3["valid"] = jnp.zeros_like(d3["valid"])
             if d3_dyn is not None:
                 d3_dyn = dict(d3_dyn)
-                d3_dyn["valid"] = jnp.zeros_like(d3_dyn["valid"])
+                d3_dyn["valid"] = np.zeros_like(d3_dyn["valid"])
                 d3_op_dyn = dict(d3_op_dyn)
-                d3_op_dyn["valid"] = jnp.zeros_like(d3_op_dyn["valid"])
+                d3_op_dyn["valid"] = np.zeros_like(d3_op_dyn["valid"])
 
         # lights repack EVERY frame (they're tiny): the reference reads light
         # positions fresh per frame — examples animate scene.lights[0]
@@ -672,25 +677,32 @@ class Rasterizer:
             cap = next_pow2(len(live_lights), lo=4)
         lights = pack_lights(live_lights, cap)
         lights["flicker_factor"] = self._flicker_factors(lights)
-        lights_dev = {k: jnp.asarray(v) for k, v in lights.items()}
+        lights_dev = lights  # numpy until the batched device_put below
         light_count = len(live_lights)
 
         uniforms = self._uniforms(scene)
         if self.brush_preview is not None:
-            uniforms["brush_pos"] = jnp.asarray(
-                self.brush_preview.position, jnp.float32
+            uniforms["brush_pos"] = np.asarray(
+                self.brush_preview.position, np.float32
             )
-            uniforms["brush_radius"] = jnp.float32(self.brush_preview.radius)
-            uniforms["brush_falloff"] = jnp.float32(self.brush_preview.falloff)
+            uniforms["brush_radius"] = np.float32(self.brush_preview.radius)
+            uniforms["brush_falloff"] = np.float32(self.brush_preview.falloff)
         if packed.occlusion is not None:
-            uniforms["occ_box"] = jnp.asarray(packed.occlusion["occ_box"])
-            uniforms["occ_val"] = jnp.asarray(packed.occlusion["occ_val"])
+            uniforms["occ_box"] = packed.occlusion["occ_box"]
+            uniforms["occ_val"] = packed.occlusion["occ_val"]
         mini = scene.mapmini if scene.mapmini is not None else self.mapmini
         if mini is not None and getattr(mini, "all_linedefs", None):
             segs = mini.pack_device()
-            uniforms["seg_a"] = jnp.asarray(segs["seg_a"])
-            uniforms["seg_b"] = jnp.asarray(segs["seg_b"])
-            uniforms["seg_valid"] = jnp.asarray(segs["seg_valid"])
+            uniforms["seg_a"] = segs["seg_a"]
+            uniforms["seg_b"] = segs["seg_b"]
+            uniforms["seg_valid"] = segs["seg_valid"]
+
+        # ONE batched host->device transfer for every per-frame leaf —
+        # ~82 individual device_puts were 87% of the engine-loop frame
+        # time over the dev tunnel (each is a host round trip)
+        d3_dyn, d3_op_dyn, d2_dyn, lights_dev, uniforms = jax.device_put(
+            (d3_dyn, d3_op_dyn, d2_dyn, lights_dev, uniforms)
+        )
 
         if self.render_mode.ignore_background_shader and scene.background is not None:
             import copy as _copy
@@ -701,10 +713,15 @@ class Rasterizer:
             scene.background = scene_bg
         else:
             bg_np = self._background_array(scene, width, height)
-        if self._bg_dev_key != (id(bg_np),):
-            self._bg_dev = jnp.asarray(bg_np)
-            self._bg_dev_key = (id(bg_np),)
-        background = self._bg_dev
+        # module-level device cache: clients build a fresh Rasterizer per
+        # frame (client/mod.rs does too), so an instance cache would
+        # re-upload the (H,W,4) background every frame
+        background = _BG_DEV_CACHE.get(id(bg_np))
+        if background is None:
+            if len(_BG_DEV_CACHE) > 8:
+                _BG_DEV_CACHE.clear()
+            background = jnp.asarray(bg_np)
+            _BG_DEV_CACHE[id(bg_np)] = background
 
         frame = render_frame(
             d3,
