@@ -364,10 +364,13 @@ def main():
     results["map_800x600_fps"] = round(1.0 / dt, 1)
     results["map_800x600_mpix_s"] = round(800 * 600 / dt / 1e6, 1)
 
-    if os.environ.get("RUSTERIX_TPU_BENCH_MINIGAME") == "1":
-        dt_rb, dt_dev = measure_minigame_loop()
-        results["minigame_640x400_loop_fps"] = round(1.0 / dt_rb, 1)
-        results["minigame_640x400_loop_fps_device"] = round(1.0 / dt_dev, 1)
+    if os.environ.get("RUSTERIX_TPU_BENCH_MINIGAME") != "0":
+        try:
+            dt_rb, dt_dev = measure_minigame_loop()
+            results["minigame_640x400_loop_fps"] = round(1.0 / dt_rb, 1)
+            results["minigame_640x400_loop_fps_device"] = round(1.0 / dt_dev, 1)
+        except Exception:
+            pass  # engine-loop bench is additive; never sink the headline
 
     rast, scene, assets = build_map_scene(1920, 1080)
     if os.environ.get("RUSTERIX_TPU_PROFILE") == "1":
