@@ -31,8 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 64
 TILE_W = 128
-CHUNK = 8
-SUPER = 8  # chunks per super-chunk (64 triangles)
+CHUNK = 4
+SUPER = 32  # chunks per super-chunk (128 triangles)
 
 
 def _kernel(sbox_ref, cbox_ref, planes_ref, z_ref, idx_ref):
