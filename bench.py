@@ -186,12 +186,13 @@ def measure_minigame_loop(n=30):
 
 
 def _minigame_child(n=30):
+    import os
     import sys
     import time
 
     import jax
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from test_minigame import build_engine
 
     rx = build_engine()
@@ -369,8 +370,10 @@ def main():
             dt_rb, dt_dev = measure_minigame_loop()
             results["minigame_640x400_loop_fps"] = round(1.0 / dt_rb, 1)
             results["minigame_640x400_loop_fps_device"] = round(1.0 / dt_dev, 1)
-        except Exception:
-            pass  # engine-loop bench is additive; never sink the headline
+        except Exception as exc:  # additive metric; never sink the headline
+            import sys as _s
+
+            print(f"minigame bench skipped: {exc}", file=_s.stderr)
 
     rast, scene, assets = build_map_scene(1920, 1080)
     if os.environ.get("RUSTERIX_TPU_PROFILE") == "1":

@@ -388,7 +388,43 @@ def map_to_json(m) -> dict:
         "surfaces": {k: _surface_to_json(s) for k, s in m.surfaces.items()},
         "profiles": {k: map_to_json(p) for k, p in m.profiles.items()},
         "terrain": _terrain_to_json(m.terrain),
+        "shapefx_graphs": {
+            k: _graph_to_json(g) for k, g in m.shapefx_graphs.items()
+        },
     }
+
+
+def _graph_to_json(g) -> dict:
+    """ShapeFXGraph serde (reference shapefxgraph.rs:10 serde derive) —
+    required so Flatten/Colorize terrain modifiers and ShapeFXGraphId
+    pixel sources survive a save/load round trip."""
+    return {
+        "id": g.id,
+        "nodes": [
+            {
+                "role": int(n.role),
+                "id": n.id,
+                "position": _vec(n.position),
+                "values": vc_to_json(n.values),
+            }
+            for n in g.nodes
+        ],
+        "connections": [list(c) for c in g.connections],
+    }
+
+
+def _graph_from_json(d: dict):
+    from ..shapefx import ShapeFX, ShapeFXGraph, ShapeFXRole
+
+    g = ShapeFXGraph(id=d.get("id", ""))
+    for nd in d.get("nodes", []):
+        node = ShapeFX(ShapeFXRole(nd.get("role", 0)))
+        node.id = nd.get("id", node.id)
+        node.position = tuple(nd.get("position", (0.0, 0.0)))
+        node.values = vc_from_json(nd.get("values", {}))
+        g.nodes.append(node)
+    g.connections = [tuple(c) for c in d.get("connections", [])]
+    return g
 
 
 def map_from_json(d: dict):
@@ -419,6 +455,9 @@ def map_from_json(d: dict):
     }
     m.profiles = {k: map_from_json(p) for k, p in d.get("profiles", {}).items()}
     m.terrain = _terrain_from_json(d.get("terrain", {"scale": 1.0, "chunks": []}))
+    m.shapefx_graphs = {
+        k: _graph_from_json(g) for k, g in d.get("shapefx_graphs", {}).items()
+    }
     return m
 
 

@@ -220,7 +220,7 @@ class PixelSource:
         pixelization props); ShapeFXGraphId returns the graph's dominant
         palette color. Other variants -> None."""
         from ..map.value import ValueContainer
-        from ..utils.color import hsl_to_rgb, rgb_to_hsl
+        from ..utils.color import hsl_to_rgb_many, rgb_to_hsl
         from .texture import Texture, Tile
 
         if values is None:
@@ -250,14 +250,12 @@ class PixelSource:
                 buf[..., 3] = 1.0
             else:
                 h, s, l = rgb_to_hsl(base[:3])
-                flat = un.reshape(-1)
-                cols = np.empty((flat.size, 3), np.float32)
-                for i, n in enumerate(flat):
-                    if target == 1:  # Hue
-                        cols[i] = hsl_to_rgb((h + float(n)) % 1.0, s, l)
-                    else:  # Luminance
-                        cols[i] = hsl_to_rgb(h, s, float(np.clip(l + n, 0.0, 1.0)))
-                buf[..., :3] = cols.reshape(un.shape + (3,))
+                if target == 1:  # Hue
+                    buf[..., :3] = hsl_to_rgb_many((h + un) % 1.0, s, l)
+                else:  # Luminance
+                    buf[..., :3] = hsl_to_rgb_many(
+                        h, s, np.clip(l + un, 0.0, 1.0)
+                    )
             data = np.repeat(np.repeat(buf, pix, axis=0), pix, axis=1)[:size, :size]
             tile = Tile.empty()
             tile.append(Texture((data * 255.0 + 0.5).astype(np.uint8)))

@@ -57,8 +57,10 @@ from .visibility_pallas import CHUNK, SUPER, TILE_H, TILE_W, _group_boxes
 #   21-24 rgba (SRC_PIXEL color)
 #   25-27 batch ambient rgb
 #   28-31 anim-resolved atlas rect (rx, ry, rw, rh)
-# blend extension:
-#   32-34 bw plane | 35 kind2 | 36-39 rgba2 | 40-43 rect2 | 44-47 pad
+# material extension (has_material; baked-shader constant material):
+#   32 roughness | 33 metallic
+# blend extension (starts at mb = 34 if has_material else 32):
+#   mb+0..2 bw plane | mb+3 kind2 | mb+4..7 rgba2 | mb+8..11 rect2 | pad
 N_ATTR_PLAIN = 32
 N_ATTR_BLEND = 48
 
@@ -183,7 +185,7 @@ def _texel_lookup(atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode,
 
 
 def _mega_kernel(
-    n_attr, sample_mode, has_blend, hbm_tables,
+    n_attr, sample_mode, has_blend, has_material, hbm_tables,
     sbox_ref, cbox_ref, params_ref, lights_ref, occ_ref,
     planes_ref, attr_ref, atlas_ref, bg_ref,
     rgba_ref, zeff_ref,
@@ -266,6 +268,10 @@ def _mega_kernel(
         jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, chunk_body, 0)
 
     def _s_hit(s):
+        # clamp: the HBM skip-ahead loop evaluates the bbox test at s == ns
+        # under a non-short-circuit `&` (the result is masked by s < ns, but
+        # the read itself must stay in bounds)
+        s = jnp.minimum(s, ns - 1)
         return (
             (sbox_ref[s * 4 + 0] < x0 + TILE_W)
             & (sbox_ref[s * 4 + 2] > x0)
@@ -288,14 +294,14 @@ def _mega_kernel(
 
         jax.lax.fori_loop(0, ns, super_body, 0)
     else:
-        # big scenes: tables stay in HBM; each super-chunk's 64 rows DMA
+        # big scenes: tables stay in HBM; each super-chunk's `group` rows DMA
         # into a double-buffered VMEM slot while the previous one computes
         # (pallas-guide double-buffering pattern). Only bbox-PASSING supers
         # are fetched (`next_hit` skip-ahead) — at 128K random tris this is
         # 65.6ms vs 95ms for fetch-everything.
         # HBM mode: planes_ref is the COMBINED (T2, 128) table
         # [planes 0:12 | attr 12:12+n_attr | pad] (mega_render) so each
-        # super-chunk DMAs one full-width, lane-aligned (64, 128) slice;
+        # super-chunk DMAs one full-width, lane-aligned (group, 128) slice;
         # reads index the static lane, dynamic sublane — both legal
         def dma_super(s, slot):
             return pltpu.make_async_copy(
@@ -370,16 +376,18 @@ def _mega_kernel(
         atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode, atlas_w
     )
     if has_blend:
-        rect2 = (a_scr[40], a_scr[41], a_scr[42], a_scr[43])
-        rgba2_cols = [a_scr[36 + c] for c in range(4)]
+        mb = 34 if has_material else 32  # blend ext start (module header)
+        rect2 = (a_scr[mb + 8], a_scr[mb + 9], a_scr[mb + 10], a_scr[mb + 11])
+        rgba2_cols = [a_scr[mb + 4 + c] for c in range(4)]
         tex2 = _texel_lookup(
-            atlas_ref, u, v, rect2, a_scr[35], rgba2_cols, repeat, sample_mode,
-            atlas_w,
+            atlas_ref, u, v, rect2, a_scr[mb + 3], rgba2_cols, repeat,
+            sample_mode, atlas_w,
         )
         b_w = jnp.clip(
-            (a_scr[32] * xg + a_scr[33] * yg + a_scr[34]) / safe_w, 0.0, 1.0
+            (a_scr[mb] * xg + a_scr[mb + 1] * yg + a_scr[mb + 2]) / safe_w,
+            0.0, 1.0,
         )
-        blend_on = (a_scr[35] >= 0.0).astype(jnp.float32) * b_w
+        blend_on = (a_scr[mb + 3] >= 0.0).astype(jnp.float32) * b_w
         tex = [a * (1.0 - blend_on) + b * blend_on for a, b in zip(tex, tex2)]
     tex_r, tex_g, tex_b, tex_a = tex
 
@@ -432,9 +440,27 @@ def _mega_kernel(
     base_g = _srgb_to_linear(tex_g)
     base_b = _srgb_to_linear(tex_b)
 
-    kd_r = base_r * 0.96
-    kd_g = base_g * 0.96
-    kd_b = base_b * 0.96
+    if has_material:
+        # per-batch constant material from baked shaders (cols 32/33):
+        # same math as shade_fast_brdf with variable roughness/metallic
+        m_rough = jnp.clip(a_scr[32], 0.0, 1.0)
+        m_metal = jnp.clip(a_scr[33], 0.0, 1.0)
+        f0_r = 0.04 + (base_r - 0.04) * m_metal
+        f0_g = 0.04 + (base_g - 0.04) * m_metal
+        f0_b = 0.04 + (base_b - 0.04) * m_metal
+        f0_max = jnp.maximum(f0_r, jnp.maximum(f0_g, f0_b))
+        kd_scale = (1.0 - m_metal) * (1.0 - f0_max)
+        kd_r = base_r * kd_scale
+        kd_g = base_g * kd_scale
+        kd_b = base_b * kd_scale
+        alpha_m = jnp.maximum(m_rough * m_rough, 1e-4)
+        shininess = jnp.clip(2.0 / alpha_m - 2.0, 1.0, 2048.0)
+    else:
+        # roughness fixed at 0.5, metallic 0 (rasterizer.rs:1284): f0=0.04,
+        # shininess 6 — integer power keeps the transcendentals out
+        kd_r = base_r * 0.96
+        kd_g = base_g * 0.96
+        kd_b = base_b * 0.96
     hemi = 0.5 * (uy + 1.0)
 
     occlusion = jnp.ones_like(wx)
@@ -460,19 +486,33 @@ def _mega_kernel(
         hl = jnp.sqrt(hx * hx + hy * hy + hz * hz)
         inv_hl = 1.0 / jnp.maximum(hl, 1e-30)
         n_dot_h = jnp.maximum((ux * hx + uy * hy + uz * hz) * inv_hl, 0.0)
-        nh2 = n_dot_h * n_dot_h
-        spec_b = nh2 * nh2 * nh2
+        if has_material:
+            spec_b = jnp.where(
+                n_dot_h > 0.0,
+                jnp.exp2(
+                    shininess * (jnp.log2(jnp.maximum(n_dot_h, 1e-38)))
+                ),
+                0.0,
+            )
+        else:
+            nh2 = n_dot_h * n_dot_h
+            spec_b = nh2 * nh2 * nh2
         n_dot_v = jnp.maximum(ux * vdx + uy * vdy + uz * vdz, 0.0)
         x1 = 1.0 - jnp.clip(n_dot_v, 0.0, 1.0)
         x2 = x1 * x1
         x5 = x2 * x2 * x1
-        f = 0.04 + 0.96 * x5
-        spec = f * spec_b * n_dot_l
+        if has_material:
+            fr = f0_r + (1.0 - f0_r) * x5
+            fg = f0_g + (1.0 - f0_g) * x5
+            fb = f0_b + (1.0 - f0_b) * x5
+        else:
+            fr = fg = fb = 0.04 + 0.96 * x5
+        sb = spec_b * n_dot_l
         dead = n_dot_l <= 0.0
         return (
-            jnp.where(dead, 0.0, (kd_r * n_dot_l + spec) * rad_r),
-            jnp.where(dead, 0.0, (kd_g * n_dot_l + spec) * rad_g),
-            jnp.where(dead, 0.0, (kd_b * n_dot_l + spec) * rad_b),
+            jnp.where(dead, 0.0, (kd_r * n_dot_l + fr * sb) * rad_r),
+            jnp.where(dead, 0.0, (kd_g * n_dot_l + fg * sb) * rad_g),
+            jnp.where(dead, 0.0, (kd_b * n_dot_l + fb * sb) * rad_b),
         )
 
     has_sun = params_ref[43]
@@ -614,7 +654,7 @@ def _mega_kernel(
 
 
 def pack_mega_table(attr_planes, tri_id, meta, atlas, anim_frame,
-                    has_blend: bool):
+                    has_blend: bool, has_material: bool = False):
     """Per-candidate rows for the megakernel (layout in the module header).
 
     The texture rect is anim-resolved HERE, per frame per candidate (T rows,
@@ -640,6 +680,11 @@ def pack_mega_table(attr_planes, tri_id, meta, atlas, anim_frame,
         jnp.take(meta["ambient"], tri_id, axis=0),
         jnp.take(resolve_rect(meta["tex_slot"]), tri_id, axis=0),
     ]
+    if has_material:
+        cols += [
+            jnp.take(meta["rough"], tri_id)[:, None],
+            jnp.take(meta["metal"], tri_id)[:, None],
+        ]
     if has_blend:
         cols += [
             attr_planes[:, 18:21],
@@ -734,14 +779,16 @@ def unpack_frame_u32(rgba_u32) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "sample_mode", "has_blend", "interpret", "force_hbm"
+        "width", "height", "sample_mode", "has_blend", "has_material",
+        "interpret", "force_hbm",
     ),
 )
 def mega_render(
     vis_planes, alive, bbox, attr, atlas_rows, bg_u32,
     params, lights_packed, occ_packed,
     width: int, height: int, sample_mode: int = 0, has_blend: bool = False,
-    interpret: bool = False, force_hbm: bool = False,
+    has_material: bool = False, interpret: bool = False,
+    force_hbm: bool = False,
 ):
     """One composed opaque frame -> (rgba_u32 (H,W) i32, z_eff (H,W) f32).
 
@@ -850,7 +897,8 @@ def mega_render(
 
     rgba, zeff = pl.pallas_call(
         functools.partial(
-            _mega_kernel, n_attr, sample_mode, has_blend, hbm_tables
+            _mega_kernel, n_attr, sample_mode, has_blend, has_material,
+            hbm_tables,
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -118,6 +118,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "has_blend",
         "has_brush",
         "has_dyn",
+        "has_material",
     ),
 )
 def render_frame(
@@ -147,6 +148,7 @@ def render_frame(
     d3_dyn=None,
     d3_op_dyn=None,
     d2_dyn=None,
+    has_material: bool = False,
 ):
     """One full frame on device -> (H, W, 4) uint8."""
     view = uniforms["view"]
@@ -185,7 +187,8 @@ def render_frame(
         from .visibility_pallas import morton_sort
 
         table = pack_mega_table(
-            attr, tri_id, d3, atlas, uniforms["anim_frame"], has_blend
+            attr, tri_id, d3, atlas, uniforms["anim_frame"], has_blend,
+            has_material,
         )
         vis_s, bbox_s, alive_s, _, table_s = morton_sort(
             vis, bbox, alive.astype(jnp.float32), tri_id, width, height,
@@ -198,7 +201,8 @@ def render_frame(
             pack_mega_params(uniforms, width, height, atlas["w"], has_fog),
             pack_light_params(lights),
             pack_occ_params(uniforms),
-            width, height, sample_mode, has_blend, interpret=interpret,
+            width, height, sample_mode, has_blend, has_material,
+            interpret=interpret,
         )
         if not (has_sky or has_opacity or has_d2 or has_brush):
             return unpack_frame_u32(rgba_u32)
@@ -227,6 +231,7 @@ def render_frame(
         shaded, wrote = shade_pass(
             z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height,
             sample_mode, shaders=shaders, has_fog=has_fog, has_blend=has_blend,
+            has_material=has_material,
         )
         frame, z_eff = compose_opaque(shaded, wrote, z, background)
 
@@ -452,6 +457,11 @@ class Rasterizer:
             ).copy()
         else:
             bg = np.zeros((height, width, 4), np.float32)
+        if len(_BG_CACHE) > 8:
+            # evict both caches together: _BG_DEV_CACHE keys on id() of
+            # these host arrays, which is only stable while they're alive
+            _BG_CACHE.clear()
+            _BG_DEV_CACHE.clear()
         _BG_CACHE[key] = bg
         return bg
 
@@ -755,6 +765,9 @@ class Rasterizer:
             d3_dyn,
             d3_op_dyn,
             d2_dyn,
+            has_material=bool(
+                (packed.d3.rough != 0.5).any() or packed.d3.metal.any()
+            ),
         )
         if not readback:
             return frame

@@ -65,23 +65,51 @@ class AtlasIndex:
         # time-independent per-batch rusteria shaders bake to atlas tiles at
         # pack time (the reference's own chunk-shader trick, src/chunk.rs:
         # 104-121) so shaded batches render through the uniform texture path
-        shader_slots: Dict[int, int] = {}
+        shader_slots: Dict[int, tuple] = {}
         for si, prog in enumerate(getattr(scene, "shaders", []) or []):
             if prog is None or not getattr(prog, "shade_index", False):
                 continue
             from ..models.texture import Texture
             from ..shader.jaxc import Rusteria
 
-            rgba = Rusteria.bake_tile(prog, 128, assets.palette, time=0.0)
+            state = Rusteria.bake_state(prog, 128, assets.palette, time=0.0)
             if getattr(prog, "uses_time", False):
                 # syntactic `time` reads don't prove animation (the reference
                 # wood shader does `time * 0.0`) — bake at two times and only
-                # keep the tile if the output is provably time-independent
+                # keep the tile if EVERY output is provably time-independent
                 # (probe time irrational so periodic shaders can't alias)
-                rgba1 = Rusteria.bake_tile(prog, 128, assets.palette, time=0.7318531)
-                if not np.array_equal(rgba, rgba1):
+                state1 = Rusteria.bake_state(
+                    prog, 128, assets.palette, time=0.7318531
+                )
+                if any(
+                    not np.array_equal(state[k], state1[k]) for k in state
+                ):
                     continue
-            shader_slots[si] = len(tiles)
+            # material representability: the bake only captures color +
+            # opacity per texel plus ONE roughness/metallic constant per
+            # batch (reference shaders write per-pixel registers,
+            # rasterizer.rs:1284-1303). Anything richer stays per-pixel.
+            rough = state["roughness"][..., 0]
+            metal = state["metallic"][..., 0]
+            if (
+                np.any(state["emissive"] != 0.0)
+                or np.any(state["normal"] != 0.0)
+                or np.any(state["bump"] != 0.0)
+                or rough.min() != rough.max()
+                or metal.min() != metal.max()
+            ):
+                continue
+            rgba = np.concatenate(
+                [state["color"], state["opacity"][..., :1]], axis=-1
+            )
+            if not prog.supports_opacity:
+                rgba[..., 3] = 1.0
+            rgba = (np.clip(rgba, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            shader_slots[si] = (
+                len(tiles),
+                float(np.clip(rough.flat[0], 0.0, 1.0)),
+                float(np.clip(metal.flat[0], 0.0, 1.0)),
+            )
             tiles.append(Tile.from_texture(Texture(rgba)))
         return AtlasIndex(
             atlas=TextureAtlas.build(tiles),
@@ -146,6 +174,8 @@ class PackedTriangles3D:
     kind2: np.ndarray  # (T,) i32 SRC_* of source2, -1 when unblended
     tex_slot2: np.ndarray  # (T,) i32
     rgba2: np.ndarray  # (T, 4) f32
+    rough: np.ndarray = None  # (T,) f32 per-batch roughness (default 0.5)
+    metal: np.ndarray = None  # (T,) f32 per-batch metallic (default 0.0)
 
     @property
     def capacity(self) -> int:
@@ -168,11 +198,15 @@ def pack_batches_3d(
         kind, tex_slot, rgba = atlas_index.resolve(batch.source)
         shader_idx = -1 if batch.shader is None else int(batch.shader)
         baked = (atlas_index.shader_slots or {}).get(shader_idx)
+        b_rough, b_metal = 0.5, 0.0  # reference defaults rasterizer.rs:1284
         if baked is not None:
             # shader baked to an atlas tile: the batch becomes a plain
             # textured batch sampling the bake with shader-uv = uv/4 and
-            # RepeatXY (the per-pixel path's uv convention, see shade_pass)
-            kind, tex_slot, rgba = SRC_TEXTURE, baked, (0.0, 0.0, 0.0, 1.0)
+            # RepeatXY (the per-pixel path's uv convention, see shade_pass);
+            # the shader's constant roughness/metallic ride as per-batch
+            # material scalars
+            slot, b_rough, b_metal = baked
+            kind, tex_slot, rgba = SRC_TEXTURE, slot, (0.0, 0.0, 0.0, 1.0)
             shader_idx = -1
         # secondary blend source (vertex-blended batches,
         # d3chunkbuilder.rs:789-806 add_poly_3d_blended)
@@ -234,6 +268,8 @@ def pack_batches_3d(
                     kind2,
                     tex_slot2,
                     rgba2,
+                    b_rough,
+                    b_metal,
                 )
             )
 
@@ -260,10 +296,13 @@ def pack_batches_3d(
         kind2=np.full(cap, -1, np.int32),
         tex_slot2=np.zeros(cap, np.int32),
         rgba2=np.zeros((cap, 4), np.float32),
+        rough=np.full(cap, 0.5, np.float32),
+        metal=np.zeros(cap, np.float32),
     )
     for t, tri in enumerate(tris[:cap]):
         (pos, uv, nrm, has_n, cull, kind, tex_slot, rgba, repeat, rl, sh, amb,
-         prof, cut, op_mul, bw3, kind2, tex_slot2, rgba2) = tri
+         prof, cut, op_mul, bw3, kind2, tex_slot2, rgba2, b_rough,
+         b_metal) = tri
         out.pos[t] = pos
         out.uv[t] = uv
         out.nrm[t] = nrm
@@ -284,6 +323,8 @@ def pack_batches_3d(
         out.kind2[t] = kind2
         out.tex_slot2[t] = tex_slot2
         out.rgba2[t] = rgba2
+        out.rough[t] = b_rough
+        out.metal[t] = b_metal
     return out
 
 

@@ -354,6 +354,7 @@ def shade_pass(
     shaders: tuple = (),
     has_fog: bool = False,
     has_blend: bool = False,
+    has_material: bool = False,
 ):
     """Shade every pixel from its winning triangle.
 
@@ -384,13 +385,15 @@ def shade_pass(
         meta["rgba"],
         meta["ambient"],
     ]
+    if has_material:
+        meta_cols += [meta["rough"][:, None], meta["metal"][:, None]]
     if has_blend:
         meta_cols += [
             meta["kind2"].astype(jnp.float32)[:, None],
             meta["tex_slot2"].astype(jnp.float32)[:, None],
             meta["rgba2"],
         ]
-    meta_mat = jnp.concatenate(meta_cols, axis=1)  # (T, 12 or 18)
+    meta_mat = jnp.concatenate(meta_cols, axis=1)  # (T, 12 + 2? + 6?)
     n_planes = 21 if has_blend else 18
     fused = jnp.concatenate(
         [attr_planes[..., :n_planes], jnp.take(meta_mat, tri_id, axis=0)], axis=1
@@ -406,6 +409,8 @@ def shade_pass(
     shader_px = gathered[..., n_planes + 4].astype(jnp.int32)
     rgba = gathered[..., n_planes + 5 : n_planes + 9]
     batch_ambient = gathered[..., n_planes + 9 : n_planes + 12]
+    # blend meta offset: material cols sit between ambient and source2
+    mb = n_planes + (14 if has_material else 12)
 
     px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
     py = jnp.arange(height, dtype=jnp.float32)[:, None] + jnp.float32(y0) + 0.5
@@ -440,9 +445,9 @@ def shade_pass(
         # vertex-blended batches: mix toward the secondary source by the
         # perspective-correct interpolated weight (texel-space src-over of
         # the reference's add_poly_3d_blended consumption)
-        kind2 = gathered[..., n_planes + 12].astype(jnp.int32)
-        tex_slot2 = gathered[..., n_planes + 13].astype(jnp.int32)
-        rgba2 = gathered[..., n_planes + 14 : n_planes + 18]
+        kind2 = gathered[..., mb].astype(jnp.int32)
+        tex_slot2 = gathered[..., mb + 1].astype(jnp.int32)
+        rgba2 = gathered[..., mb + 2 : mb + 6]
         b_w = jnp.clip(interp(6) / inv_w, 0.0, 1.0)
         texel2 = resolve_texel(
             kind2, tex_slot2, rgba2, repeat, u, v, atlas,
@@ -453,8 +458,13 @@ def shade_pass(
 
     base = srgb_to_linear_fast(texel[..., :3])
     opacity = texel[..., 3]
-    roughness = jnp.full_like(opacity, 0.5)
-    metallic = jnp.zeros_like(opacity)
+    if has_material:
+        # per-batch constant material captured from baked shaders
+        roughness = jnp.clip(gathered[..., n_planes + 12], 0.0, 1.0)
+        metallic = jnp.clip(gathered[..., n_planes + 13], 0.0, 1.0)
+    else:
+        roughness = jnp.full_like(opacity, 0.5)
+        metallic = jnp.zeros_like(opacity)
     emissive = jnp.zeros_like(base)
 
     # per-batch rusteria shaders (rasterizer.rs:1224-1310): each compiled
@@ -521,7 +531,9 @@ def shade_pass(
     sky = uniforms["ambient"][:3]
     lit = lit + has_ambient * sky * kd * hemi[..., None]
 
-    shin6 = 6 if not shaders else None  # roughness fixed at 0.5 w/o shaders
+    # roughness fixed at 0.5 only when neither per-pixel shaders nor baked
+    # per-batch materials are in play
+    shin6 = 6 if not (shaders or has_material) else None
     sun_radiance = uniforms["day_factor"] * uniforms.get(
         "sun_color", jnp.ones(3, jnp.float32)
     )

@@ -3,8 +3,9 @@
 The TPU-native equivalent of the reference's tile-parallel rasterization loop
 (src/rasterizer.rs:256-273: rayon over framebuffer tiles, per-tile private
 z buffers). The Pallas grid runs one program per (TILE_H x TILE_W) screen
-tile; each program walks a two-level bbox hierarchy (super-chunks of 64
-triangles -> chunks of 8) and *skips whole groups whose screen bbox misses
+tile; each program walks a two-level bbox hierarchy (super-chunks of
+CHUNK*SUPER triangles -> chunks of CHUNK; currently 128 -> 4, tuned on the
+map@1080p bench) and *skips whole groups whose screen bbox misses
 the tile* — the reference's per-batch bbox check (rasterizer.rs:978-982)
 hoisted into real control flow, which the XLA formulation (visibility.py)
 cannot do. Candidates should be Morton-sorted (morton_sort) so group bboxes

@@ -60,6 +60,8 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
     if packed.occlusion is not None:
         uni["occ_box"] = jnp.asarray(packed.occlusion["occ_box"])
         uni["occ_val"] = jnp.asarray(packed.occlusion["occ_val"])
+    uni = {k: jnp.asarray(v) for k, v in uni.items()}
+    bg_dev = jnp.asarray(rast._background_array(scene, width, height))
     view = uni["view"]
 
     out = {}
@@ -100,7 +102,7 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
         out["pack_morton_ms"] = round(_chain(run_sort, perturb_view), 3)
         vis_s, bbox_s, alive_s, _, table_s = run_sort(view)
 
-        bg = pack_background_u32(rast._bg_dev)
+        bg = pack_background_u32(bg_dev)
         params = pack_mega_params(uni, width, height, atlas["w"], False)
         lp = pack_light_params(ld)
         occ = pack_occ_params(uni)
@@ -133,7 +135,9 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
         out["shade_ms"] = round(_chain(run_shade, perturb_view), 3)
 
     dt = _chain(
-        lambda v: _full_frame(rast, cache, packed, ld, uni, v, width, height),
+        lambda v: _full_frame(
+            rast, cache, packed, ld, uni, bg_dev, v, width, height
+        ),
         perturb_view,
     )
     out["frame_ms"] = round(dt, 3)
@@ -141,14 +145,14 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
     return out
 
 
-def _full_frame(rast, cache, packed, ld, uni, view, width, height):
+def _full_frame(rast, cache, packed, ld, uni, bg_dev, view, width, height):
     from .ops.raster import render_frame
 
     u = dict(uni)
     u["view"] = view
     return render_frame(
         cache["d3"], cache["d3_op"], cache["d2"], ld, cache["atlas"], u,
-        rast._bg_dev, width, height, int(rast.sample_mode), False,
+        bg_dev, width, height, int(rast.sample_mode), False,
         rast.ambient_color is not None, packed.light_count > 0,
         bool(packed.d3_opacity.valid.any()), bool(packed.d2.valid.any()),
         packed.runtime_shaders, rast.use_pallas,

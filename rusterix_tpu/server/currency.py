@@ -39,13 +39,22 @@ class Currencies:
         c = self.get_currency(to_symbol)
         if c is None:
             raise KeyError(f"Currency {to_symbol} not found.")
-        return round(base_amount / c.exchange_rate)
+        return _round_half_away(base_amount / c.exchange_rate)
 
     def convert_to_base(self, amount: int, from_symbol: str) -> int:
         c = self.get_currency(from_symbol)
         if c is None:
             raise KeyError(f"Currency {from_symbol} not found.")
-        return round(amount * c.exchange_rate)
+        return _round_half_away(amount * c.exchange_rate)
+
+
+def _round_half_away(x: float) -> int:
+    """Rust f32::round semantics (half away from zero) — Python's round()
+    is banker's rounding and diverges on exact .5 amounts
+    (currency.rs uses .round() throughout)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
 
 class CurrencyError(Exception):
@@ -124,7 +133,7 @@ def wallet_balance(wallet, currencies: Currencies) -> int:
     for symbol, amount in wallet.balances.items():
         c = currencies.get_currency(symbol)
         if c is not None:
-            total += round(amount * c.exchange_rate)
+            total += _round_half_away(amount * c.exchange_rate)
     return total
 
 

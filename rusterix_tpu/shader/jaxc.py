@@ -900,3 +900,47 @@ class Rusteria:
         if not program.supports_opacity:
             rgba[..., 3] = 1.0
         return (np.clip(rgba, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+    @staticmethod
+    def bake_state(program: Program, size: int = 128, palette=None,
+                   time: float = 0.0) -> dict:
+        """Evaluate fn shade() over the bake grid and return ALL shader
+        output registers (numpy f32): color/opacity plus roughness,
+        metallic, emissive, normal, bump. Used by pack-time bake
+        eligibility — a shader that writes non-default material registers
+        only bakes when those are representable (emissive 0, normal/bump
+        untouched, roughness/metallic spatially constant; scene_pack)."""
+        import jax
+
+        @jax.jit
+        def run():
+            u = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+            uu, vv = jnp.meshgrid(u, u)
+            zeros = jnp.zeros((size, size), jnp.float32)
+
+            def r3(x):
+                return jnp.stack([x, x, x], axis=-1)
+
+            state = {
+                "uv": jnp.stack([uu, vv, zeros], axis=-1),
+                "color": r3(zeros),
+                "roughness": r3(zeros + 0.5),
+                "metallic": r3(zeros),
+                "emissive": r3(zeros),
+                "opacity": r3(zeros + 1.0),
+                "bump": r3(zeros),
+                "normal": r3(zeros),
+                "hitpoint": r3(zeros),
+                "time": r3(zeros + time),
+            }
+            out = program.shade(state, palette)
+            full = (size, size, 3)
+            return {
+                k: jnp.broadcast_to(out[k], full)
+                for k in (
+                    "color", "opacity", "roughness", "metallic",
+                    "emissive", "normal", "bump",
+                )
+            }
+
+        return {k: np.asarray(v) for k, v in run().items()}

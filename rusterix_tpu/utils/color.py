@@ -109,3 +109,30 @@ def hsl_to_rgb(h, s, l):
     return np.array(
         [hue(p, q, h + 1 / 3), hue(p, q, h), hue(p, q, h - 1 / 3)], np.float32
     )
+
+
+def hsl_to_rgb_many(h, s, l):
+    """Vectorized hsl_to_rgb: h/s/l broadcastable arrays -> (..., 3) f32."""
+    h = np.asarray(h, np.float32)
+    s = np.asarray(s, np.float32)
+    l = np.asarray(l, np.float32)
+    h, s, l = np.broadcast_arrays(h, s, l)
+
+    q = np.where(l < 0.5, l * (1.0 + s), l + s - l * s)
+    p = 2.0 * l - q
+
+    def hue(t):
+        t = np.mod(t, 1.0)
+        return np.where(
+            t < 1 / 6,
+            p + (q - p) * 6.0 * t,
+            np.where(
+                t < 1 / 2,
+                q,
+                np.where(t < 2 / 3, p + (q - p) * (2 / 3 - t) * 6.0, p),
+            ),
+        )
+
+    rgb = np.stack([hue(h + 1 / 3), hue(h), hue(h - 1 / 3)], axis=-1)
+    gray = np.broadcast_to(l[..., None], rgb.shape)
+    return np.where(s[..., None] == 0.0, gray, rgb).astype(np.float32)

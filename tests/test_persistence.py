@@ -223,3 +223,44 @@ def test_create_regions_respects_loaded_map(tmp_path):
     assert len(rx2.server.instances) == 1
     rx2.update_server()
     rx2.server.stop()
+
+
+def test_shapefx_graphs_roundtrip(tmp_path):
+    """ShapeFX graphs (terrain Flatten/Colorize modifiers, ShapeFXGraphId
+    sources) survive save/load — reference derives serde on ShapeFXGraph
+    (shapefxgraph.rs:10)."""
+    from rusterix_tpu.map import Map
+    from rusterix_tpu.map.persist import load_map, save_map
+    from rusterix_tpu.shapefx import ShapeFX, ShapeFXGraph, ShapeFXRole
+
+    m = Map(name="fx")
+    node = ShapeFX(ShapeFXRole.Colorize)
+    node.values.set("color", 7)
+    node.position = (3.0, 4.0)
+    g = ShapeFXGraph(nodes=[ShapeFX(ShapeFXRole.Render), node])
+    g.connections.append((0, 0, 1, 0))
+    m.shapefx_graphs[g.id] = g
+
+    path = str(tmp_path / "fx.json")
+    save_map(m, path)
+    m2 = load_map(path)
+    g2 = m2.shapefx_graphs[g.id]
+    assert [n.role for n in g2.nodes] == [ShapeFXRole.Render, ShapeFXRole.Colorize]
+    assert g2.nodes[1].values.get_int_default("color", 0) == 7
+    assert g2.nodes[1].position == (3.0, 4.0)
+    assert g2.connections == [(0, 0, 1, 0)]
+
+
+def test_currency_rounding_half_away_from_zero():
+    """Rust f32::round is half-away-from-zero; Python round() is banker's —
+    the port must follow the reference (currency.rs .round() calls)."""
+    from rusterix_tpu.server import Currencies, Currency, Wallet, wallet_balance
+
+    c = Currencies(base_currency="S")
+    c.add_currency(Currency("Silver", "S", 1.0))
+    c.add_currency(Currency("Odd", "O", 0.5))
+    w = Wallet()
+    w.balances = {"O": 5}  # 5 * 0.5 = 2.5 -> rounds to 3, not banker's 2
+    assert wallet_balance(w, c) == 3
+    assert c.convert_to_base(5, "O") == 3
+    assert c.convert_from_base(3, "O") == 6

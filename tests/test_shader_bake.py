@@ -59,11 +59,17 @@ def test_static_shader_bakes_out_of_runtime():
     scene = _scene(STATIC_WOOD)
     packed = PackedScene.from_scene(scene, Assets.default())
     assert packed.runtime_shaders == ()
-    assert packed.atlas_index.shader_slots == {0: len(Assets.default().tile_list)}
+    # slot + captured per-batch material constants (this shader leaves
+    # roughness/metallic at the 0.5/0.0 defaults)
+    assert packed.atlas_index.shader_slots == {
+        0: (len(Assets.default().tile_list), 0.5, 0.0)
+    }
     # the baked batch became a textured batch
     valid = packed.d3.valid > 0.5
     assert (packed.d3.shader[valid] == -1).all()
-    assert (packed.d3.tex_slot[valid] == packed.atlas_index.shader_slots[0]).all()
+    assert (
+        packed.d3.tex_slot[valid] == packed.atlas_index.shader_slots[0][0]
+    ).all()
 
 
 def test_animated_shader_stays_runtime():
@@ -103,3 +109,66 @@ def test_baked_render_shows_shader_colors():
     f = rast.rasterize(scene, W, H, 32, Assets.default())
     center = f[H // 2 - 8 : H // 2 + 8, W // 2 - 8 : W // 2 + 8, :3].mean(axis=(0, 1))
     assert center[0] > center[2] + 10  # red-leaning wood tones
+
+
+ROUGH_WOOD = STATIC_WOOD.replace("}", "    roughness = 0.9;\n    metallic = 0.3;\n}")
+
+PERPIXEL_ROUGH = """
+fn shade() {
+    color = vec3(0.5, 0.5, 0.5);
+    roughness = uv.x;
+}
+"""
+
+EMISSIVE = """
+fn shade() {
+    color = vec3(0.5, 0.5, 0.5);
+    emissive = vec3(0.2, 0.0, 0.0);
+}
+"""
+
+
+def test_constant_material_bakes_and_is_applied():
+    """A shader with spatially-constant roughness/metallic still bakes; the
+    constants ride as per-batch material and change the specular response
+    (reference shaders write the registers per pixel,
+    rasterizer.rs:1284-1303 + shade_fast_brdf 1912-1951)."""
+    from rusterix_tpu import Light, LightType
+
+    packed = PackedScene.from_scene(_scene(ROUGH_WOOD), Assets.default())
+    assert packed.runtime_shaders == ()
+    slot, rough, metal = packed.atlas_index.shader_slots[0]
+    assert abs(rough - 0.9) < 1e-5 and abs(metal - 0.3) < 1e-5
+    valid = packed.d3.valid > 0.5
+    assert np.allclose(packed.d3.rough[valid], 0.9)
+    assert np.allclose(packed.d3.metal[valid], 0.3)
+
+    def render(src, use_pallas):
+        scene = _scene(src).set_lights(
+            [Light(LightType.Point).with_position([2, 1, 2])
+             .with_intensity(1.4).compile()]
+        )
+        rast = _rast()
+        rast.use_pallas = use_pallas
+        return rast.rasterize(scene, W, H, 32, Assets.default()).astype(int)
+
+    # material changes the render vs the default-material wood
+    a = render(ROUGH_WOOD, False)
+    b = render(STATIC_WOOD, False)
+    assert np.abs(a - b).max() > 2
+    # megakernel matches the XLA path with materials active; variable
+    # shininess goes through exp2/log2, whose Mosaic and XLA lowerings
+    # differ by ulps that the exponent amplifies at highlight pixels —
+    # hence the slightly wider tolerance than the integer-pow paths (<=1)
+    m = render(ROUGH_WOOD, True)
+    assert np.abs(m - a).max() <= 4
+
+
+def test_unbakeable_material_shaders_stay_runtime():
+    """Per-pixel roughness or any emissive output cannot ride the bake
+    (only color/opacity texels + one constant material per batch are
+    representable) — those shaders keep the per-pixel path."""
+    for src in (PERPIXEL_ROUGH, EMISSIVE):
+        packed = PackedScene.from_scene(_scene(src), Assets.default())
+        assert packed.atlas_index.shader_slots == {}
+        assert len(packed.runtime_shaders) == 1
