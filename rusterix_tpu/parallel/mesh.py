@@ -57,6 +57,7 @@ def render_frame_sharded(
     has_lights: bool = False,
     has_d2: bool = False,
     use_pallas: bool = False,
+    has_material: bool = False,
 ):
     """Render one frame with triangles+rows sharded over `mesh`.
 
@@ -106,7 +107,8 @@ def render_frame_sharded(
 
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
             table = pack_mega_table(
-                attr, tri_id, d3_full, atlas_r, uniforms_r["anim_frame"], False
+                attr, tri_id, d3_full, atlas_r, uniforms_r["anim_frame"],
+                False, has_material,
             )
             vis_s, bbox_s, alive_s, _, table_s = morton_sort(
                 vis, bbox, ok.astype(jnp.float32), tri_id, width, height,
@@ -121,7 +123,8 @@ def render_frame_sharded(
                 ),
                 pack_light_params(lights_r),
                 pack_occ_params(uniforms_r),
-                width, rows_local, sample_mode, False, interpret=interpret,
+                width, rows_local, sample_mode, False, has_material,
+                interpret=interpret,
             )
             frame = unpack_frame_u32(rgba_u32).astype(jnp.float32) * (1.0 / 255.0)
         else:
@@ -131,7 +134,7 @@ def render_frame_sharded(
             shaded, wrote = shade_pass(
                 z, idx, hit, attr, tri_id, d3_full, atlas_r, lights_r,
                 uniforms_r, width, rows_local, sample_mode,
-                y0=y0, full_height=height,
+                y0=y0, full_height=height, has_material=has_material,
             )
             frame, z_eff = compose_opaque(shaded, wrote, z, background_l)
         if has_d2:

@@ -180,3 +180,39 @@ def test_cube_sharded_megakernel_matches_single(mesh8):
     rast2.use_pallas = True
     single = rast2.rasterize(scene2, width, height, 40, assets2)
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_material_matches_single(mesh8):
+    """Per-batch baked-shader materials (has_material) flow through the
+    sharded path identically to the single-device XLA render."""
+    from rusterix_tpu import Assets, Batch3D, CullMode, D3OrbitCamera, Light, LightType, Scene
+    from rusterix_tpu.ops.raster import Rasterizer
+
+    width, height = 64, 48
+    scene = Scene.from_static(
+        [],
+        [
+            Batch3D.from_box(-0.6, -0.6, -0.6, 1.2, 1.2, 1.2)
+            .set_cull_mode(CullMode.Off)
+            .with_computed_normals()
+            .set_shader(0)
+        ],
+    ).set_lights(
+        [Light(LightType.Point).with_position([2, 1, 2]).with_intensity(1.3).compile()]
+    )
+    scene.add_shader(
+        "fn shade() { color = vec3(0.7, 0.5, 0.3); roughness = 0.85; metallic = 0.2; }"
+    )
+    cam = D3OrbitCamera()
+    cam.set_parameter_f32("distance", 2.4)
+    rast = Rasterizer.setup(
+        None, cam.view_matrix(), cam.projection_matrix(width, height)
+    ).ambient([0.4, 0.4, 0.4, 1.0])
+    frame, cache, ld, uni, packed = _single_frame(rast, scene, Assets.default(), width, height)
+    assert (packed.d3.rough[packed.d3.valid > 0.5] == np.float32(0.85)).all()
+    sharded = _sharded_frame(
+        mesh8, cache, ld, uni, width, height,
+        sample_mode=0, has_ambient=True, has_lights=True, has_d2=False,
+        has_material=True,
+    )
+    np.testing.assert_array_equal(sharded, frame)
