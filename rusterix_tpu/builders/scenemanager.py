@@ -128,3 +128,72 @@ class SceneManager:
             remaining=len(self.dirty),
             total=self.total,
         )
+
+    # -- reference API surface (scenemanager.rs:85-295) --
+
+    def receive(self) -> Optional[SceneManagerResult]:
+        """Pop the oldest queued result (scenemanager.rs:85-91).
+
+        `tick_batch` fills the queue; `tick()` also returns its result
+        directly for callers that drive one chunk at a time."""
+        results = getattr(self, "results", None)
+        if results:
+            return results.pop(0)
+        return None
+
+    def startup(self) -> None:
+        """Queue the Startup result (scenemanager.rs:192-194)."""
+        if not hasattr(self, "results"):
+            self.results = []
+        self.results.append(SceneManagerResult(kind="startup"))
+
+    def tick_batch(self, max_chunks: int) -> int:
+        """Process up to `max_chunks` chunks, queueing results for
+        receive() (scenemanager.rs:260-268). Returns the processed count."""
+        if not hasattr(self, "results"):
+            self.results = []
+        processed = 0
+        for _ in range(max_chunks):
+            r = self.tick()
+            if r is None:
+                break
+            self.results.append(r)
+            processed += 1
+        return processed
+
+    def is_busy(self) -> bool:
+        """scenemanager.rs:288-290."""
+        return bool(self.dirty) or bool(self.commands)
+
+    def remaining_chunks(self) -> int:
+        """scenemanager.rs:293-295."""
+        return len(self.dirty)
+
+    def set_tile_list(self, tiles, tile_indices=None) -> None:
+        """scenemanager.rs:164-166 — replace the flattened tile list (and
+        uuid->index map) on the asset registry."""
+        if self.assets is not None:
+            self.assets.tile_list = list(tiles)
+            if tile_indices is not None:
+                self.assets.tile_indices = dict(tile_indices)
+            self.assets._atlas = None
+
+    def set_palette(self, palette) -> None:
+        """scenemanager.rs:168-170."""
+        if self.assets is not None:
+            self.assets.palette = palette
+
+    def set_builder_2d(self, builder) -> None:
+        """scenemanager.rs:172-174 — swap/disable the 2D chunk builder."""
+        self.d2 = builder
+
+    def set_dirty_terrain_chunks(self, chunks) -> None:
+        """scenemanager.rs:184-186: re-dirty the chunks under the given
+        terrain chunks."""
+        for tc in chunks:
+            ox, oy = tc.origin
+            self.add_dirty((ox // CHUNK_SIZE, oy // CHUNK_SIZE))
+
+    def set_terrain_modifier_state(self, state: bool) -> None:
+        """scenemanager.rs:188-190."""
+        self.terrain_modifiers_enabled = bool(state)

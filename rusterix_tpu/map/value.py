@@ -184,6 +184,66 @@ class ValueContainer:
             return v.data
         return default
 
+    def _typed(self, key: str, kinds):
+        v = self._values.get(key)
+        if v is not None and v.kind in kinds:
+            return v.data
+        return None
+
+    # plain typed getters (value.rs:196-430; the *_default family is above)
+
+    def get_bool(self, key: str):
+        return self._typed(key, (ValueKind.Bool,))
+
+    def get_int(self, key: str):
+        return self._typed(
+            key, (ValueKind.Int, ValueKind.Int64, ValueKind.UInt)
+        )
+
+    def get_float(self, key: str):
+        return self._typed(key, (ValueKind.Float,))
+
+    def get_str(self, key: str):
+        return self._typed(key, (ValueKind.Str,))
+
+    def get_vec2(self, key: str):
+        return self._typed(key, (ValueKind.Vec2,))
+
+    def get_vec3(self, key: str):
+        return self._typed(key, (ValueKind.Vec3,))
+
+    def get_vec4(self, key: str):
+        return self._typed(key, (ValueKind.Vec4,))
+
+    def get_vec3_default(self, key: str, default):
+        v = self.get_vec3(key)
+        return v if v is not None else default
+
+    def get_color_default(self, key: str, default):
+        v = self._typed(key, (ValueKind.Color,))
+        return v if v is not None else default
+
+    def get_id(self, key: str):
+        return self._typed(key, (ValueKind.Id,))
+
+    def get_default_source(self):
+        """value.rs:380-388: the 'source' property when it's a PixelSource."""
+        return self._typed("source", (ValueKind.Source,))
+
+    def toggle(self, key: str) -> None:
+        """Flip a Bool property in place (value.rs:225-229)."""
+        v = self._values.get(key)
+        if v is not None and v.kind == ValueKind.Bool:
+            v.data = not v.data
+
+    def keys_sorted(self):
+        """Sorted key list (the container preserves insertion order like
+        the reference's IndexMap; this is the sorted view)."""
+        return sorted(self._values.keys())
+
+    def values(self):
+        return list(self._values.values())
+
     def copy(self) -> "ValueContainer":
         out = ValueContainer()
         out._values = dict(self._values)
@@ -203,3 +263,4 @@ class ValueContainer:
                 continue
             out.set(k, v)
         return out
+

@@ -195,3 +195,83 @@ def test_hsl_round_trip_and_blur_sample():
     blurred = tex.sample_nearest_blur(0.5, 0.5, 1.0)
     assert sharp != blurred
     assert 0 < blurred[0] < 255
+
+
+def test_mini_move_and_navigation():
+    """MapMini server-side navigation (mini.rs:98-540): swept move with
+    sliding, lit-side visibility, A*-guided move_towards/close_in."""
+    from rusterix_tpu.map.elements import CompiledLinedef
+    from rusterix_tpu.map.mini import MapMini
+
+    m = MapMini.empty()
+    m.linedefs.append(
+        CompiledLinedef(
+            start=(0.0, 2.0), end=(10.0, 2.0), wall_width=0.0, wall_height=2.0
+        )
+    )
+    # swept move stops radius+eps short of the wall and reports blocked
+    pos, blocked = m.move_distance(np.array([5.0, 0.0]), np.array([0.0, 5.0]), 0.3)
+    assert blocked and abs(pos[1] - 1.698) < 1e-2 and abs(pos[0] - 5.0) < 1e-5
+    # sliding: diagonal into the wall keeps tangential motion
+    pos2, _ = m.move_distance(np.array([5.0, 1.0]), np.array([2.0, 2.0]), 0.3)
+    assert pos2[0] > 5.1 and pos2[1] < 2.0
+    # lit-side asymmetry: the wall's normal faces one way
+    assert not m.is_visible((5, 0), (5, 4))
+    lit_a = m.is_visible_and_lit((5, 0), (5, 4))
+    lit_b = m.is_visible_and_lit((5, 4), (5, 0))
+    assert lit_a != lit_b
+    # A* navigation around a blocked tile
+    m2 = MapMini.empty()
+    m2.blocked_tiles = {(1, 0)}
+    # (like the reference, `arrived` flags reaching the next WAYPOINT
+    # within `speed`, mini.rs:442-445 — use a small speed to step)
+    pos3, arrived = m2.move_towards((0.5, 0.5), (2.5, 0.5), 0.3, 0.2, 1.0)
+    assert not arrived and not np.allclose(pos3, [0.5, 0.5])
+    pos4, arrived4 = m2.close_in((0.5, 0.5), (0.9, 0.5), 1.0, 0.6, 0.2, 1.0)
+    assert arrived4  # already within dest_radius
+
+
+def test_value_container_typed_getters():
+    """Plain typed getters + toggle (value.rs:196-430)."""
+    from rusterix_tpu.map import ValueContainer
+    from rusterix_tpu.models import PixelSource
+
+    vc = ValueContainer()
+    vc.set("on", True)
+    vc.set("n", 3)
+    vc.set("x", 1.5)
+    vc.set("name", "orc")
+    vc.set("source", PixelSource.static_tile_index(2))
+    assert vc.get_bool("on") is True
+    assert vc.get_int("n") == 3 and vc.get_int("x") is None
+    assert vc.get_float("x") == 1.5
+    assert vc.get_str("name") == "orc"
+    assert vc.get_default_source().index == 2
+    vc.toggle("on")
+    assert vc.get_bool("on") is False
+    vc.toggle("n")  # non-bool: no-op
+    assert vc.get_int("n") == 3
+    assert vc.keys_sorted() == ["n", "name", "on", "source", "x"]
+    assert len(vc.values()) == 5
+
+
+def test_scenemanager_reference_api():
+    """receive/tick_batch/is_busy/startup surface (scenemanager.rs:85-295)."""
+    from rusterix_tpu.builders import MapScript
+    from rusterix_tpu.builders.scenemanager import SceneManager
+    from rusterix_tpu.models import Assets
+
+    src = 'set_default("wall_tex", "t")\nmove_to(0, 0)\nwall(2)\n'
+    m = MapScript().compile(src)
+    sm = SceneManager()
+    sm.startup()
+    assert sm.receive().kind == "startup"
+    sm.set_map(m, Assets.default())
+    assert sm.is_busy() and sm.remaining_chunks() > 0
+    n = sm.tick_batch(100)
+    assert n == sm.total and not sm.is_busy()
+    got = 0
+    while (r := sm.receive()) is not None:
+        assert r.kind == "chunk"
+        got += 1
+    assert got == n
