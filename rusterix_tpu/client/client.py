@@ -109,6 +109,83 @@ class Client:
         self.render_fps: float = 30.0
         self.game_tick_fps: float = 30.0
 
+    # ---- small reference surface (client/mod.rs:231-252, 479-486,
+    # 1006-1043, 1180-1199, 1427-1440) ----
+
+    def inc_animation_frame(self) -> None:
+        """client/mod.rs:231-237."""
+        self.scene.animation_frame += 1
+        self.scene_d2.animation_frame += 1
+        for widget in self.game_widgets.values():
+            if getattr(widget, "scene", None) is not None:
+                widget.scene.animation_frame += 1
+
+    def set_server_time(self, minutes: float) -> None:
+        """client/mod.rs:240-242 — server game time in minutes of day."""
+        self.server_time = float(minutes)
+        self.hour = float(minutes) / 60.0
+
+    def set_curr_map_id(self, map_id) -> None:
+        """client/mod.rs:245-247."""
+        self.curr_map_id = map_id
+
+    def set_camera_d3(self, camera) -> None:
+        """client/mod.rs:250-252."""
+        self.camera_d3 = camera
+
+    @staticmethod
+    def map_grid_to_local(screen_size, grid_pos, map_) -> np.ndarray:
+        """Grid coords -> screen-local pixels (client/mod.rs:479-486)."""
+        gx = grid_pos[0] * map_.grid_size + map_.offset[0] + screen_size[0] / 2.0
+        gy = grid_pos[1] * map_.grid_size - map_.offset[1] + screen_size[1] / 2.0
+        return np.array([gx, gy], np.float32)
+
+    def is_inside_game(self, coord) -> bool:
+        """client/mod.rs:1180-1183."""
+        x, y = int(coord[0]), int(coord[1])
+        return 0 <= x < self.viewport[0] and 0 <= y < self.viewport[1]
+
+    def touch_dragged(self, coord, map_=None) -> None:
+        """client/mod.rs:1186-1194 — track the cursor position."""
+        self.cursor_pos = (int(coord[0]), int(coord[1]))
+
+    def touch_hover(self, coord, map_=None) -> None:
+        """client/mod.rs:1197-1205 — cursor tracking + hover reset; entity
+        hover picking runs in touch_down's ray path."""
+        self.cursor_pos = (int(coord[0]), int(coord[1]))
+        self.hovered_entity_id = None
+        self.hovered_item_id = None
+
+    def touch_up(self, coord=None, map_=None) -> None:
+        """client/mod.rs:1427-1440 — release transient widget activation."""
+        self.activated_widgets = list(self.permanently_activated_widgets)
+
+    def apply_entities_items_d3(self, map_) -> None:
+        """client/mod.rs:312-322: drive the player camera from its entity,
+        then rebuild dynamic billboards."""
+        for entity in map_.entities:
+            if entity.is_player():
+                self.apply_entity_to_camera(entity)
+        self.current_map = map_
+
+    def insert_game_buffer(self, target: np.ndarray, frame: np.ndarray) -> None:
+        """Upscale the game frame into `target` honoring the config's
+        upscale mode (client/mod.rs:1006-1043): 'aspect' letterboxes on a
+        30,30,30 background, anything else stretches."""
+        th, tw = target.shape[:2]
+        fh, fw = frame.shape[:2]
+        if getattr(self.config, "upscale", "") == "aspect":
+            target[..., :3] = 30
+            target[..., 3] = 255
+            scale = min(tw / fw, th / fh)
+            nw, nh = max(int(fw * scale), 1), max(int(fh * scale), 1)
+            ox, oy = (tw - nw) // 2, (th - nh) // 2
+            sub = np.zeros((nh, nw, 4), np.uint8)
+            self.draw2d.blit_scaled(sub, frame, 0, 0, nw, nh)
+            target[oy : oy + nh, ox : ox + nw] = sub
+        else:
+            self.draw2d.blit_scaled(target, frame, 0, 0, tw, th)
+
     # ---- setup (client/mod.rs:730-837) ----
 
     def setup(self, assets: Assets) -> List[tuple]:

@@ -483,6 +483,206 @@ class Map:
                 return s
         return None
 
+    # ---- reference editor-helper surface (map/mod.rs:203-1160) ----
+
+    def bbox(self) -> Optional[Rect]:
+        """Reference name for bounding_box (mod.rs)."""
+        return self.bounding_box()
+
+    def is_empty(self) -> bool:
+        return not (self.vertices or self.linedefs or self.sectors)
+
+    def info(self) -> str:
+        """One-line stats summary (mod.rs info)."""
+        return (
+            f"{len(self.vertices)} vertices, {len(self.linedefs)} linedefs, "
+            f"{len(self.sectors)} sectors, {len(self.entities)} entities, "
+            f"{len(self.items)} items"
+        )
+
+    def clear_temp(self) -> None:
+        """Drop in-progress editor state (mod.rs:203-207)."""
+        self.possible_polygon = []
+
+    def find_vertex(self, vertex_id: int):
+        """Reference name for get_vertex."""
+        return self.get_vertex(vertex_id)
+
+    def find_sector_at(self, x: float, y: float) -> Optional[Sector]:
+        """Reference name for sector_at."""
+        return self.sector_at(x, y)
+
+    def find_free_vertex_id(self) -> int:
+        return self._free_id(self.vertices)
+
+    def find_free_linedef_id(self) -> int:
+        return self._free_id(self.linedefs)
+
+    def find_free_sector_id(self) -> int:
+        return self._free_id(self.sectors)
+
+    def has_selection(self) -> bool:
+        return bool(
+            self.selected_vertices
+            or self.selected_linedefs
+            or self.selected_sectors
+        )
+
+    def add_to_selection(self, vertices=(), linedefs=(), sectors=()) -> None:
+        """mod.rs:1024-1043 (no duplicates)."""
+        for v in vertices:
+            if v not in self.selected_vertices:
+                self.selected_vertices.append(v)
+        for l in linedefs:
+            if l not in self.selected_linedefs:
+                self.selected_linedefs.append(l)
+        for s in sectors:
+            if s not in self.selected_sectors:
+                self.selected_sectors.append(s)
+
+    def remove_from_selection(self, vertices=(), linedefs=(), sectors=()) -> None:
+        self.selected_vertices = [
+            v for v in self.selected_vertices if v not in set(vertices)
+        ]
+        self.selected_linedefs = [
+            l for l in self.selected_linedefs if l not in set(linedefs)
+        ]
+        self.selected_sectors = [
+            s for s in self.selected_sectors if s not in set(sectors)
+        ]
+
+    def is_vertex_in_rect(self, vertex_id: int, rect: Rect) -> bool:
+        v = self.get_vertex(vertex_id)
+        return v is not None and (
+            rect.x <= v.x <= rect.max_x and rect.y <= v.y <= rect.max_y
+        )
+
+    def is_linedef_in_rect(self, linedef_id: int, rect: Rect) -> bool:
+        l = self.find_linedef(linedef_id)
+        return l is not None and (
+            self.is_vertex_in_rect(l.start_vertex, rect)
+            and self.is_vertex_in_rect(l.end_vertex, rect)
+        )
+
+    def is_linedef_in_closed_polygon(self, linedef_id: int) -> bool:
+        """mod.rs:1017-1021."""
+        return any(linedef_id in s.linedefs for s in self.sectors)
+
+    def test_for_closed_polygon(self):
+        """Public reference name (mod.rs test_for_closed_polygon)."""
+        return self._test_for_closed_polygon()
+
+    def sorted_sectors_by_area(self) -> List[Sector]:
+        """Largest first (mod.rs:1061-1077)."""
+        return sorted(self.sectors, key=lambda s: -s.area(self))
+
+    def find_sectors_with_vertex_indices(self, vertex_ids) -> List[int]:
+        """Sectors whose linedef loop uses exactly these vertices
+        (mod.rs:1135-1160)."""
+        want = sorted(vertex_ids)
+        out = []
+        for s in self.sectors:
+            verts = set()
+            for lid in s.linedefs:
+                l = self.find_linedef(lid)
+                if l is not None:
+                    verts.add(l.start_vertex)
+                    verts.add(l.end_vertex)
+            if sorted(verts) == want:
+                out.append(s.id)
+        return out
+
+    def duplicate_vertex(self, vertex_id: int) -> Optional[int]:
+        """mod.rs:734-744."""
+        import copy as _copy
+
+        v = self.get_vertex(vertex_id)
+        if v is None:
+            return None
+        new_v = _copy.deepcopy(v)
+        new_v.id = self.find_free_vertex_id()
+        self.vertices.append(new_v)
+        return new_v.id
+
+    def replace_vertex_in_sector(
+        self, sector_id: int, old_vertex_id: int, new_vertex_id: int
+    ) -> None:
+        """mod.rs:747-765."""
+        s = self.find_sector(sector_id)
+        if s is None:
+            return
+        for lid in s.linedefs:
+            l = self.find_linedef(lid)
+            if l is None:
+                continue
+            if l.start_vertex == old_vertex_id:
+                l.start_vertex = new_vertex_id
+            if l.end_vertex == old_vertex_id:
+                l.end_vertex = new_vertex_id
+
+    def update_vertex(self, vertex_id: int, new_position) -> None:
+        """Move a vertex (into the active soft-rig keyform when editing one,
+        mod.rs:504-540)."""
+        if self.editing_rig is not None:
+            rig = self.softrigs.get(self.editing_rig)
+            if rig is not None and rig.keyforms:
+                kf = rig.keyforms[0]
+                pos = (float(new_position[0]), float(new_position[1]))
+                for i, (vid, _) in enumerate(kf.vertex_positions):
+                    if vid == vertex_id:
+                        kf.vertex_positions[i] = (vid, pos)
+                        return
+                kf.vertex_positions.append((vertex_id, pos))
+                return
+        v = self.get_vertex(vertex_id)
+        if v is not None:
+            v.x = float(new_position[0])
+            v.y = float(new_position[1])
+
+    def add_vertex_at_3d(self, x: float, y: float, z: float, snap: bool = False) -> int:
+        """3D vertex create-or-reuse with grid snap (mod.rs:560-585)."""
+        if snap and self.subdivisions:
+            step = 1.0 / self.subdivisions
+            x = round(x / step) * step
+            y = round(y / step) * step
+            z = round(z / step) * step
+        existing = self.find_vertex_at_3d(x, y, z)
+        if existing is not None:
+            return existing
+        vid = self.add_vertex_at(x, y)
+        self.get_vertex(vid).z = float(z)
+        return vid
+
+    def find_vertex_at_3d(self, x: float, y: float, z: float) -> Optional[int]:
+        for v in self.vertices:
+            if (
+                abs(v.x - x) < 1e-5
+                and abs(v.y - y) < 1e-5
+                and abs(getattr(v, "z", 0.0) - z) < 1e-5
+            ):
+                return v.id
+        return None
+
+    def get_vertex_3d(self, vertex_id: int):
+        """(x, z, y) world position of a vertex (mod.rs:463-500 — the
+        reference swizzles map-y into world-z)."""
+        v = self.get_vertex(vertex_id)
+        if v is None:
+            return None
+        return np.array([v.x, getattr(v, "z", 0.0), v.y], np.float32)
+
+    def get_surface_for_sector_id(self, sector_id: int):
+        """mod.rs:218-222."""
+        for surface in self.surfaces.values():
+            if surface.sector_id == sector_id:
+                return surface
+        return None
+
+    def update_surfaces(self) -> None:
+        """Recompute every surface's plane/basis (mod.rs:232-238)."""
+        for surface in self.surfaces.values():
+            surface.calculate_geometry(self)
+
     # ---- compile / animate ----
 
     def as_mini(self, blocking_tiles=frozenset()) -> MapMini:

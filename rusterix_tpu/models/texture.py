@@ -293,6 +293,47 @@ class Texture:
         packed = int(self.data_ext[y, x, 2]) | (int(self.data_ext[y, x, 3]) << 8)
         return self.unpack_normal(packed)
 
+    # single-channel material setters, preserving the others
+    # (reference texture.rs:753-774)
+
+    def set_roughness(self, x: int, y: int, roughness: float) -> None:
+        _, m, o, e = self.get_materials(x, y)
+        self.set_materials(x, y, roughness, m, o, e)
+
+    def set_metallic(self, x: int, y: int, metallic: float) -> None:
+        r, _, o, e = self.get_materials(x, y)
+        self.set_materials(x, y, r, metallic, o, e)
+
+    def set_opacity(self, x: int, y: int, opacity: float) -> None:
+        r, m, _, e = self.get_materials(x, y)
+        self.set_materials(x, y, r, m, opacity, e)
+
+    def set_emissive(self, x: int, y: int, emissive: float) -> None:
+        r, m, o, _ = self.get_materials(x, y)
+        self.set_materials(x, y, r, m, o, emissive)
+
+    def set_materials_all(self, roughness, metallic, opacity, emissive) -> None:
+        """Fill the material bytes for every pixel, preserving normals
+        (texture.rs:714-750)."""
+        self.ensure_data_ext()
+        packed = self.pack_materials(roughness, metallic, opacity, emissive)
+        self.data_ext[..., 0] = packed & 0xFF
+        self.data_ext[..., 1] = (packed >> 8) & 0xFF
+
+    def set_default_materials(self) -> None:
+        """roughness=0.5, metallic=0, opacity=1, emissive=0 everywhere
+        (texture.rs:779-800)."""
+        self.set_materials_all(0.5, 0.0, 1.0, 0.0)
+
+    @staticmethod
+    def from_rgbabuffer(pixels: np.ndarray) -> "Texture":
+        """(H, W, 4) u8 buffer -> Texture (texture.rs:142-149)."""
+        return Texture(np.asarray(pixels, np.uint8))
+
+    def to_rgba(self) -> np.ndarray:
+        """texture.rs:550-552 — the raw (H, W, 4) u8 buffer."""
+        return self.data
+
     def generate_normals(self, wrap: bool = False) -> None:
         """Sobel height→normal baking, vectorized (reference src/texture.rs:558-638)."""
         self.ensure_data_ext()

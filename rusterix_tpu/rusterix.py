@@ -122,6 +122,60 @@ class Rusterix:
             self._tracer = Tracer()
         self._tracer.trace(camera, self.client.scene, buffer, tile_size, self.assets)
 
+    # ---- reference facade surface (rusterix.rs:97-316) ----
+
+    def set_assets(self, assets: Assets) -> None:
+        """rusterix.rs:97-100."""
+        self.assets = assets
+
+    def set_d2(self) -> None:
+        """rusterix.rs draw-mode switches."""
+        self.draw_mode = DrawMode.D2
+
+    def set_d3(self) -> None:
+        self.draw_mode = DrawMode.D3
+
+    def set_dirty(self) -> None:
+        """Force a scene repack on the next draw (rusterix.rs set_dirty) —
+        our equivalent is bumping the scene revision."""
+        self.client.scene.touch()
+        self.client.scene_d2.touch()
+
+    def build_scene(self, map_, width: int = None, height: int = None) -> None:
+        """Build the client scene for the current draw mode
+        (rusterix.rs:183-254 build_scene)."""
+        self.client.set_map(map_, self.assets)
+
+    def draw_d2(self, width: int, height: int) -> np.ndarray:
+        return self.client.draw_d2(width, height, self.assets)
+
+    def draw_d3(self, width: int, height: int, ambient=None) -> np.ndarray:
+        return self.client.draw_d3(width, height, self.assets, ambient)
+
+    def draw_custom_d2(self, map_, width: int, height: int) -> np.ndarray:
+        """Standalone 2D render of an arbitrary map (rusterix.rs:
+        draw_custom_d2 -> client custom scene path)."""
+        saved = self.client.current_map
+        self.client.set_map(map_, self.assets)
+        frame = self.client.draw_d2(width, height, self.assets)
+        if saved is not None:
+            self.client.set_map(saved, self.assets)
+        return frame
+
+    build_custom_scene_d2 = build_scene
+    build_custom_scene_d3 = build_scene
+
+    def process_messages(self) -> None:
+        """Drain server messages into the client overlay
+        (rusterix.rs:291-316)."""
+        self.client.process_messages(self.server.get_messages())
+
+    def client_touch_dragged(self, coord, map_=None) -> None:
+        self.client.touch_dragged(coord, map_)
+
+    def client_touch_hover(self, coord, map_=None) -> None:
+        self.client.touch_hover(coord, map_)
+
     # ---- input (mirrors examples/minigame.rs:97-123) ----
 
     def local_player_event(self, event: str, value=None) -> None:

@@ -232,6 +232,108 @@ class Entity:
             if item is not None:
                 yield slot, item
 
+    # reference-named inventory/equipment surface (entity.rs:270-341)
+
+    def get_item(self, item_id: int) -> Optional[Item]:
+        """entity.rs:270-277 — look up an inventory item by id."""
+        for _, item in self.iter_inventory():
+            if item.id == item_id:
+                return item
+        return None
+
+    def get_item_in_slot(self, slot: int) -> Optional[Item]:
+        """entity.rs:286-291."""
+        if 0 <= slot < len(self.inventory):
+            return self.inventory[slot]
+        return None
+
+    def get_item_slot(self, item_id: int) -> Optional[int]:
+        """entity.rs:299-306."""
+        for slot, item in self.iter_inventory():
+            if item.id == item_id:
+                return slot
+        return None
+
+    def remove_item_from_slot(self, slot: int) -> Optional[Item]:
+        """entity.rs slot-keyed removal (our remove_item is already
+        slot-keyed; alias for the reference name)."""
+        return self.remove_item(slot)
+
+    def equip_item(self, item_id: int, slot_name: str) -> bool:
+        """Move an inventory item into an equipment slot, returning any
+        previously equipped item to the inventory (entity.rs:309-327)."""
+        islot = self.get_item_slot(item_id)
+        if islot is None:
+            return False
+        item = self.remove_item(islot)
+        old = self.equipped.pop(slot_name, None)
+        if old is not None:
+            self.add_item(old)
+        self.equip(slot_name, item)
+        return True
+
+    def unequip_item(self, slot_name: str) -> bool:
+        """Equipment slot -> back into the inventory (entity.rs:330-341)."""
+        item = self.unequip(slot_name)
+        if item is None:
+            return False
+        self.add_item(item)
+        return True
+
+    def get_equipped_item(self, slot_name: str) -> Optional[Item]:
+        return self.equipped.get(slot_name)
+
+    # wallet delegation (entity.rs:343-380) — marks the wallet dirty bit
+
+    def add_currency(self, symbol: str, amount: int, currencies) -> None:
+        from .currency import wallet_add
+
+        wallet_add(self.wallet, symbol, amount, currencies)
+        self.dirty_flags |= DIRTY_WALLET
+
+    def add_base_currency(self, amount: int, currencies) -> None:
+        from .currency import wallet_add_base
+
+        wallet_add_base(self.wallet, amount, currencies)
+        self.dirty_flags |= DIRTY_WALLET
+
+    def spend_currency(self, base_amount: int, currencies) -> None:
+        from .currency import wallet_spend
+
+        wallet_spend(self.wallet, base_amount, currencies)
+        self.dirty_flags |= DIRTY_WALLET
+
+    # position/orientation helpers (entity.rs:152-222)
+
+    def get_forward_pos(self, distance: float):
+        """XZ point `distance` ahead along the orientation."""
+        return np.array(
+            [
+                self.position[0] + self.orientation[0] * distance,
+                self.position[2] + self.orientation[1] * distance,
+            ],
+            np.float32,
+        )
+
+    def set_pos_xz(self, xz) -> None:
+        self.position[0] = float(xz[0])
+        self.position[2] = float(xz[1])
+        self.dirty_flags |= DIRTY_POSITION
+
+    def set_tilt_from_screen_coordinate(self, screen_y: float) -> None:
+        """Map normalized screen y to a -45..45 degree tilt
+        (entity.rs:217-222)."""
+        self.tilt = (screen_y - 0.5) * 2.0 * (np.pi / 4.0)
+        self.dirty_flags |= DIRTY_TILT
+
+    def mark_all_dirty(self) -> None:
+        """Force a full delta on the next get_update (entity.rs)."""
+        self.dirty_flags = 0b111111
+        self.dirty_attributes = set(self.attributes.keys())
+
+    def mark_dirty_attribute(self, key: str) -> None:
+        self.dirty_attributes.add(key)
+
     # ---- delta protocol (entity.rs:458-581) ----
 
     def is_dirty(self) -> bool:

@@ -225,3 +225,85 @@ class Server:
     def get_log(self) -> str:
         self.log_changed = False
         return self.log
+
+    # ---- reference accessor surface (mod.rs:103-264) ----
+
+    def clear_log(self) -> None:
+        """mod.rs:103-105."""
+        self.log = ""
+
+    def set_state(self, state: ServerState) -> None:
+        """mod.rs:114-116."""
+        self.state = state
+
+    def clear(self) -> None:
+        """Drop all regions and mirrored state (fresh server)."""
+        self.stop()
+        self.instances = []
+        self.region_by_name = {}
+        self.entities = {}
+        self.items = {}
+        self.messages = []
+        self.choices = []
+        self.times = {}
+        self.local_players = {}
+        self.debug_modules = {}
+
+    def get_entities_items(self, region) -> Tuple[List[Entity], List[Item]]:
+        """Mirrored entities/items for a region (mod.rs:180-200); accepts a
+        region id or name."""
+        rid = self.region_by_name.get(region, region)
+        return list(self.entities.get(rid, [])), list(self.items.get(rid, []))
+
+    def get_messages(self, region=None) -> list:
+        """Drain queued messages — all, or only the given region's
+        (mod.rs:215-223 drains per region)."""
+        if region is None:
+            out, self.messages = self.messages, []
+            return out
+        rid = self.region_by_name.get(region, region)
+        out = [m for m in self.messages if m[0] == rid or m[1] == rid]
+        self.messages = [m for m in self.messages if m not in out]
+        return out
+
+    def get_choices(self) -> list:
+        """Drain queued multiple-choice requests (mod.rs:226-234)."""
+        out, self.choices = self.choices, []
+        return out
+
+    def get_time(self, region) -> Optional[float]:
+        """Game time (minutes of day) for a region (mod.rs:237-244)."""
+        rid = self.region_by_name.get(region, region)
+        return self.times.get(rid)
+
+    def set_time(self, region, minutes: float) -> None:
+        """Push a new game time to a region (mod.rs:247-258)."""
+        rid = self.region_by_name.get(region, region)
+        inst = self.get_region(rid)
+        if inst is not None:
+            inst.inbox.put(RegionMessage.time(rid, float(minutes)))
+            self.times[rid] = float(minutes)
+
+    def process_client_commands(self, commands) -> None:
+        """Route client create-entity commands into regions
+        (mod.rs:158-177). Accepts Command(CreateEntity, (region, entity))
+        or the client.setup tuples ('create_player', region, class)."""
+        from ..client.command import Command, CommandKind
+
+        for cmd in commands:
+            if isinstance(cmd, Command):
+                if cmd.kind != CommandKind.CreateEntity:
+                    continue
+                region, entity = cmd.data
+            elif isinstance(cmd, tuple) and cmd and cmd[0] == "create_player":
+                _, region, entity = cmd
+            else:
+                continue
+            rid = self.region_by_name.get(region, region)
+            inst = self.get_region(rid)
+            if inst is not None:
+                inst.inbox.put(
+                    RegionMessage(
+                        RegionMessageKind.CreateEntity, rid, data=entity
+                    )
+                )

@@ -122,3 +122,97 @@ def test_entity_action_from_str_round_trip():
         a = EntityAction.from_str(name)
         assert a is not None and a.display() == name
     assert EntityAction.from_str("bogus") is None
+
+
+def test_reference_editor_helper_surface():
+    """Selection ops, free-id allocation, 3D vertices, duplication,
+    surface/sector lookups (map/mod.rs:203-1160)."""
+    from rusterix_tpu.map import Map
+    from rusterix_tpu.utils.rect import Rect
+
+    m = Map()
+    assert m.is_empty() and not m.has_selection()
+    a = m.add_vertex_at(0, 0)
+    b = m.add_vertex_at(2, 0)
+    c = m.add_vertex_at(2, 2)
+    d = m.add_vertex_at(0, 2)
+    for p, q in ((a, b), (b, c), (c, d), (d, a)):
+        m.create_linedef(p, q)
+    assert not m.is_empty()
+    assert "4 vertices" in m.info()
+    assert m.find_free_vertex_id() == 4 and m.find_free_sector_id() == 1
+
+    m.add_to_selection(vertices=[a, b], sectors=[0])
+    m.add_to_selection(vertices=[a])  # no dup
+    assert m.selected_vertices == [a, b] and m.has_selection()
+    m.remove_from_selection(vertices=[a])
+    assert m.selected_vertices == [b]
+
+    assert m.is_vertex_in_rect(a, Rect(-1, -1, 3, 3))
+    assert not m.is_vertex_in_rect(c, Rect(-1, -1, 1, 1))
+    assert m.is_linedef_in_rect(m.linedefs[0].id, Rect(-1, -1, 4, 4))
+    assert m.is_linedef_in_closed_polygon(m.linedefs[0].id)
+    assert [s.id for s in m.sorted_sectors_by_area()] == [0]
+    assert m.find_sectors_with_vertex_indices([a, b, c, d]) == [0]
+    assert m.find_sector_at(1.0, 1.0) is not None
+
+    dup = m.duplicate_vertex(a)
+    assert dup is not None and dup != a
+    v3 = m.add_vertex_at_3d(5.0, 5.0, 1.25)
+    np.testing.assert_allclose(m.get_vertex_3d(v3), [5.0, 1.25, 5.0])
+    assert m.add_vertex_at_3d(5.0, 5.0, 1.25) == v3  # reuse
+    m.update_vertex(b, (9.0, 9.0))
+    assert m.get_vertex(b).x == 9.0
+    m.replace_vertex_in_sector(0, b, dup)
+    assert all(
+        b not in (m.find_linedef(lid).start_vertex, m.find_linedef(lid).end_vertex)
+        for lid in m.find_sector(0).linedefs
+    )
+
+
+def test_client_and_facade_reference_surface():
+    """Thin reference-API wrappers: Client touch/camera/time helpers and
+    the Rusterix facade delegations (client/mod.rs, rusterix.rs)."""
+    import numpy as np
+
+    import pytest
+
+    from rusterix_tpu.client import Client
+    from rusterix_tpu.models import Texture
+    from rusterix_tpu.rusterix import DrawMode, Rusterix
+
+    c = Client()
+    af = c.scene.animation_frame
+    c.inc_animation_frame()
+    assert c.scene.animation_frame == af + 1
+    c.set_server_time(15 * 60.0)
+    assert c.hour == 15.0
+    assert c.is_inside_game((10, 10)) and not c.is_inside_game((-1, 5))
+    c.touch_hover((3, 4))
+    assert c.cursor_pos == (3, 4) and c.hovered_entity_id is None
+    c.touch_up()
+    # aspect upscale letterboxes on the 30,30,30 background
+    c.config.upscale = "aspect"
+    target = np.zeros((100, 200, 4), np.uint8)
+    frame = np.full((50, 50, 4), 255, np.uint8)
+    c.insert_game_buffer(target, frame)
+    assert tuple(target[0, 0, :3]) == (30, 30, 30)  # letterbox band
+    assert target[50, 100, 0] == 255  # centered content
+
+    rx = Rusterix()
+    rx.set_d2()
+    assert rx.draw_mode == DrawMode.D2
+    rx.set_d3()
+    assert rx.draw_mode == DrawMode.D3
+    rx.client_touch_hover((1, 2))
+    assert rx.client.cursor_pos == (1, 2)
+
+    # texture material channel setters (texture.rs:714-800)
+    t = Texture.checkerboard(4, 2)
+    t.set_default_materials()
+    assert t.get_materials(0, 0)[0] == pytest.approx(0.5, abs=0.05)
+    t.set_roughness(1, 1, 1.0)
+    r, mtl, o, e = t.get_materials(1, 1)
+    assert r == 1.0 and o == pytest.approx(1.0, abs=0.05)
+    t.set_metallic(1, 1, 0.5)
+    assert t.get_materials(1, 1)[0] == 1.0  # preserved
