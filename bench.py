@@ -217,11 +217,19 @@ def _minigame_child(n=30):
     jax.block_until_ready(f)
     dt_dev = (time.perf_counter() - t0) / n
 
-    frame()
+    # readback loop: probe one frame first — when the tunnel's download
+    # path is in a degraded phase (observed: minutes per MB), report the
+    # single-frame time instead of sinking the whole bench on 2n of them
     t0 = time.perf_counter()
-    for _ in range(n):
-        frame()
-    dt_rb = (time.perf_counter() - t0) / n
+    frame()
+    probe = time.perf_counter() - t0
+    if probe > 2.0:
+        dt_rb = probe
+    else:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            frame()
+        dt_rb = (time.perf_counter() - t0) / n
     rx.server.stop()
     print(f"MINIGAME {dt_rb} {dt_dev}", flush=True)
 
@@ -297,8 +305,12 @@ def measure_chained(rast, scene, assets, width, height, n=20):
 
     from rusterix_tpu.ops.raster import render_frame
 
-    frame = rast.rasterize(scene, width, height, 40, assets)
+    # device-resident warmup: no D2H — the dev tunnel's download path
+    # intermittently degrades to minutes per MB, which must not be able to
+    # sink the benchmark (the measurement itself only moves scalars)
+    frame = rast.rasterize(scene, width, height, 40, assets, readback=False)
     assert frame.shape == (height, width, 4)
+    jax.block_until_ready(frame)
     packed = rast._scene_cache["packed"]
     cache = rast._scene_cache
     d3, d3_op, d2 = cache["d3"], cache["d3_op"], cache["d2"]

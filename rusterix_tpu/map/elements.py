@@ -90,6 +90,24 @@ class Linedef:
             and self.end_vertex == other.start_vertex
         )
 
+    def y_span_world(self, map_) -> Optional[Tuple[float, float]]:
+        """World-y extent of the endpoints (linedef.rs:83-89)."""
+        a = map_.get_vertex_3d(self.start_vertex)
+        b = map_.get_vertex_3d(self.end_vertex)
+        if a is None or b is None:
+            return None
+        return min(a[1], b[1]), max(a[1], b[1])
+
+    def intersects_vertical_slice(self, map_, slice_y: float, thickness: float) -> bool:
+        """linedef.rs:92-104."""
+        if thickness <= 0.0:
+            return False
+        span = self.y_span_world(map_)
+        if span is None:
+            return False
+        half = thickness * 0.5
+        return span[1] >= slice_y - half and span[0] <= slice_y + half
+
 
 @dataclass
 class CompiledLinedef:
@@ -170,6 +188,81 @@ class Sector:
         if not poly:
             return None
         return np.mean(np.stack(poly), axis=0)
+
+    def vertices_world(self, map_) -> Optional[list]:
+        """Loop start-vertices as (x, z, y) world points, deduped
+        (sector.rs:44-56)."""
+        verts = []
+        for lid in self.linedefs:
+            ld = map_.find_linedef(lid)
+            if ld is None:
+                return None
+            v = map_.get_vertex(ld.start_vertex)
+            if v is None:
+                return None
+            p = np.array([v.x, getattr(v, "z", 0.0), v.y], np.float32)
+            if not verts or not np.array_equal(verts[-1], p):
+                verts.append(p)
+        if len(verts) < 3:
+            return None
+        return verts
+
+    def y_span(self, map_) -> Optional[Tuple[float, float]]:
+        """World-y extent of the loop (sector.rs:59-72)."""
+        verts = self.vertices_world(map_)
+        if verts is None:
+            return None
+        ys = [float(p[1]) for p in verts]
+        return min(ys), max(ys)
+
+    def intersects_vertical_slice(self, map_, slice_y: float, thickness: float) -> bool:
+        """sector.rs:75-87."""
+        if thickness <= 0.0:
+            return False
+        span = self.y_span(map_)
+        if span is None:
+            return False
+        half = thickness * 0.5
+        return span[1] >= slice_y - half and span[0] <= slice_y + half
+
+    def center_3d(self, map_) -> Optional[np.ndarray]:
+        """Average of loop endpoint world positions (sector.rs:146-169)."""
+        pts = []
+        for lid in self.linedefs:
+            ld = map_.find_linedef(lid)
+            if ld is None:
+                continue
+            for vid in (ld.start_vertex, ld.end_vertex):
+                v = map_.get_vertex(vid)
+                if v is not None:
+                    pts.append([v.x, getattr(v, "z", 0.0), v.y])
+        if not pts:
+            return None
+        return np.mean(np.asarray(pts, np.float32), axis=0)
+
+    def get_random_position(self, map_, rng=None) -> Optional[np.ndarray]:
+        """Uniform random point inside the sector: random triangle +
+        sqrt-barycentric sample (sector.rs:237-269 — commented out there
+        mid-refactor; this is the documented intent, used by the
+        random_walk_in_sector entity action)."""
+        import random as _random
+
+        rng = rng if rng is not None else _random
+        geo = self.generate_geometry(map_)
+        if not geo:
+            return None
+        vertices, indices = geo
+        if not indices:
+            return None
+        i1, i2, i3 = indices[rng.randrange(len(indices))] if hasattr(
+            rng, "randrange"
+        ) else indices[int(rng.random() * len(indices))]
+        v1, v2, v3 = (np.asarray(vertices[i], np.float32) for i in (i1, i2, i3))
+        r1, r2 = rng.random(), rng.random()
+        sqrt_r1 = float(np.sqrt(r1))
+        u = 1.0 - sqrt_r1
+        v = r2 * sqrt_r1
+        return u * v1 + v * v2 + (1.0 - u - v) * v3
 
     def area(self, map_) -> float:
         from .geometry import polygon_area

@@ -107,6 +107,49 @@ class Assets:
     def tile_index(self, uuid: str) -> Optional[int]:
         return self.tile_indices.get(uuid)
 
+    # NOTE: the reference's `textures(...)` builder (assets.rs:288-291) is
+    # named with_textures here — the `textures` FIELD (named texture dict)
+    # occupies the method name.
+
+    def add_entity(self, name: str, code: str, data: str = "") -> None:
+        """Register an entity class (source, TOML data) (assets.rs:283-285)."""
+        self.entities[name] = (code, data)
+
+    def add_item(self, name: str, code: str, data: str = "") -> None:
+        """Item-class analogue of add_entity."""
+        self.items[name] = (code, data)
+
+    def blocking_tiles(self) -> set:
+        """Ids of blocking tiles/materials (assets.rs:177-190) — feeds
+        Map.as_mini's blocked-tile set."""
+        out = set()
+        for tile in self.tiles.values():
+            if tile.blocking:
+                out.add(tile.id)
+        for mat in self.materials.values():
+            if mat.blocking:
+                out.add(mat.id)
+        return out
+
+    def compile_source_map(self, name: str) -> bool:
+        """Compile one map source to assets.maps (assets.rs:261-281 —
+        commented out there mid-refactor; rusterix.rs create_regions carries
+        the live equivalent)."""
+        source = self.map_sources.get(name)
+        if source is None:
+            return False
+        from ..builders import compile_source_map as _compile
+
+        map_ = _compile(source, self)
+        map_.name = name
+        self.maps[name] = map_
+        return True
+
+    def compile_source_maps(self) -> None:
+        """assets.rs:252-257."""
+        for name in list(self.map_sources.keys()):
+            self.compile_source_map(name)
+
     def clean_tile_list(self) -> None:
         self.tile_list = []
         self.tile_indices = {}

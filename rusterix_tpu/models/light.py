@@ -229,6 +229,100 @@ class Light:
         self.flicker = f
         return self
 
+    # plain getters/setters (light.rs:60-126)
+
+    def get_intensity(self) -> float:
+        return self.intensity
+
+    def set_intensity(self, v: float) -> None:
+        self.intensity = float(v)
+
+    def get_color(self):
+        return self.color
+
+    def set_color(self, c) -> None:
+        self.color = np.asarray(c, np.float32)
+
+    def get_start_distance(self) -> float:
+        return self.start_distance
+
+    def set_start_distance(self, v: float) -> None:
+        self.start_distance = float(v)
+
+    def get_end_distance(self) -> float:
+        return self.end_distance
+
+    def set_end_distance(self, v: float) -> None:
+        self.end_distance = float(v)
+
+    def with_start_distance(self, v: float) -> "Light":
+        self.start_distance = float(v)
+        return self
+
+    def with_end_distance(self, v: float) -> "Light":
+        self.end_distance = float(v)
+        return self
+
+    def get_flicker(self) -> float:
+        return self.flicker
+
+    def set_flicker(self, v: float) -> None:
+        self.flicker = float(v)
+
+    def set_position(self, p) -> None:
+        self.position = np.asarray(p, np.float32)
+
+    def place_on_linedef(self, p1, p2, height: float) -> "Light":
+        """Light::from_linedef (light.rs:232-343): wall-mounted placement at
+        the segment midpoint, pushed 0.1 along the wall normal; Spot lights
+        aim along the normal, Area lights span the segment width. (Named
+        place_on_linedef here because the `from_linedef` FIELD — the
+        area-light 2D-variant flag — occupies the reference method name.)"""
+        import copy as _copy
+
+        p1 = np.asarray(p1, np.float32)
+        p2 = np.asarray(p2, np.float32)
+        d = p2 - p1
+        length = float(np.linalg.norm(d))
+        d = d / max(length, 1e-20)
+        normal = np.array([d[1], -d[0]], np.float32)
+        mid = (p1 + p2) * 0.5 + normal * 0.1
+        if self.light_type in (LightType.Ambient, LightType.AmbientDaylight):
+            return _copy.deepcopy(self)
+        out = _copy.deepcopy(self)
+        out.position = np.array([mid[0], height, mid[1]], np.float32)
+        if self.light_type == LightType.Spot:
+            out.direction = np.array([normal[0], 0.0, normal[1]], np.float32)
+        elif self.light_type == LightType.Area:
+            out.from_linedef = True
+            out.normal = np.array([normal[0], 0.0, normal[1]], np.float32)
+            out.width = length
+            out.height = 1.0
+        elif self.light_type == LightType.Daylight:
+            out.light_type = LightType.Area
+        return out
+
+    def place_on_sector(self, center, size=None) -> "Light":
+        """Light::from_sector (light.rs:346-452): ceiling/floor placement at
+        the sector center pushed 0.1 up; Spot aims up, Area spans `size`."""
+        import copy as _copy
+
+        if self.light_type in (LightType.Ambient, LightType.AmbientDaylight):
+            return _copy.deepcopy(self)
+        out = _copy.deepcopy(self)
+        center = np.asarray(center, np.float32)
+        out.position = center + np.array([0.0, 0.1, 0.0], np.float32)
+        if self.light_type == LightType.Spot:
+            out.direction = np.array([0.0, 1.0, 0.0], np.float32)
+        elif self.light_type == LightType.Area:
+            out.normal = np.array([0.0, 1.0, 0.0], np.float32)
+            if size is not None:
+                out.width = float(size[0])
+                out.height = float(size[1])
+        elif self.light_type == LightType.Daylight:
+            out.light_type = LightType.Area
+        return out
+
     def compile(self) -> CompiledLight:
         return CompiledLight(
             light_type=self.light_type,

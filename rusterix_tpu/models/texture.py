@@ -22,33 +22,47 @@ from .batch import RepeatMode, SampleMode
 
 
 class TileRole(enum.IntEnum):
-    """reference src/map/tile.rs:6-80 (10 editor role colors)."""
+    """reference src/map/tile.rs:6-80 (10 editor roles, reference order —
+    serialized role indices depend on it; default is ManMade)."""
 
-    ManMade = 0
+    Character = 0
     Nature = 1
     Mountain = 2
     Road = 3
     Water = 4
-    Character = 5
-    Critter = 6
-    Icon = 7
-    UI = 8
-    Effect = 9
+    ManMade = 5
+    Dungeon = 6
+    Effect = 7
+    Icon = 8
+    UI = 9
 
-    def color(self):
-        colors = [
-            (190, 190, 190, 255),
-            (80, 160, 80, 255),
-            (130, 110, 90, 255),
-            (120, 120, 135, 255),
-            (70, 110, 180, 255),
-            (220, 170, 80, 255),
-            (180, 130, 180, 255),
-            (200, 200, 90, 255),
-            (90, 180, 200, 255),
-            (220, 90, 90, 255),
+    def to_color(self):
+        """Role hex colors (tile.rs:21-33) as RGBA8."""
+        hexes = [
+            "d9ac8b", "3e6958", "b1a58d", "624c3c", "243d5c",
+            "e0c872", "b03a48", "d4804d", "5c8b93", "e3cfb4",
         ]
-        return colors[int(self)]
+        h = hexes[int(self)]
+        return (int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16), 255)
+
+    # legacy alias
+    color = to_color
+
+    def to_string(self) -> str:
+        """Display names (tile.rs:36-48)."""
+        return "Man Made" if self == TileRole.ManMade else self.name
+
+    @staticmethod
+    def from_index(index: int) -> "TileRole":
+        """tile.rs:65-78 (out of range -> ManMade, the default)."""
+        try:
+            return TileRole(index)
+        except ValueError:
+            return TileRole.ManMade
+
+    @staticmethod
+    def iterator():
+        return iter(TileRole)
 
 
 class Texture:
@@ -384,6 +398,22 @@ class Tile:
     @staticmethod
     def from_texture(texture: Texture) -> "Tile":
         return Tile(textures=[texture])
+
+    @staticmethod
+    def from_textures(textures: List[Texture]) -> "Tile":
+        """tile.rs:113-123."""
+        return Tile(textures=list(textures))
+
+    def is_empty(self) -> bool:
+        return not self.textures
+
+    def to_buffer_array(self) -> List[np.ndarray]:
+        """Frame color buffers (tile.rs:144-150)."""
+        return [t.data for t in self.textures]
+
+    def to_material_array(self) -> List[np.ndarray]:
+        """Frame data_ext material buffers where present (tile.rs:153-160)."""
+        return [t.data_ext for t in self.textures if t.data_ext is not None]
 
     def append(self, texture: Texture) -> None:
         self.textures.append(texture)

@@ -49,7 +49,9 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
     from .ops.setup_pass import setup_pass
     from .ops.visibility_pallas import morton_sort
 
-    rast.rasterize(scene, width, height, 40, assets)
+    # device-resident warmup (no D2H — the dev tunnel's download path can
+    # degrade to minutes per MB and must not gate profiling)
+    rast.rasterize(scene, width, height, 40, assets, readback=False)
     cache = rast._scene_cache
     packed = cache["packed"]
     d3, atlas = cache["d3"], cache["atlas"]

@@ -170,6 +170,26 @@ class Tracer:
         self.use_aabb_skip = False
         self._cache_key = None
         self._cache = None
+        self.sample_mode = 0
+        self.background = None
+
+    def set_sample_mode(self, mode: int) -> "Tracer":
+        """trace.rs sample_mode builder."""
+        self.sample_mode = int(mode)
+        return self
+
+    def set_background(self, shader) -> "Tracer":
+        """trace.rs background builder (miss shading falls back to the
+        procedural sky when None)."""
+        self.background = shader
+        return self
+
+    @staticmethod
+    def reflect(i, n):
+        """i - 2(i.n)n (trace.rs:478-480)."""
+        i = np.asarray(i, np.float32)
+        n = np.asarray(n, np.float32)
+        return i - 2.0 * float(i @ n) * n
 
     def trace(self, camera, scene, buffer: AccumBuffer, tile_size: int, assets) -> None:
         """One progressive sample per pixel; accumulates into `buffer`."""
