@@ -275,3 +275,48 @@ def test_scenemanager_reference_api():
         assert r.kind == "chunk"
         got += 1
     assert got == n
+
+
+def test_light_placement_from_map_elements():
+    """Light placement on walls/sectors (light.rs:232-452): midpoint +
+    normal offset, spot aiming, area spanning the segment."""
+    from rusterix_tpu.models.light import Light, LightType
+
+    proto = Light(LightType.Point).with_intensity(2.0).with_range(1.0, 8.0)
+    wall = proto.place_on_linedef((0.0, 0.0), (4.0, 0.0), height=2.5)
+    # midpoint (2,0) pushed 0.1 along the (0,-1) normal; y = height
+    np.testing.assert_allclose(wall.position, [2.0, 2.5, -0.1], atol=1e-6)
+    assert wall.intensity == 2.0 and wall.end_distance == 8.0
+
+    spot = Light(LightType.Spot).place_on_linedef((0.0, 0.0), (4.0, 0.0), 2.0)
+    np.testing.assert_allclose(spot.direction, [0.0, 0.0, -1.0], atol=1e-6)
+
+    area = Light(LightType.Area).place_on_linedef((0.0, 0.0), (4.0, 0.0), 2.0)
+    assert area.from_linedef and area.width == 4.0 and area.height == 1.0
+
+    ceil = Light(LightType.Point).place_on_sector((1.0, 3.0, 1.0))
+    np.testing.assert_allclose(ceil.position, [1.0, 3.1, 1.0], atol=1e-6)
+    # ambient lights are position-independent: placement is a plain copy
+    amb = Light(LightType.Ambient).with_intensity(0.3)
+    assert amb.place_on_linedef((0, 0), (1, 0), 1.0).intensity == 0.3
+
+
+def test_tile_role_and_buffers():
+    """TileRole reference order + Tile frame buffer accessors
+    (tile.rs:6-160)."""
+    from rusterix_tpu.models import Texture, Tile
+    from rusterix_tpu.models.texture import TileRole
+
+    assert TileRole.Character == 0 and TileRole.ManMade == 5 and TileRole.UI == 9
+    assert TileRole.from_index(6) == TileRole.Dungeon
+    assert TileRole.from_index(99) == TileRole.ManMade
+    assert TileRole.ManMade.to_string() == "Man Made"
+    assert TileRole.Water.to_color() == (0x24, 0x3D, 0x5C, 255)
+    assert len(list(TileRole.iterator())) == 10
+
+    t = Tile.from_textures([Texture.checkerboard(4, 2), Texture.checkerboard(4, 1)])
+    assert not t.is_empty() and Tile.empty().is_empty()
+    assert len(t.to_buffer_array()) == 2
+    assert t.to_material_array() == []
+    t.textures[0].set_default_materials()
+    assert len(t.to_material_array()) == 1
