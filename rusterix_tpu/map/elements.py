@@ -189,6 +189,98 @@ class Sector:
             return None
         return np.mean(np.stack(poly), axis=0)
 
+    def _wall_rings(self, map_, thickness_at) -> Optional[tuple]:
+        """Miter-offset outer/inner rings around the sector loop
+        (shared by the 2D wall geometry generators, sector.rs:337-435).
+        `thickness_at(i)` gives the corner thickness for loop index i."""
+        polygon = []
+        for lid in self.linedefs:
+            ld = map_.find_linedef(lid)
+            if ld is None:
+                continue
+            v = map_.get_vertex(ld.start_vertex)
+            if v is not None:
+                polygon.append(np.array([v.x, v.y], np.float32))
+        n = len(polygon)
+        if n < 3:
+            return None
+        outer, inner = [], []
+        for i in range(n):
+            prev_p = polygon[(i + n - 1) % n]
+            curr = polygon[i]
+            next_p = polygon[(i + 1) % n]
+            d1 = curr - prev_p
+            d2 = next_p - curr
+            d1 = d1 / max(float(np.linalg.norm(d1)), 1e-20)
+            d2 = d2 / max(float(np.linalg.norm(d2)), 1e-20)
+            n1 = np.array([-d1[1], d1[0]], np.float32)
+            n2 = np.array([-d2[1], d2[0]], np.float32)
+            bis = n1 + n2
+            bis = bis / max(float(np.linalg.norm(bis)), 1e-20)
+            # angle_between(d1, d2) / 2 as in vek (unsigned)
+            cosang = float(np.clip(d1 @ d2, -1.0, 1.0))
+            half = float(np.arccos(cosang)) / 2.0
+            off = thickness_at(i) / max(2.0 * float(np.cos(half)), 0.1)
+            outer.append(curr + bis * off)
+            inner.append(curr - bis * off)
+        return polygon, outer, inner
+
+    def generate_wall_geometry(self, map_, thickness: float) -> Optional[tuple]:
+        """Uniform-thickness 2D wall ring around the loop
+        (sector.rs:337-435): miter-offset outer/inner rings triangulated as
+        quads -> ([ [x, y], ... ], [(i0, i1, i2), ...])."""
+        rings = self._wall_rings(map_, lambda i: thickness)
+        if rings is None:
+            return None
+        _, outer, inner = rings
+        n = len(outer)
+        vertices = [[float(p[0]), float(p[1])] for p in outer] + [
+            [float(p[0]), float(p[1])] for p in inner
+        ]
+        indices = []
+        for i in range(n):
+            nxt = (i + 1) % n
+            indices.append((i, nxt, n + i))
+            indices.append((nxt, n + nxt, n + i))
+        return vertices, indices
+
+    def generate_wall_geometry_by_linedef(self, map_) -> Optional[dict]:
+        """Per-linedef wall quads with per-wall 'wall_width' thickness
+        (corner thickness = average of adjacent walls, sector.rs:437-580).
+        -> {linedef_id: ([4 verts], [(0,1,3), (1,2,3)])} or None when no
+        wall has width."""
+
+        def width(lid):
+            ld = map_.find_linedef(lid)
+            if ld is None:
+                return 0.0
+            return ld.properties.get_float_default("wall_width", 0.0)
+
+        if not any(width(lid) > 0.0 for lid in self.linedefs):
+            return None
+        n = len(self.linedefs)
+
+        def corner_thickness(i):
+            return (width(self.linedefs[(i + n - 1) % n]) + width(self.linedefs[i])) * 0.5
+
+        rings = self._wall_rings(map_, corner_thickness)
+        if rings is None:
+            return None
+        _, outer, inner = rings
+        out = {}
+        for i in range(len(outer)):
+            nxt = (i + 1) % len(outer)
+            o1, o2 = outer[i], outer[nxt]
+            i1, i2 = inner[i], inner[nxt]
+            verts = [
+                [float(o1[0]), float(o1[1])],
+                [float(o2[0]), float(o2[1])],
+                [float(i2[0]), float(i2[1])],
+                [float(i1[0]), float(i1[1])],
+            ]
+            out[self.linedefs[i]] = (verts, [(0, 1, 3), (1, 2, 3)])
+        return out
+
     def vertices_world(self, map_) -> Optional[list]:
         """Loop start-vertices as (x, z, y) world points, deduped
         (sector.rs:44-56)."""

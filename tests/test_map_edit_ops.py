@@ -216,3 +216,32 @@ def test_client_and_facade_reference_surface():
     assert r == 1.0 and o == pytest.approx(1.0, abs=0.05)
     t.set_metallic(1, 1, 0.5)
     assert t.get_materials(1, 1)[0] == 1.0  # preserved
+
+
+def test_sector_wall_geometry_2d():
+    """2D wall rings (sector.rs:337-580): miter-offset outer/inner loops
+    and per-linedef quads keyed by wall_width."""
+    from rusterix_tpu.map import Map
+
+    m = Map()
+    ids = [m.add_vertex_at(*p) for p in ((0, 0), (4, 0), (4, 4), (0, 4))]
+    for i in range(4):
+        m.create_linedef(ids[i], ids[(i + 1) % 4])
+    s = m.sectors[0]
+
+    verts, tris = s.generate_wall_geometry(m, 0.5)
+    assert len(verts) == 8 and len(tris) == 8
+    half = np.asarray(verts, np.float32)
+    ring_a, ring_b = half[:4], half[4:]
+    # the two rings sit 0.25 on either side of the unit-square edges
+    spans = sorted([ring_a.min(), ring_b.min()])
+    assert abs(spans[0] + 0.25) < 1e-5 and abs(spans[1] - 0.25) < 1e-5
+
+    # no widths -> None; with widths, one quad per linedef
+    assert s.generate_wall_geometry_by_linedef(m) is None
+    for l in m.linedefs:
+        l.properties.set("wall_width", 0.4)
+    per = s.generate_wall_geometry_by_linedef(m)
+    assert set(per.keys()) == {l.id for l in m.linedefs}
+    quad, inds = per[m.linedefs[0].id]
+    assert len(quad) == 4 and inds == [(0, 1, 3), (1, 2, 3)]
