@@ -27,7 +27,11 @@ def main(argv=None):
     with open(args.input) as f:
         src = f.read()
 
-    sys.path.insert(0, ".")
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from rusterix_tpu.models.assets import default_palette
     from rusterix_tpu.shader import Program, Rusteria
 
