@@ -157,8 +157,11 @@ class Client:
         self.hovered_item_id = None
 
     def touch_up(self, coord=None, map_=None) -> None:
-        """client/mod.rs:1427-1440 — release transient widget activation."""
+        """client/mod.rs:1427-1440 — release transient widget activation
+        and clear message-widget clicks."""
         self.activated_widgets = list(self.permanently_activated_widgets)
+        if self.messages_widget is not None:
+            self.messages_widget.touch_up()
 
     def apply_entities_items_d3(self, map_) -> None:
         """client/mod.rs:312-322: drive the player camera from its entity,

@@ -83,10 +83,17 @@ class MessagesWidget(Widget):
     size: int = 11
     line_height: int = 14
 
+    #: uuid of the multiple-choice entry under the pointer (messages.rs)
+    clicked: object = None
+
     def add(self, text: str) -> None:
         self.messages.append(text)
         if len(self.messages) > 64:
             self.messages = self.messages[-64:]
+
+    def touch_up(self) -> None:
+        """Clear the clicked choice (widget/messages.rs:326-328)."""
+        self.clicked = None
 
     def draw(self, buf: np.ndarray, ctx=None) -> None:
         if not self.visible:
