@@ -180,8 +180,10 @@ def measure_minigame_loop(n=30):
     )
     for line in reversed(out.stdout.splitlines()):
         if line.startswith("MINIGAME "):
-            _, rb, dev = line.split()
-            return float(rb), float(dev)
+            parts = line.split()
+            rb, dev = float(parts[1]), float(parts[2])
+            degraded = len(parts) > 3 and parts[3] == "degraded"
+            return rb, dev, degraded
     raise RuntimeError(f"minigame child failed: {out.stderr[-2000:]}")
 
 
@@ -224,14 +226,17 @@ def _minigame_child(n=30):
     frame()
     probe = time.perf_counter() - t0
     if probe > 2.0:
-        dt_rb = probe
+        # dev-tunnel D2H degradation: a readback fps from this would be
+        # meaningless (and rounded to 0.0 in round 2's JSON) — flag it so
+        # the parent reports null + the probe seconds instead
+        dt_rb, mode = probe, "degraded"
     else:
         t0 = time.perf_counter()
         for _ in range(n):
             frame()
-        dt_rb = (time.perf_counter() - t0) / n
+        dt_rb, mode = (time.perf_counter() - t0) / n, "ok"
     rx.server.stop()
-    print(f"MINIGAME {dt_rb} {dt_dev}", flush=True)
+    print(f"MINIGAME {dt_rb} {dt_dev} {mode}", flush=True)
 
 
 MAP_SOURCE_HEADER = """
@@ -379,8 +384,12 @@ def main():
 
     if os.environ.get("RUSTERIX_TPU_BENCH_MINIGAME") != "0":
         try:
-            dt_rb, dt_dev = measure_minigame_loop()
-            results["minigame_640x400_loop_fps"] = round(1.0 / dt_rb, 1)
+            dt_rb, dt_dev, degraded = measure_minigame_loop()
+            if degraded:
+                results["minigame_640x400_loop_fps"] = None
+                results["minigame_readback_degraded_s"] = round(dt_rb, 1)
+            else:
+                results["minigame_640x400_loop_fps"] = round(1.0 / dt_rb, 1)
             results["minigame_640x400_loop_fps_device"] = round(1.0 / dt_dev, 1)
         except Exception as exc:  # additive metric; never sink the headline
             import sys as _s

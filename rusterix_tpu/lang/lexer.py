@@ -76,15 +76,23 @@ def tokenize(src: str):
             i = j + 1
             continue
         if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
+            # Numbers, incl. leading-dot (`.1031`) and trailing-dot (`1.`,
+            # `w/2.`) floats. The reference scanner always consumes a dot
+            # following the integer part, appending an implicit 0 when no
+            # fraction digits follow (rusteria/src/scanner.rs:392-402) —
+            # make_textures.rusteria:211 relies on this.
             j = i
-            seen_dot = False
-            while j < n and (src[j].isdigit() or (src[j] == "." and not seen_dot)):
-                if src[j] == ".":
-                    # don't eat swizzle dots: ".x" after digits like `1.x`
-                    if j + 1 < n and not src[j + 1].isdigit():
-                        break
-                    seen_dot = True
+            if src[j] == ".":
                 j += 1
+                while j < n and src[j].isdigit():
+                    j += 1
+            else:
+                while j < n and src[j].isdigit():
+                    j += 1
+                if j < n and src[j] == ".":
+                    j += 1
+                    while j < n and src[j].isdigit():
+                        j += 1
             tokens.append(Token("num", src[i:j], line))
             i = j
             continue

@@ -65,6 +65,17 @@ def render_frame_sharded(
     (both are padded powers of two in practice).
     """
     n = mesh.devices.size
+    if height % n != 0:
+        raise ValueError(
+            f"sharded render requires height divisible by the mesh size: "
+            f"height={height}, n_devices={n}"
+        )
+    cap = int(d3["valid"].shape[0])
+    if cap % n != 0:
+        raise ValueError(
+            f"sharded render requires triangle capacity divisible by the "
+            f"mesh size: capacity={cap}, n_devices={n}"
+        )
 
     def shard_fn(d3_l, d2_r, lights_r, atlas_r, uniforms_r, background_l):
         row = jax.lax.axis_index(AXIS)

@@ -21,6 +21,7 @@ class EntityActionKind(enum.IntEnum):
     RandomWalkInSector = 8
     SleepAndSwitch = 9
     Intent = 10
+    Choice = 11  # a multiple-choice entry the user selected (message.rs:73)
 
 
 @dataclass
@@ -35,6 +36,7 @@ class EntityAction:
     max_sleep: float = 2.0
     state_time: float = 0.0
     string: str = ""  # Intent payload
+    choice: Optional["Choice"] = None  # Choice payload (message.rs:73)
 
     @staticmethod
     def from_str(value: str) -> Optional["EntityAction"]:
@@ -68,18 +70,41 @@ class PlayerCamera(enum.IntEnum):
 
 @dataclass
 class Choice:
-    """reference message.rs:133"""
+    """reference message.rs:133-138: Cancel(from, to) | ItemToSell(item_id,
+    seller_id, buyer_id)."""
 
-    id: int
-    text: str
-    value: str = ""
+    kind: str = "cancel"  # "cancel" | "item_to_sell"
+    item_id: int = 0
+    seller_id: int = 0
+    buyer_id: int = 0
+    from_id: int = 0
+    to_id: int = 0
+
+    @staticmethod
+    def cancel(from_id: int, to_id: int) -> "Choice":
+        return Choice(kind="cancel", from_id=from_id, to_id=to_id)
+
+    @staticmethod
+    def item_to_sell(item_id: int, seller_id: int, buyer_id: int) -> "Choice":
+        return Choice(
+            kind="item_to_sell",
+            item_id=item_id,
+            seller_id=seller_id,
+            buyer_id=buyer_id,
+        )
 
 
 @dataclass
 class MultipleChoice:
-    sender: int
-    receiver: int
+    """reference message.rs:140-152: region + from/to entity + entries."""
+
+    region: int = 0
+    sender: int = 0  # `from` in the reference
+    receiver: int = 0  # `to`
     choices: List[Choice] = field(default_factory=list)
+
+    def add(self, choice: Choice) -> None:
+        self.choices.append(choice)
 
 
 class RegionMessageKind(enum.IntEnum):

@@ -21,14 +21,25 @@ from ..builders.chunk import CHUNK_SIZE
 from ..map.mini import MapMini
 from ..vm import VM, Execution, HostHandler, VMValue
 from .collision import BlockingVolume, ChunkCollision, CollisionWorld
+from .currency import Currencies, Currency
 from .entity import Entity
 from .item import Item
 from .message import (
+    Choice,
     EntityAction,
     EntityActionKind,
+    MultipleChoice,
     RegionMessage,
     RegionMessageKind,
 )
+
+
+def _default_currencies() -> Currencies:
+    """Gold as the base denomination, installed at region init
+    (region.rs:387-395)."""
+    c = Currencies(base_currency="G")
+    c.add_currency(Currency(name="Gold", symbol="G", exchange_rate=1.0))
+    return c
 
 
 @dataclass
@@ -66,7 +77,8 @@ class RegionCtx:
     player_spawns: List[Entity] = field(default_factory=list)
     proximity_tracking: Dict[int, float] = field(default_factory=dict)
     blocked_events: Dict[Tuple[int, str], float] = field(default_factory=dict)
-    currencies: Dict[str, str] = field(default_factory=dict)
+    #: denomination registry; Gold installed at region init (region.rs:387-395)
+    currencies: "Currencies" = field(default_factory=lambda: _default_currencies())
     config: dict = field(default_factory=dict)
     startup_errors: List[str] = field(default_factory=list)
     game_time: float = 8.0 * 60.0  # minutes of day
@@ -589,6 +601,7 @@ class RegionInstance:
             if is_player:
                 self.ctx.player_spawns.append(entity)
                 continue
+            self._seed_inventory_and_wallet(entity)
             self.spawn_entity(entity)
 
     def restore_entities(self, saved: list) -> None:
@@ -662,6 +675,16 @@ class RegionInstance:
     def next_item_id(self) -> int:
         self._next_item_id += 1
         return self._next_item_id - 1
+
+    def _seed_inventory_and_wallet(self, entity: Entity) -> None:
+        """Size the inventory and fund the wallet from the entity's
+        `inventory_slots` / `wealth` attributes (region.rs:670-681)."""
+        slots = entity.attributes.get_int_default("inventory_slots", 0)
+        if slots > 0:
+            entity.inventory = [None] * slots
+        wealth = entity.attributes.get_int_default("wealth", 0)
+        if wealth > 0:
+            entity.add_base_currency(wealth, self.ctx.currencies)
 
     def spawn_entity(self, entity: Entity) -> Entity:
         entity.id = self._next_entity_id

@@ -79,6 +79,11 @@ class Evaluator:
         self.active = None  # None = all lanes live, else bool array
         self.depth = 0
         self.last_value: Optional[Val] = None
+        #: host-mode texture script state (alloc/iterate/save,
+        #: execution.rs:656-741); only touched by Rusteria.execute_script
+        self.textures: List[np.ndarray] = []
+        self.saved: Dict[str, np.ndarray] = {}
+        self.save_dir: Optional[str] = None
 
     # ---- env ----
 
@@ -725,6 +730,107 @@ class Evaluator:
     def _b_print(self, a, e):
         return _broadcast(0.0)
 
+    # ---- host-mode texture builtins (execution.rs:656-741) ----
+    #
+    # These run at the top level of a texture script (make_textures.rusteria)
+    # OUTSIDE any jit trace: indices and sizes are concrete Python ints. The
+    # reference's rayon per-pixel iterate loop becomes one jitted whole-grid
+    # trace on the bake device (CPU — see _bake_device).
+
+    def _concrete_scalar(self, v: Val) -> float:
+        return float(np.asarray(v.arr).reshape(-1)[0])
+
+    def _b_alloc(self, a, e):
+        """alloc(w, h) -> texture index (execution.rs:656-663)."""
+        w = int(self._concrete_scalar(a[0]))
+        h = int(self._concrete_scalar(a[1]))
+        idx = len(self.textures)
+        self.textures.append(np.zeros((h, w, 3), np.float32))
+        return _broadcast(float(idx))
+
+    def _b_iterate(self, a, e):
+        """iterate(tex, "fn") — evaluate fn over every texel
+        (execution.rs:664-715): per-pixel uv, registers carried from the
+        current context; result is the fn's explicit return value, else the
+        color register after the call."""
+        if len(e.args) != 2 or not isinstance(e.args[1], A.Str):
+            raise CompileError('iterate(tex, "fn_name") expects a string literal')
+        fname = e.args[1].value
+        fn = self.program.functions.get(fname)
+        if fn is None:
+            raise CompileError(f"iterate: unknown function {fname}")
+        idx = int(self._concrete_scalar(a[0]))
+        tex = self.textures[idx]
+        h, w = tex.shape[:2]
+        carried = {
+            k: np.asarray(v, np.float32).reshape(-1, 3)[0]
+            for k, v in self.state.items()
+            if k != "uv"
+        }
+        globals_snapshot = dict(self.scopes[0])
+        program, palette = self.program, self.palette
+        has_return = program._scan(
+            fn.body, lambda n: isinstance(n, A.Return) and n.value is not None
+        )
+        import jax
+
+        @jax.jit
+        def run():
+            u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            v = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            uu, vv = jnp.meshgrid(u, v)
+            state = {"uv": jnp.stack([uu, vv, jnp.zeros_like(uu)], axis=-1)}
+            for k, c in carried.items():
+                state[k] = jnp.broadcast_to(jnp.asarray(c), (h, w, 3))
+            ev = Evaluator(program, state, palette)
+            ev.scopes[0].update(globals_snapshot)
+            res = ev.call_user(fn, [])
+            out = res.arr if has_return else ev.state["color"]
+            return jnp.broadcast_to(out, (h, w, 3))
+
+        self.textures[idx] = np.asarray(_run_on_bake_device(run))
+        return _broadcast(float(idx))
+
+    def _b_save(self, a, e):
+        """save(tex, "path.png") — store texture + derived normal map
+        (execution.rs:716-741). Script paths are relative to the reference
+        repo layout; results land in self.saved by stem, and file IO only
+        happens when save_dir is set (basenames, never the script's dirs)."""
+        import os
+
+        if len(e.args) != 2 or not isinstance(e.args[1], A.Str):
+            raise CompileError('save(tex, "path.png") expects a string literal')
+        idx = int(self._concrete_scalar(a[0]))
+        tex = self.textures[idx]
+        normal = texture_to_normal_map(tex, 5.0)
+        path = e.args[1].value
+        stem, ext = os.path.splitext(os.path.basename(path))
+        ext = ext or ".png"
+        self.saved[stem] = tex
+        self.saved[stem + "_normal"] = normal
+        if self.save_dir is not None:
+            from PIL import Image
+
+            os.makedirs(self.save_dir, exist_ok=True)
+            for name, img in ((stem + ext, tex), (f"{stem}_normal{ext}", normal)):
+                u8 = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+                Image.fromarray(u8, "RGB").save(os.path.join(self.save_dir, name))
+        return _broadcast(0.0)
+
+
+def texture_to_normal_map(tex: np.ndarray, strength: float = 5.0) -> np.ndarray:
+    """Height-field -> tangent-space normal map, packed to [0,1].
+
+    Vectorized port of TexStorage::to_normal_map (rusteria/src/textures/
+    mod.rs): Rec.709 luminance, wrap-around central differences, Z-up."""
+    lum = tex[..., 0] * 0.2126 + tex[..., 1] * 0.7152 + tex[..., 2] * 0.0722
+    dx = (np.roll(lum, -1, axis=1) - np.roll(lum, 1, axis=1)) * 0.5 * strength
+    dy = (np.roll(lum, -1, axis=0) - np.roll(lum, 1, axis=0)) * 0.5 * strength
+    n = np.stack([-dx, -dy, np.ones_like(dx)], axis=-1)
+    length = np.sqrt((n * n).sum(-1, keepdims=True))
+    n = np.where(length > 0, n / length, n)
+    return ((n + 1.0) * 0.5).astype(np.float32)
+
 
 class Program:
     """Compiled shader: AST + metadata; `shade` traces into the caller's jit."""
@@ -811,6 +917,43 @@ class Program:
         return ev.state, last
 
 
+def _bake_device():
+    """Device for build-time shader bakes: the CPU backend when available.
+
+    Deep shaders (main.rusteria's 6-iteration masked truchet loop) compile in
+    seconds on CPU XLA but pathologically on XLA-TPU (measured 529 s at 64x64
+    round 2), and bakes are 128^2 build-time work where TPU throughput buys
+    nothing — pin them off the accelerator. Returns None when only one
+    platform exists (pure-CPU test sessions), where the default is already
+    right."""
+    import jax
+
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def _run_on_bake_device(fn, platform=None):
+    """Call a nullary jitted bake on the CPU backend (see _bake_device).
+
+    `platform` overrides the pin: a JAX platform string ("cpu", "axon", ...)
+    selects that backend explicitly; "default" runs on the session default
+    device (rsia --device tpu)."""
+    import jax
+
+    if platform == "default":
+        return fn()
+    if platform is not None:
+        with jax.default_device(jax.devices(platform)[0]):
+            return fn()
+    dev = _bake_device()
+    if dev is None:
+        return fn()
+    with jax.default_device(dev):
+        return fn()
+
+
 class Rusteria:
     """Facade mirroring the reference API (rusteria/src/lib.rs:57-210)."""
 
@@ -826,11 +969,44 @@ class Rusteria:
             return None
 
     @staticmethod
-    def shade_image(program: Program, width: int, height: int, palette=None, time: float = 0.0):
+    def execute_script(src_or_program, palette=None, save_dir=None) -> Evaluator:
+        """Run a host-mode texture script — the reference's
+        make_textures.rusteria flow of alloc/iterate/save top-level calls
+        (rusteria/src/node/execution.rs:656-741). Returns the Evaluator with
+        `.textures` (list of (H,W,3) f32) and `.saved` ({stem: image, incl.
+        derived *_normal maps}) populated. Per-texel iterate bakes are one
+        jitted whole-grid trace each, pinned to the CPU backend."""
+        program = (
+            src_or_program
+            if isinstance(src_or_program, Program)
+            else Program(parse(src_or_program))
+        )
+        zeros = jnp.zeros(3, jnp.float32)
+        state = {
+            "uv": zeros,
+            "color": zeros,
+            "roughness": zeros + 0.5,
+            "metallic": zeros,
+            "emissive": zeros,
+            "opacity": zeros + 1.0,
+            "bump": zeros,
+            "normal": zeros,
+            "hitpoint": zeros,
+            "time": zeros,
+        }
+        ev = Evaluator(program, state, palette)
+        ev.save_dir = save_dir
+        program.run_globals(ev)
+        return ev
+
+    @staticmethod
+    def shade_image(program: Program, width: int, height: int, palette=None,
+                    time: float = 0.0, device=None):
         """Offline bake: evaluate fn shade() over a WxH uv grid -> (H,W,3) f32.
 
         Replaces the reference's rayon 80x80-tile bake (lib.rs:161-210) with
-        one jitted whole-image evaluation."""
+        one jitted whole-image evaluation, pinned to the CPU backend
+        (_bake_device) — rsia parity: the reference CLI renders on host."""
         import jax
 
         @jax.jit
@@ -858,7 +1034,7 @@ class Rusteria:
             out = program.shade(state, palette)
             return jnp.broadcast_to(out["color"], (height, width, 3))
 
-        return np.asarray(run())
+        return np.asarray(_run_on_bake_device(run, device))
 
     @staticmethod
     def bake_tile(program: Program, size: int = 128, palette=None,
@@ -896,7 +1072,7 @@ class Rusteria:
             a = jnp.broadcast_to(out["opacity"], (size, size, 3))[..., :1]
             return jnp.concatenate([rgb, a], axis=-1)
 
-        rgba = np.array(run())  # copy: jax buffers are read-only views
+        rgba = np.array(_run_on_bake_device(run))  # copy: jax buffers are read-only views
         if not program.supports_opacity:
             rgba[..., 3] = 1.0
         return (np.clip(rgba, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
@@ -943,4 +1119,4 @@ class Rusteria:
                 )
             }
 
-        return {k: np.asarray(v) for k, v in run().items()}
+        return {k: np.asarray(v) for k, v in _run_on_bake_device(run).items()}

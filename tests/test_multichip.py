@@ -142,7 +142,7 @@ def test_sharded_nondivisible_rows_rejected(mesh8):
     width, height = 64, 44
     rast, scene, assets, packed = _cube_scene(width, height, tris=16)
     frame, cache, ld, uni, packed = _single_frame(rast, scene, assets, width, height)
-    with pytest.raises(Exception):
+    with pytest.raises(ValueError, match="height divisible by the mesh size"):
         _sharded_frame(
             mesh8, cache, ld, uni, width, height,
             sample_mode=0, has_ambient=True, has_lights=True, has_d2=False,

@@ -1,0 +1,87 @@
+"""The reference's own shipped rusteria scripts compile and render, fast.
+
+Round-2 verdict items #2/#3: `make_textures.rusteria` was rejected by the
+lexer (trailing-dot float literals, make_textures.rusteria:211) and deep
+shaders took 529 s to compile on XLA-TPU. Both scripts must now parse
+verbatim, evaluate on the CPU bake backend, and finish in seconds.
+
+Reference: /root/reference/main.rusteria, /root/reference/make_textures.rusteria,
+rusteria/src/scanner.rs:392-402 (trailing-dot floats),
+rusteria/src/node/execution.rs:656-741 (alloc/iterate/save).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from rusterix_tpu.lang.lexer import tokenize
+from rusterix_tpu.models.assets import default_palette
+from rusterix_tpu.shader import Program, Rusteria
+
+REF = "/root/reference"
+
+# generous wall bound: the point is catching a return of the 529 s
+# TPU-compile pathology, not benchmarking the CPU
+WALL_LIMIT_S = 120.0
+
+
+def test_trailing_dot_float_literals():
+    """scanner.rs:398-402: a dot after the integer part is always consumed."""
+    toks = tokenize("let a = 1.; let b = w/2.; let c = .5; let d = 1.5;")
+    nums = [t.value for t in toks if t.kind == "num"]
+    assert nums == ["1.", "2.", ".5", "1.5"]
+    assert all(float(n) >= 0 for n in nums)
+    # `1.x` lexes like the reference: float "1." then ident (scanner appends 0)
+    toks = tokenize("1.x")
+    assert [(t.kind, t.value) for t in toks[:2]] == [("num", "1."), ("ident", "x")]
+
+
+def test_main_rusteria_verbatim_renders():
+    src = open(f"{REF}/main.rusteria").read()
+    t0 = time.perf_counter()
+    prog = Program(Rusteria.parse_str(src))
+    img = Rusteria.shade_image(prog, 128, 128, default_palette(), 0.0)
+    wall = time.perf_counter() - t0
+    assert img.shape == (128, 128, 3)
+    assert float(np.ptp(img)) > 0.05, "flat image: shader did not evaluate"
+    assert wall < WALL_LIMIT_S, f"main.rusteria took {wall:.0f}s (TPU-compile blowup?)"
+
+
+@pytest.fixture(scope="module")
+def make_textures_run():
+    src = open(f"{REF}/make_textures.rusteria").read()
+    t0 = time.perf_counter()
+    ev = Rusteria.execute_script(src)
+    return ev, time.perf_counter() - t0
+
+
+def test_make_textures_rusteria_verbatim(make_textures_run):
+    """The full texture-authoring pipeline: 7 textures iterate'd at 512^2,
+    each save() also deriving a wrap-around central-difference normal map."""
+    ev, wall = make_textures_run
+    expected = {"value", "fbm_value", "perlin", "fbm_perlin", "tiles", "bricks", "blocks"}
+    assert expected <= set(ev.saved)
+    assert {s + "_normal" for s in expected} <= set(ev.saved)
+    for stem in expected:
+        img = ev.saved[stem]
+        assert img.shape == (512, 512, 3)
+        assert float(np.ptp(img)) > 0.01, f"{stem} is flat"
+    assert wall < WALL_LIMIT_S, f"make_textures took {wall:.0f}s (TPU-compile blowup?)"
+
+
+def test_make_textures_matches_shipped_embedded_png(make_textures_run):
+    """The reference ships the outputs of this very script
+    (rusteria/embedded/*.png) — our value-noise texture must agree."""
+    try:
+        from PIL import Image
+    except ImportError:  # pragma: no cover
+        pytest.skip("PIL unavailable")
+    ref = np.asarray(
+        Image.open(f"{REF}/rusteria/embedded/value.png").convert("RGB"),
+        dtype=np.float32,
+    ) / 255.0
+    ev, _ = make_textures_run
+    ours = ev.saved["value"]
+    assert ours.shape == ref.shape
+    assert float(np.abs(ours - ref).mean()) < 0.03

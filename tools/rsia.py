@@ -20,6 +20,12 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="out.png")
     ap.add_argument("-s", "--size", default="512x512")
     ap.add_argument("-t", "--time", type=float, default=0.0)
+    ap.add_argument(
+        "-d", "--device", choices=("cpu", "tpu"), default="cpu",
+        help="backend for the shader eval; cpu matches the reference CLI "
+        "(rsia renders on host, rsia/src/main.rs:18-69) and avoids the "
+        "XLA-TPU deep-shader compile blowup (529 s for main.rusteria)",
+    )
     args = ap.parse_args(argv)
 
     width, height = (int(x) for x in args.size.lower().split("x"))
@@ -44,7 +50,10 @@ def main(argv=None):
         return 1
 
     t0 = time.perf_counter()
-    img = Rusteria.shade_image(program, width, height, default_palette(), args.time)
+    img = Rusteria.shade_image(
+        program, width, height, default_palette(), args.time,
+        device="cpu" if args.device == "cpu" else "default",
+    )
     t_render = (time.perf_counter() - t0) * 1000
 
     import numpy as np
