@@ -34,6 +34,40 @@ class _ClientHostHandler(HostHandler):
         return VMValue.zero()
 
 
+class _PyGlobals(dict):
+    """exec globals for Python-dialect scripts: every unknown bare name
+    resolves to a call that routes through the owner's current handler —
+    the client-side mirror of server/pyscript.py's host bridge."""
+
+    def __init__(self, owner: "ClientAction"):
+        super().__init__()
+        self.owner = owner
+
+    def __missing__(self, key):
+        if key.startswith("__"):
+            raise KeyError(key)
+        owner = self.owner
+
+        def call(*args):
+            handler = owner._current_handler
+            if handler is None:
+                return None
+            vmargs = [
+                a if isinstance(a, VMValue)
+                else VMValue.from_string(a) if isinstance(a, str)
+                else VMValue.broadcast(float(a)) if isinstance(a, (int, float))
+                else VMValue.zero()
+                for a in args
+            ]
+            out = handler.on_host_call(key, vmargs, None)
+            if isinstance(out, VMValue):
+                return out.s if out.s is not None else out.x
+            return out
+
+        call.__name__ = key
+        return call
+
+
 class ClientAction:
     """action.rs:32-91."""
 
@@ -41,12 +75,35 @@ class ClientAction:
         self.vm = VM()
         self.class_name = ""
         self._has_user_event = False
+        #: Python-dialect script state (minigame .rxe format; see
+        #: server/pyscript.py for the dialect rationale)
+        self._py_inst = None
+        self._current_handler: Optional[_ClientHostHandler] = None
 
     def init(self, class_name: str, assets) -> None:
         entry = assets.entities.get(class_name)
         if entry is None:
             return
         source = entry[0] if isinstance(entry, tuple) else entry
+        from ..server.pyscript import looks_like_python_dialect
+
+        if looks_like_python_dialect(source):
+            try:
+                ns = _PyGlobals(self)
+                exec(compile(source, "<rxe>", "exec"), ns)
+                cls = next(
+                    v for k, v in ns.items()
+                    if isinstance(v, type) and not k.startswith("_")
+                )
+                self._py_inst = cls()
+                self._has_user_event = callable(
+                    getattr(self._py_inst, "user_event", None)
+                )
+            except Exception as e:
+                print(f"Client: error compiling user_event: {e}")
+                return
+            self.class_name = class_name
+            return
         try:
             module = self.vm.parse_str(source)
             self.vm.compile(module)
@@ -59,9 +116,22 @@ class ClientAction:
     def user_event(self, event: str, value) -> EntityAction:
         """Run the script's user_event; return the captured action
         (action.rs:72-91)."""
-        if self.vm.program is None or not self._has_user_event:
+        if not self._has_user_event:
             return EntityAction(EntityActionKind.Off)
         handler = _ClientHostHandler()
+        if self._py_inst is not None:
+            self._current_handler = handler
+            try:
+                if isinstance(value, VMValue):
+                    value = value.s if value.s is not None else value.x
+                self._py_inst.user_event(event, value)
+            except Exception:
+                return EntityAction(EntityActionKind.Off)
+            finally:
+                self._current_handler = None
+            return handler.action or EntityAction(EntityActionKind.Off)
+        if self.vm.program is None:
+            return EntityAction(EntityActionKind.Off)
         ex = self.vm.new_execution(handler)
         if isinstance(value, VMValue):
             vm_value = value

@@ -98,6 +98,9 @@ class Client:
         self.text_widgets: dict = {}
         self.deco_widgets: dict = {}
         self.messages_widget = None
+        #: armed key->Choice map from the last MultipleChoice mirror
+        #: (client/mod.rs:102, set at mod.rs:920-930)
+        self.choice_map = None
         self.screen_widget = None
         self.activated_widgets: list = []
         self.permanently_activated_widgets: list = []
@@ -396,6 +399,17 @@ class Client:
         from ..ops.raster import Rasterizer
         from ..server.message import EntityAction, EntityActionKind
 
+        # interactive message entries (multiple choice) claim the tap first
+        # (client/mod.rs:1359-1366)
+        if self.messages_widget is not None:
+            action = self.messages_widget.touch_down(x, y)
+            if action is not None:
+                if action.choice is not None and action.choice.kind == "cancel":
+                    self.choice_map = None
+                if server is not None and self.player_id is not None:
+                    server.local_player_action(self.player_id, action)
+                return ("choice", action.choice)
+
         view = self.camera_d3.view_matrix()
         proj = self.camera_d3.projection_matrix(width, height)
         rast = Rasterizer.setup(None, view, proj)
@@ -442,8 +456,20 @@ class Client:
 
     def user_event(self, event: str, value):
         """Route input through the player's client-side script
-        (client/mod.rs:1442). Returns the resulting EntityAction or None."""
-        from ..server.message import EntityActionKind
+        (client/mod.rs:1442). Returns the resulting EntityAction or None.
+
+        An armed choice_map intercepts key_down first (mod.rs:1463-1477):
+        the matching Choice becomes an EntityAction the caller routes to the
+        owning region; Cancel also disarms the menu."""
+        from ..server.message import EntityAction, EntityActionKind
+
+        if self.choice_map and event == "key_down":
+            c = str(value)[:1] if value is not None else ""
+            choice = self.choice_map.get(c)
+            if choice is not None:
+                if choice.kind == "cancel":
+                    self.choice_map = None
+                return EntityAction(EntityActionKind.Choice, choice=choice)
 
         if self.client_action is None:
             return None
@@ -461,4 +487,23 @@ class Client:
             sender, receiver, text, category = msg
             rendered = self.msg_parser.render(text)
             self.messages.append((now, rendered))
+            if self.messages_widget is not None:
+                self.messages_widget.add(rendered)
         server_messages.clear()
+
+    def process_choices(self, choices, map_=None) -> None:
+        """Mirror pending MultipleChoice requests into the messages widget
+        and arm the key->Choice answer map (client/mod.rs:909-930). A widget
+        is created on demand — choices must be answerable even on screens
+        that didn't lay one out."""
+        if not choices:
+            return
+        if self.messages_widget is None:
+            from .widgets import MessagesWidget
+
+            self.messages_widget = MessagesWidget()
+        cmap = self.messages_widget.process_choices(
+            choices, map_ or self.current_map, resolve=self.msg_parser.render
+        )
+        if cmap:
+            self.choice_map = cmap

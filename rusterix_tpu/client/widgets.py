@@ -74,34 +74,110 @@ class DecoWidget(Widget):
 
 
 @dataclass
-class MessagesWidget(Widget):
-    """widget/messages.rs — scrolling message log."""
+class MessageEntry:
+    """One log line; interactive when it carries a multiple-choice entry
+    (widget/messages.rs message tuple: uuid, text, rect, choice, color)."""
 
-    messages: List[str] = field(default_factory=list)
-    max_messages: int = 6
+    text: str = ""
+    choice: object = None  # server.message.Choice or None
     color: Tuple[int, int, int, int] = (255, 255, 255, 255)
+    rect: Rect = field(default_factory=Rect)
+    uid: int = 0
+
+
+@dataclass
+class MessagesWidget(Widget):
+    """widget/messages.rs — scrolling message log + multiple-choice menu."""
+
+    entries: List[MessageEntry] = field(default_factory=list)
+    max_messages: int = 6
+    max_entries: int = 100  # purge bound (messages.rs:198-203)
+    color: Tuple[int, int, int, int] = (255, 255, 255, 255)
+    choice_color: Tuple[int, int, int, int] = (255, 220, 120, 255)
+    column_width: int = 20  # item-name padding (messages.rs:135)
     size: int = 11
     line_height: int = 14
 
-    #: uuid of the multiple-choice entry under the pointer (messages.rs)
-    clicked: object = None
+    #: uid of the multiple-choice entry under the pointer (messages.rs)
+    clicked: int = 0
+    _next_uid: int = 1
 
-    def add(self, text: str) -> None:
-        self.messages.append(text)
-        if len(self.messages) > 64:
-            self.messages = self.messages[-64:]
+    @property
+    def messages(self) -> List[str]:
+        return [e.text for e in self.entries]
+
+    def add(self, text: str, choice=None, color=None) -> None:
+        self._next_uid += 1
+        self.entries.append(
+            MessageEntry(
+                text=text,
+                choice=choice,
+                color=color or (self.choice_color if choice is not None else self.color),
+                uid=self._next_uid,
+            )
+        )
+        if len(self.entries) > self.max_entries:
+            self.entries = self.entries[-self.max_entries:]
+
+    def process_choices(self, choices, map_=None, resolve=None):
+        """Turn pending MultipleChoice requests into rendered menu entries and
+        a key->Choice map (widget/messages.rs:110-208): entry i answers to key
+        '1'+i, '0' is the cancel entry. Item entries show the item's name and
+        `worth` looked up from the mirrored map entities. Returns the
+        choice_map or None when there were no choices."""
+        from ..server.message import Choice
+
+        resolve = resolve or (lambda s: s)
+        choice_map = {}
+        for mc in choices:
+            cancel = Choice.cancel(mc.sender, mc.receiver)
+            choice_map["0"] = cancel
+            for index, choice in enumerate(mc.choices):
+                choice_map[chr(ord("1") + index)] = choice
+                item_name, item_price = "", 0
+                if choice.kind == "item_to_sell" and map_ is not None:
+                    for entity in getattr(map_, "entities", []):
+                        if entity.id != choice.seller_id:
+                            continue
+                        for _, item in entity.iter_inventory():
+                            if item.id == choice.item_id:
+                                item_name = item.attributes.get_str_default("name", "")
+                                item_price = item.attributes.get_int_default("worth", 0)
+                                break
+                        break
+                padded = f"{item_name:<{self.column_width}}"
+                self.add(f"{index + 1}) {padded} {item_price}G", choice=choice)
+            self.add(resolve("0) {exit_menu}"), choice=cancel)
+        return choice_map or None
+
+    def touch_down(self, x: float, y: float):
+        """Hit-test interactive entries; returns the selecting EntityAction
+        (widget/messages.rs:315-325)."""
+        from ..server.message import EntityAction, EntityActionKind
+
+        for e in self.entries:
+            if e.choice is not None and e.rect.contains(x, y):
+                self.clicked = e.uid
+                return EntityAction(EntityActionKind.Choice, choice=e.choice)
+        return None
 
     def touch_up(self) -> None:
         """Clear the clicked choice (widget/messages.rs:326-328)."""
-        self.clicked = None
+        self.clicked = 0
 
     def draw(self, buf: np.ndarray, ctx=None) -> None:
         if not self.visible:
             return
         d = Draw2D()
         x, y = int(self.rect.x), int(self.rect.y)
-        for i, text in enumerate(self.messages[-self.max_messages:]):
-            d.text(buf, x, y + i * self.line_height, text, self.color, self.size)
+        shown = self.entries[-self.max_messages:]
+        # entries scrolled out of view are not clickable
+        for e in self.entries[: len(self.entries) - len(shown)]:
+            e.rect = Rect()
+        for i, e in enumerate(shown):
+            ey = y + i * self.line_height
+            e.rect = Rect(x, ey, self.rect.width, self.line_height)
+            d.text(buf, x, ey, e.text, e.color, self.size)
 
 
 @dataclass

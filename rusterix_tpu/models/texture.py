@@ -390,6 +390,9 @@ class Tile:
     scale: float = 1.0
     tags: str = ""
     render_mode: int = 0
+    #: optional codegridfx shader Module when the frames are shader-generated
+    #: (tile.rs:88-89); regenerate_from_module() rebakes the frames from it
+    module: Optional[object] = None
 
     @staticmethod
     def empty() -> "Tile":
@@ -429,10 +432,50 @@ class Tile:
             blocking=self.blocking,
             scale=self.scale,
             tags=self.tags,
+            module=self.module,
         )
 
     def first(self) -> Texture:
         return self.textures[0] if self.textures else Texture.white()
+
+    def set_module(self, module, frames: int = 1, size: int = 128,
+                   palette=None) -> None:
+        """Attach a codegridfx shader module and bake the frames from it
+        (tile.rs:88-89 `module: Option<Module>`; the reference editor
+        rebuilds tile textures from the module's shader on edit)."""
+        self.module = module
+        self.regenerate_from_module(frames=frames, size=size, palette=palette)
+
+    def regenerate_from_module(self, frames: Optional[int] = None,
+                               size: int = 128, palette=None) -> bool:
+        """Rebake this tile's frames from its attached codegridfx module.
+
+        The module's grid builds rusteria source (codegridfx Module.build
+        with is_shader, module.rs:1078-1095) which is baked at `frames`
+        evenly-spaced times — a time-dependent shader becomes an animated
+        tile riding the existing tile_first/tile_count atlas machinery.
+        Returns False when no shader module is attached or the build fails."""
+        if self.module is None:
+            return False
+        build = getattr(self.module, "build_shader", None)
+        src = build() if callable(build) else ""
+        if not src:
+            return False
+        from ..shader import Rusteria
+
+        prog = Rusteria.parse_and_compile(src)
+        if prog is None or not prog.shade_index:
+            return False
+        if frames is None:
+            frames = max(1, len(self.textures))
+        new_frames = []
+        for i in range(frames):
+            rgba = Rusteria.bake_tile(
+                prog, size, palette, time=i / float(frames)
+            )
+            new_frames.append(Texture(rgba))
+        self.textures = new_frames
+        return True
 
 
 @dataclass

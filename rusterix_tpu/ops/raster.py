@@ -733,42 +733,46 @@ class Rasterizer:
             background = jnp.asarray(bg_np)
             _BG_DEV_CACHE[id(bg_np)] = background
 
-        frame = render_frame(
-            d3,
-            d3_op,
-            d2,
-            lights_dev,
-            atlas,
-            uniforms,
-            background,
-            width,
-            height,
-            int(self.sample_mode),
-            self.preserve_transparency,
-            self.ambient_color is not None,
-            light_count > 0,
-            self.render_mode.d3_active
+        frame_args = dict(
+            d3=d3,
+            d3_op=d3_op,
+            d2=d2,
+            lights=lights_dev,
+            atlas=atlas,
+            uniforms=uniforms,
+            background=background,
+            width=width,
+            height=height,
+            sample_mode=int(self.sample_mode),
+            preserve_transparency=self.preserve_transparency,
+            has_ambient=self.ambient_color is not None,
+            has_lights=light_count > 0,
+            has_opacity=self.render_mode.d3_active
             and bool(
                 packed.d3_opacity.valid.any()
                 or (has_dyn and len(scene.d3_dynamic_opacity))
             ),
-            self.render_mode.d2_active
+            has_d2=self.render_mode.d2_active
             and bool(packed.d2.valid.any() or (has_dyn and len(scene.d2_dynamic))),
-            packed.runtime_shaders,
-            self.use_pallas,
-            has_sky,
-            has_fog,
-            sky_pre,
-            bool((packed.d3.kind2 >= 0).any()),
-            self.brush_preview is not None,
-            has_dyn,
-            d3_dyn,
-            d3_op_dyn,
-            d2_dyn,
+            shaders=packed.runtime_shaders,
+            use_pallas=self.use_pallas,
+            has_sky=has_sky,
+            has_fog=has_fog,
+            sky_pre=sky_pre,
+            has_blend=bool((packed.d3.kind2 >= 0).any()),
+            has_brush=self.brush_preview is not None,
+            has_dyn=has_dyn,
+            d3_dyn=d3_dyn,
+            d3_op_dyn=d3_op_dyn,
+            d2_dyn=d2_dyn,
             has_material=bool(
                 (packed.d3.rough != 0.5).any() or packed.d3.metal.any()
             ),
         )
+        #: exact device-resident args of the last frame — consumed by
+        #: profiling.frame_breakdown's full-frame phase ablations
+        self._frame_args = frame_args
+        frame = render_frame(**frame_args)
         if not readback:
             return frame
         out = np.asarray(frame)

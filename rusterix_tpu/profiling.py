@@ -41,9 +41,11 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
     """Phase times (ms) for one frame of `scene` through `rast`'s active
     path. Renders once first to populate the device scene cache.
 
-    Limitation: the breakdown profiles the base opaque pipeline — sky/fog/
-    brush/opacity/2D extras are not included in the per-phase numbers (the
-    full rasterize() path is; compare against bench.measure_chained)."""
+    Two layers: the fine-grained opaque pipeline (setup/sort/megakernel or
+    setup/visibility/shade), then full-frame ablations — the complete frame
+    with sky/opacity/2D/dynamic-concat/brush each toggled off once, the
+    delta localizing that phase's cost (keys sky_ms/opacity_ms/d2_ms/
+    dyn_concat_ms/brush_ms, present only when the scene uses the phase)."""
     import jax.numpy as jnp
 
     from .ops.setup_pass import setup_pass
@@ -144,6 +146,49 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
     )
     out["frame_ms"] = round(dt, 3)
     out["fps"] = round(1e3 / dt, 1)
+
+    # ---- full-frame phase ablations (round-2 verdict weak #5) ----
+    # rasterize() stashed its exact device args: re-time the COMPLETE frame
+    # (sky/opacity/2D/dynamic-concat included), then once per optional phase
+    # with that phase toggled off — the delta localizes that phase's cost.
+    args = getattr(rast, "_frame_args", None)
+    if args is not None:
+        from .ops.raster import render_frame
+
+        def run_full(v, overrides):
+            a = dict(args)
+            a.update(overrides)
+            u2 = dict(a["uniforms"])
+            u2["view"] = v
+            a["uniforms"] = u2
+            return render_frame(**a)
+
+        full = _chain(lambda v: run_full(v, {}), perturb_view)
+        out["full_frame_ms"] = round(full, 3)
+        ablations = {
+            "sky_ms": {"has_sky": False, "sky_pre": None},
+            "opacity_ms": {"has_opacity": False},
+            "d2_ms": {"has_d2": False},
+            "dyn_concat_ms": {
+                "has_dyn": False,
+                "d3_dyn": None,
+                "d3_op_dyn": None,
+                "d2_dyn": None,
+            },
+            "brush_ms": {"has_brush": False},
+        }
+        enabled = {
+            "sky_ms": args["has_sky"],
+            "opacity_ms": args["has_opacity"],
+            "d2_ms": args["has_d2"],
+            "dyn_concat_ms": args["has_dyn"],
+            "brush_ms": args["has_brush"],
+        }
+        for name, overrides in ablations.items():
+            if not enabled[name]:
+                continue
+            without = _chain(lambda v: run_full(v, overrides), perturb_view)
+            out[name] = round(max(0.0, full - without), 3)
     return out
 
 

@@ -75,9 +75,12 @@ class Rusterix:
     # ---- frame loop ----
 
     def update_server(self) -> None:
-        """reference rusterix.rs:318 — tick + drain."""
+        """reference rusterix.rs:318 — tick + drain. Pending MultipleChoice
+        requests are mirrored into the client's messages widget so the menu
+        is answerable on the next input (client/mod.rs:909-930)."""
         self.server.redraw_tick()
         self.server.update()
+        self.client.process_choices(self.server.get_choices())
 
     def system_tick(self) -> None:
         self.server.system_tick()
@@ -179,5 +182,17 @@ class Rusterix:
     # ---- input (mirrors examples/minigame.rs:97-123) ----
 
     def local_player_event(self, event: str, value=None) -> None:
-        if self.client.player_id is not None:
-            self.server.local_player_event(self.client.player_id, event, value)
+        """Key/touch input for the local player. An armed multiple-choice
+        menu intercepts the key first (client/mod.rs:1463-1477) and the
+        selected Choice routes to the owning region as a UserAction; other
+        events go to the region scripts as plain user events."""
+        from .server.message import EntityActionKind
+
+        if self.client.player_id is None:
+            return
+        if self.client.choice_map and event == "key_down":
+            action = self.client.user_event(event, value)
+            if action is not None and action.kind == EntityActionKind.Choice:
+                self.server.local_player_action(self.client.player_id, action)
+                return
+        self.server.local_player_event(self.client.player_id, event, value)

@@ -1,0 +1,119 @@
+"""Python-dialect entity scripts — the reference minigame's .rxe format.
+
+The reference once embedded RustPython for entity scripting; that engine is
+commented out of the live code (src/server/region.rs:94-160) in favor of the
+src/vm language, but the SHIPPED minigame assets still use the Python class
+dialect (minigame/Player.rxe: `class Player:` with `event`/`user_event`
+methods calling host builtins as bare globals). Per our broken-reference
+convention we implement the documented intent: this runtime IS CPython, so
+the dialect executes natively — the script is exec'd with the region host's
+builtins bound as module globals, the script's class is instantiated per
+entity, and methods dispatch exactly like their VM counterparts.
+
+Host builtins bridge to the same RegionHost `h_*` handlers the VM uses
+(server/region.py), with plain Python values converted to/from VMValue.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+from ..vm import VMValue
+
+_CLASS_RE = re.compile(r"^\s*class\s+\w+\s*(\(|:)", re.M)
+
+
+def looks_like_python_dialect(source: str) -> bool:
+    """True when the script is a Python class script rather than the
+    src/vm language (which has no `class`)."""
+    return bool(_CLASS_RE.search(source))
+
+
+def _to_vmvalue(x) -> VMValue:
+    if isinstance(x, VMValue):
+        return x
+    if isinstance(x, str):
+        return VMValue.from_string(x)
+    if isinstance(x, bool):
+        return VMValue.broadcast(1.0 if x else 0.0)
+    if isinstance(x, (int, float)):
+        return VMValue.broadcast(float(x))
+    if x is None:
+        return VMValue.zero()
+    if isinstance(x, (tuple, list)) and len(x) == 3:
+        return VMValue.vec(*[float(v) for v in x])
+    return VMValue.from_string(str(x))
+
+
+def _from_vmvalue(v):
+    if not isinstance(v, VMValue):
+        return v
+    if v.s is not None:
+        return v.s
+    return v.x
+
+
+class PythonEntityProgram:
+    """One compiled .rxe class script; instantiated per entity on first use."""
+
+    def __init__(self, source: str, region):
+        self.source = source
+        self.region = region
+        self.cls: Optional[type] = None
+        self.class_name: str = ""
+        #: parity with the VM Program surface: run_entity_event checks
+        #: `"event" in program.functions`
+        self.functions: Dict[str, bool] = {}
+        self.instances: Dict[int, object] = {}
+        self._compile()
+
+    def _host_bridge(self) -> dict:
+        """Bind every RegionHost h_* handler as a bare global; the handler
+        reads the current entity from host.entity, set by the caller."""
+        region = self.region
+
+        def wrap(name):
+            def call(*args):
+                return _from_vmvalue(
+                    region.host.on_host_call(
+                        name, [_to_vmvalue(a) for a in args], None
+                    )
+                )
+
+            call.__name__ = name
+            return call
+
+        ns = {}
+        for attr in dir(type(self.region.host)):
+            if attr.startswith("h_"):
+                ns[attr[2:]] = wrap(attr[2:])
+        return ns
+
+    def _compile(self) -> None:
+        ns = self._host_bridge()
+        exec(compile(self.source, "<rxe>", "exec"), ns)
+        for k, v in ns.items():
+            if isinstance(v, type) and not k.startswith("_"):
+                self.cls = v
+                self.class_name = k
+                break
+        if self.cls is None:
+            raise ValueError("python-dialect script defines no class")
+        self.functions = {
+            name: True
+            for name in ("event", "user_event")
+            if callable(getattr(self.cls, name, None))
+        }
+
+    def call(self, fn_name: str, entity_id: int, event: str, value) -> None:
+        inst = self.instances.get(entity_id)
+        if inst is None:
+            inst = self.cls()
+            self.instances[entity_id] = inst
+        method = getattr(inst, fn_name, None)
+        if method is None:
+            return
+        if isinstance(value, VMValue):
+            value = _from_vmvalue(value)
+        method(event, value)

@@ -524,6 +524,32 @@ class RegionHost(HostHandler):
         return VMValue.zero()
 
     def h_offer_inventory(self, args, vm) -> VMValue:
+        """offer_inventory(to, filter) — offer the current entity's matching
+        inventory to entity `to` as a MultipleChoice (region_host.rs:863-898):
+        filter is a substring match on item name or class_name; empty matches
+        all."""
+        if self.entity is None or not args:
+            return VMValue.zero()
+        to = int(args[0].x)
+        filt = args[1].as_string() if len(args) > 1 else ""
+        filt = filt or ""
+        choices = MultipleChoice(
+            region=self.region.ctx.region_id,
+            sender=self.entity.id,
+            receiver=to,
+        )
+        for _, item in self.entity.iter_inventory():
+            name = item.attributes.get_str_default("name", "")
+            class_name = item.attributes.get_str_default("class_name", "")
+            if not filt or filt in name or filt in class_name:
+                choices.add(Choice.item_to_sell(item.id, self.entity.id, to))
+        self.region.out_messages.append(
+            RegionMessage(
+                RegionMessageKind.MultipleChoice,
+                self.region.ctx.region_id,
+                data=choices,
+            )
+        )
         return VMValue.zero()
 
     def _sector_by_name(self, name: str):
@@ -569,8 +595,7 @@ class RegionInstance:
 
         for class_name, (source, data) in entities.items():
             try:
-                module = self.vm.parse_str(source)
-                self.ctx.entity_programs[class_name] = self.vm.compile(module)
+                self.ctx.entity_programs[class_name] = self._compile_entity_source(source)
             except Exception as e:
                 self.ctx.startup_errors.append(f"{class_name}: {e}")
             if data:
@@ -581,8 +606,8 @@ class RegionInstance:
 
         for class_name, (source, data) in items.items():
             try:
-                module = self.vm.parse_str(source)
-                self.ctx.item_programs[class_name] = self.vm.compile(module)
+                if source.strip():
+                    self.ctx.item_programs[class_name] = self._compile_entity_source(source)
             except Exception as e:
                 self.ctx.startup_errors.append(f"{class_name}: {e}")
             if data:
@@ -676,6 +701,17 @@ class RegionInstance:
         self._next_item_id += 1
         return self._next_item_id - 1
 
+    def _compile_entity_source(self, source: str):
+        """Compile an entity/item script: the src/vm language by default, or
+        the Python class dialect the shipped minigame .rxe files use (the
+        reference's RustPython engine, region.rs:94-160 — commented out
+        there, executed natively here; see server/pyscript.py)."""
+        from .pyscript import PythonEntityProgram, looks_like_python_dialect
+
+        if looks_like_python_dialect(source):
+            return PythonEntityProgram(source, self)
+        return self.vm.compile(self.vm.parse_str(source))
+
     def _seed_inventory_and_wallet(self, entity: Entity) -> None:
         """Size the inventory and fund the wallet from the entity's
         `inventory_slots` / `wealth` attributes (region.rs:670-681)."""
@@ -711,6 +747,9 @@ class RegionInstance:
         apply_entity_data(entity, self.ctx.entity_class_data.get(class_name, {}))
         if position is not None:
             entity.set_position(position)
+        # joining players get the same inventory/wallet seeding as map
+        # entities (region.rs:2100-2112)
+        self._seed_inventory_and_wallet(entity)
         return self.spawn_entity(entity)
 
     def find_entity(self, entity_id: int) -> Optional[Entity]:
@@ -730,10 +769,15 @@ class RegionInstance:
         if program is None or "event" not in program.functions:
             return
         self.host.entity = entity
-        ex = Execution(program, self.host)
-        args = [VMValue.from_string(event), _to_vmvalue(value)]
         try:
-            ex.execute_function(args, "event")
+            from .pyscript import PythonEntityProgram
+
+            if isinstance(program, PythonEntityProgram):
+                program.call("event", entity.id, event, value)
+            else:
+                ex = Execution(program, self.host)
+                args = [VMValue.from_string(event), _to_vmvalue(value)]
+                ex.execute_function(args, "event")
         except Exception as e:
             self.outbox.put(
                 RegionMessage.log(self.ctx.region_id, f"script error: {e}")
@@ -746,11 +790,16 @@ class RegionInstance:
         if program is None or "user_event" not in program.functions:
             return
         self.host.entity = entity
-        ex = Execution(program, self.host)
         try:
-            ex.execute_function(
-                [VMValue.from_string(event), _to_vmvalue(value)], "user_event"
-            )
+            from .pyscript import PythonEntityProgram
+
+            if isinstance(program, PythonEntityProgram):
+                program.call("user_event", entity.id, event, value)
+            else:
+                ex = Execution(program, self.host)
+                ex.execute_function(
+                    [VMValue.from_string(event), _to_vmvalue(value)], "user_event"
+                )
         except Exception as e:
             self.outbox.put(
                 RegionMessage.log(self.ctx.region_id, f"script error: {e}")
@@ -866,7 +915,17 @@ class RegionInstance:
         elif k == RegionMessageKind.UserAction:
             e = self.find_entity(msg.entity_id)
             if e is not None:
-                e.action = msg.data
+                action = msg.data
+                if (
+                    isinstance(action, EntityAction)
+                    and action.kind == EntityActionKind.Choice
+                    and action.choice is not None
+                ):
+                    # choices are consumed immediately, not queued as
+                    # movement state (region.rs:1285-1352)
+                    self.handle_choice_action(action.choice)
+                else:
+                    e.action = action
         elif k == RegionMessageKind.CreateEntity:
             entity = msg.data
             if isinstance(entity, Entity):
@@ -887,6 +946,55 @@ class RegionInstance:
             self.paused = False
         elif k == RegionMessageKind.Quit:
             self.running = False
+
+    def handle_choice_action(self, choice: Choice) -> None:
+        """Consume a user-selected multiple-choice entry (region.rs:1285-1352).
+
+        item_to_sell: price from the item's `worth`; the buyer must afford it
+        (wallet vs the region currencies), then the item moves seller->buyer
+        and the price moves buyer->seller, with a {you_bought}/{cant_afford}
+        message to the buyer. cancel: fires the seller's `goodbye` event."""
+        from .currency import wallet_can_afford
+
+        if choice.kind == "item_to_sell":
+            seller = self.find_entity(choice.seller_id)
+            buyer = self.find_entity(choice.buyer_id)
+            price = 0
+            if seller is not None:
+                item = seller.get_item(choice.item_id)
+                if item is not None:
+                    price = item.attributes.get_int_default("worth", 0)
+            can_afford = buyer is not None and wallet_can_afford(
+                buyer.wallet, price, self.ctx.currencies
+            )
+            if can_afford and seller is not None:
+                slot = seller.get_item_slot(choice.item_id)
+                item = seller.remove_item(slot) if slot is not None else None
+                if item is not None:
+                    seller.add_base_currency(price, self.ctx.currencies)
+                    buyer.add_item(item)
+                    buyer.spend_currency(price, self.ctx.currencies)
+                    self.out_messages.append(
+                        RegionMessage.message(
+                            self.ctx.region_id,
+                            0,
+                            buyer.id,
+                            "{you_bought} "
+                            f"{{I:{item.id}.name, article=indef, case=lower}}",
+                            "system",
+                        )
+                    )
+            elif buyer is not None:
+                self.out_messages.append(
+                    RegionMessage.message(
+                        self.ctx.region_id, 0, buyer.id,
+                        "{cant_afford}", "warning",
+                    )
+                )
+        elif choice.kind == "cancel":
+            e = self.find_entity(choice.from_id)
+            if e is not None:
+                self.run_entity_event(e, "goodbye", float(choice.to_id))
 
     # ---- EntityAction state machines (region.rs:1588-1704) ----
 

@@ -150,3 +150,51 @@ def test_json_round_trip():
     m2 = Module.from_json(m.to_json())
     assert m2.name == "guard"
     assert m2.build() == m.build()
+
+
+def test_tile_module_regenerates_frames():
+    """Tile.module closes the shader-tile authoring loop (tile.rs:88-89):
+    attaching a codegridfx shader module bakes the tile's frames from the
+    generated rusteria source, and editing the module + regenerating
+    changes the pixels."""
+    import numpy as np
+
+    from rusterix_tpu.models import Texture, Tile
+
+    m = Module.as_type(ModuleType.Shader)
+    r = m.add_routine("shader")
+    r.grid.insert((0, 0), CellItem(cell=Cell("Variable", "color")))
+    r.grid.insert((1, 0), CellItem(cell=Cell("Assignment")))
+    r.grid.insert((2, 0), fn_cell("Mix"))
+    r.grid.insert((3, 0), arg("Variable", "color", "a"))
+    r.grid.insert((4, 0), arg("PaletteColor", 1, "b"))
+    r.grid.insert((5, 0), arg("Float", "0.5", "t"))
+
+    from rusterix_tpu.models.assets import default_palette
+
+    pal = default_palette()
+    tile = Tile.from_texture(Texture.checkerboard(8, 2))
+    tile.set_module(m, frames=2, size=16, palette=pal)
+    assert tile.module is m
+    assert len(tile.textures) == 2
+    assert tile.textures[0].data.shape == (16, 16, 4)
+    first = tile.textures[0].data.copy()
+    assert first[..., :3].any(), "bake produced a black tile"
+
+    # edit the module (mix toward a different palette color) and regenerate
+    r.grid.insert((4, 0), arg("PaletteColor", 3, "b"))
+    assert tile.regenerate_from_module(size=16, palette=pal)
+    assert len(tile.textures) == 2  # frame count preserved
+    assert not np.array_equal(tile.textures[0].data, first)
+
+    # module rides through resized() clones (tile.rs:180)
+    assert tile.resized(8, 8).module is m
+
+
+def test_tile_without_module_regenerate_is_noop():
+    from rusterix_tpu.models import Texture, Tile
+
+    tile = Tile.from_texture(Texture.checkerboard(8, 2))
+    before = [t.data.copy() for t in tile.textures]
+    assert tile.regenerate_from_module() is False
+    assert len(tile.textures) == len(before)
