@@ -110,6 +110,29 @@ def build_cube_shaded_scene(width, height):
     return rast, scene, assets
 
 
+def build_cube_timeshader_scene(width, height):
+    """cube_shaded variant with a genuinely TIME-DEPENDENT shader: bakes to
+    a SHADER_ANIM_FRAMES-frame animated tile at pack time (scene_pack) and
+    rides the megakernel — round-2 verdict #1's acceptance config (must land
+    within 1.5x of the no-shader cube frame)."""
+    rast, scene, assets = build_cube_shaded_scene(width, height)
+    scene.shaders.clear()
+    scene.add_shader(
+        """
+fn shade() {
+    let t = fract(time / 4.0);
+    let uv2 = uv / 3.0 - vec2(1.5);
+    let waves = sin((length(uv2) + t) * 10.0);
+    let mask = pow(1.0 - abs(waves), 3.0);
+    color = mix(vec3(0.72, 0.52, 0.32), vec3(0.45, 0.30, 0.16), mask);
+    roughness = 0.6;
+}
+"""
+    )
+    scene.touch()
+    return rast, scene, assets
+
+
 def build_obj_scene(width, height):
     """obj config (reference examples/obj.rs / BASELINE.json): teapot.obj
     with culling + depth test, textured, orbit camera."""
@@ -371,6 +394,10 @@ def main():
     rast, scene, assets = build_cube_shaded_scene(800, 600)
     dt = measure_chained(rast, scene, assets, 800, 600)
     results["cube_shaded_800x600_fps"] = round(1.0 / dt, 1)
+
+    rast, scene, assets = build_cube_timeshader_scene(800, 600)
+    dt = measure_chained(rast, scene, assets, 800, 600)
+    results["cube_timeshader_800x600_fps"] = round(1.0 / dt, 1)
 
     obj = build_obj_scene(800, 600)
     if obj is not None:

@@ -35,34 +35,33 @@ class _ClientHostHandler(HostHandler):
 
 
 class _PyGlobals(dict):
-    """exec globals for Python-dialect scripts: every unknown bare name
-    resolves to a call that routes through the owner's current handler —
-    the client-side mirror of server/pyscript.py's host bridge."""
+    """exec globals for Python-dialect scripts: every unknown bare name that
+    is not a Python builtin routes through the owner's current handler — the
+    client-side mirror of server/pyscript._HostGlobals (builtins must keep
+    resolving normally; a dict subclass's __missing__ preempts the builtins
+    fallback, so it raises KeyError for them)."""
 
     def __init__(self, owner: "ClientAction"):
         super().__init__()
         self.owner = owner
 
     def __missing__(self, key):
-        if key.startswith("__"):
+        import builtins
+
+        if key.startswith("__") or hasattr(builtins, key):
             raise KeyError(key)
         owner = self.owner
 
         def call(*args):
+            from ..server.pyscript import _from_vmvalue, _to_vmvalue
+
             handler = owner._current_handler
             if handler is None:
                 return None
-            vmargs = [
-                a if isinstance(a, VMValue)
-                else VMValue.from_string(a) if isinstance(a, str)
-                else VMValue.broadcast(float(a)) if isinstance(a, (int, float))
-                else VMValue.zero()
-                for a in args
-            ]
-            out = handler.on_host_call(key, vmargs, None)
-            if isinstance(out, VMValue):
-                return out.s if out.s is not None else out.x
-            return out
+            out = handler.on_host_call(
+                key, [_to_vmvalue(a) for a in args], None
+            )
+            return _from_vmvalue(out)
 
         call.__name__ = key
         return call

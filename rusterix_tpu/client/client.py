@@ -483,9 +483,16 @@ class Client:
     # ---- messages (client/mod.rs:333) ----
 
     def process_messages(self, server_messages, now: float = 0.0) -> None:
+        m = self.current_map
         for msg in server_messages:
             sender, receiver, text, category = msg
-            rendered = self.msg_parser.render(text)
+            # entity/item tokens ({E:..}, {I:..}) resolve against the
+            # mirrored map state (resolver.rs:125-190)
+            rendered = self.msg_parser.render(
+                text,
+                entities=getattr(m, "entities", None),
+                items=getattr(m, "items", None),
+            )
             self.messages.append((now, rendered))
             if self.messages_widget is not None:
                 self.messages_widget.add(rendered)

@@ -49,7 +49,8 @@ class MsgParser:
             if "=" in p:
                 k, v = p.split("=", 1)
                 opts[k.strip()] = v.strip()
-        if head.startswith("E:"):
+        lower = head.lower()
+        if lower.startswith("e:"):
             id_attr = head[2:].split(".", 1)
             return Tok(
                 "entity",
@@ -57,14 +58,17 @@ class MsgParser:
                 attr=id_attr[1] if len(id_attr) > 1 else "name",
                 opts=opts,
             )
-        if head.startswith("It:"):
-            id_attr = head[3:].split(".", 1)
-            return Tok(
-                "item",
-                id=int(id_attr[0]),
-                attr=id_attr[1] if len(id_attr) > 1 else "name",
-                opts=opts,
-            )
+        # item refs: I: / It: / Item:, case-insensitive (parser.rs:76-84) —
+        # region.rs:1323 emits the short {I:<id>.name} form on purchases
+        for prefix in ("item:", "it:", "i:"):
+            if lower.startswith(prefix):
+                id_attr = head[len(prefix):].split(".", 1)
+                return Tok(
+                    "item",
+                    id=int(id_attr[0]),
+                    attr=id_attr[1] if len(id_attr) > 1 else "name",
+                    opts=opts,
+                )
         if head.startswith("N:"):
             return Tok("num", val=float(int(head[2:])), opts=opts)
         if head.startswith("F:"):
@@ -79,17 +83,23 @@ class MsgParser:
         locale: Optional[Dict[str, str]] = None,
     ) -> str:
         """Expand tokens to display text."""
+
+        def apply_case(text: str, opts: Dict[str, str]) -> str:
+            case = (opts.get("case") or "").lower()
+            if case == "upper":
+                return text.upper()
+            if case == "lower":
+                return text.lower()
+            return text
+
         out = []
         for tok in self.parse(input_str):
             if tok.kind == "plain":
                 out.append(tok.text)
             elif tok.kind == "text":
-                text = (locale or {}).get(tok.text, tok.text)
-                if tok.opts.get("case") == "upper":
-                    text = text.upper()
-                elif tok.opts.get("case") == "lower":
-                    text = text.lower()
-                out.append(text)
+                out.append(
+                    apply_case((locale or {}).get(tok.text, tok.text), tok.opts)
+                )
             elif tok.kind == "entity":
                 name = ""
                 for e in entities or []:
@@ -101,19 +111,31 @@ class MsgParser:
                     name = f"the {name}"
                 elif article == "indef":
                     name = f"an {name}" if name[:1].lower() in "aeiou" else f"a {name}"
-                out.append(name)
+                out.append(apply_case(name, tok.opts))
             elif tok.kind == "item":
+                # world items first, then entity inventories
+                # (resolver.rs:156-186)
                 name = ""
                 for i in items or []:
                     if i.id == tok.id:
                         name = i.attributes.get_str_default(tok.attr, "")
                         break
+                if not name:
+                    for e in entities or []:
+                        for _, inv_item in e.iter_inventory():
+                            if inv_item.id == tok.id:
+                                name = inv_item.attributes.get_str_default(
+                                    tok.attr, ""
+                                )
+                                break
+                        if name:
+                            break
                 article = tok.opts.get("article")
                 if article == "def":
                     name = f"the {name}"
                 elif article == "indef":
                     name = f"an {name}" if name[:1].lower() in "aeiou" else f"a {name}"
-                out.append(name)
+                out.append(apply_case(name, tok.opts))
             elif tok.kind == "num":
                 text = f"{int(tok.val)}"
                 if "unit" in tok.opts:

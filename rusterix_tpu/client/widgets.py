@@ -152,9 +152,12 @@ class MessagesWidget(Widget):
 
     def touch_down(self, x: float, y: float):
         """Hit-test interactive entries; returns the selecting EntityAction
-        (widget/messages.rs:315-325)."""
+        (widget/messages.rs:315-325). Hidden widgets keep their last-drawn
+        rects but must not claim taps."""
         from ..server.message import EntityAction, EntityActionKind
 
+        if not self.visible:
+            return None
         for e in self.entries:
             if e.choice is not None and e.rect.contains(x, y):
                 self.clicked = e.uid

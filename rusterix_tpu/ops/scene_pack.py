@@ -27,6 +27,12 @@ SRC_TEXTURE = 1  # meta 'tex_slot' indexes atlas tile_first/tile_count
 SRC_PIXEL = 2  # flat RGBA from meta
 SRC_TERRAIN = 3
 
+#: time-dependent shader bake: frames per loop and seconds per anim tick
+#: (one scene.animation_frame increment == SHADER_ANIM_DT shader seconds;
+#: the minigame config's 250ms game tick is the model cadence)
+SHADER_ANIM_FRAMES = 16
+SHADER_ANIM_DT = 0.25
+
 
 def next_pow2(n: int, lo: int = 16) -> int:
     n = max(n, lo)
@@ -62,9 +68,17 @@ class AtlasIndex:
             for i, tile in enumerate(seqs.values()):
                 item_slots[(item_id, i)] = len(tiles)
                 tiles.append(tile)
-        # time-independent per-batch rusteria shaders bake to atlas tiles at
-        # pack time (the reference's own chunk-shader trick, src/chunk.rs:
-        # 104-121) so shaded batches render through the uniform texture path
+        # Per-batch rusteria shaders bake to atlas tiles at pack time (the
+        # reference's own chunk-shader trick, src/chunk.rs:104-121) so
+        # shaded batches render through the uniform texture path — on the
+        # megakernel, not the per-pixel-gather XLA fallback.
+        #   * time-INdependent shaders -> one frame;
+        #   * time-DEPENDENT shaders -> SHADER_ANIM_FRAMES frames baked at
+        #     t = i * SHADER_ANIM_DT riding the tile_first/tile_count anim
+        #     machinery (the kernel anim-resolves rects per frame). TPU-first
+        #     divergence from rasterizer.rs:1290-1302 (per-pixel shader calls
+        #     in the hot loop): the shader's time axis quantizes to the tile
+        #     animation clock, one anim tick = SHADER_ANIM_DT seconds.
         shader_slots: Dict[int, tuple] = {}
         for si, prog in enumerate(getattr(scene, "shaders", []) or []):
             if prog is None or not getattr(prog, "shade_index", False):
@@ -73,44 +87,59 @@ class AtlasIndex:
             from ..shader.jaxc import Rusteria
 
             state = Rusteria.bake_state(prog, 128, assets.palette, time=0.0)
+            states = [state]
             if getattr(prog, "uses_time", False):
                 # syntactic `time` reads don't prove animation (the reference
-                # wood shader does `time * 0.0`) — bake at two times and only
-                # keep the tile if EVERY output is provably time-independent
-                # (probe time irrational so periodic shaders can't alias)
+                # wood shader does `time * 0.0`) — probe at an irrational
+                # second time so periodic shaders can't alias
                 state1 = Rusteria.bake_state(
                     prog, 128, assets.palette, time=0.7318531
                 )
                 if any(
                     not np.array_equal(state[k], state1[k]) for k in state
                 ):
-                    continue
+                    # genuinely animated: quantized multi-frame bake
+                    states = [state] + [
+                        Rusteria.bake_state(
+                            prog, 128, assets.palette,
+                            time=i * SHADER_ANIM_DT,
+                        )
+                        for i in range(1, SHADER_ANIM_FRAMES)
+                    ]
             # material representability: the bake only captures color +
             # opacity per texel plus ONE roughness/metallic constant per
             # batch (reference shaders write per-pixel registers,
-            # rasterizer.rs:1284-1303). Anything richer stays per-pixel.
-            rough = state["roughness"][..., 0]
-            metal = state["metallic"][..., 0]
-            if (
-                np.any(state["emissive"] != 0.0)
-                or np.any(state["normal"] != 0.0)
-                or np.any(state["bump"] != 0.0)
-                or rough.min() != rough.max()
-                or metal.min() != metal.max()
-            ):
+            # rasterizer.rs:1284-1303). Anything richer stays per-pixel —
+            # and an animated shader must hold the constants across frames.
+            rough = states[0]["roughness"][..., 0]
+            metal = states[0]["metallic"][..., 0]
+            if any(
+                np.any(s["emissive"] != 0.0)
+                or np.any(s["normal"] != 0.0)
+                or np.any(s["bump"] != 0.0)
+                or not np.array_equal(s["roughness"], states[0]["roughness"])
+                or not np.array_equal(s["metallic"], states[0]["metallic"])
+                for s in states
+            ) or rough.min() != rough.max() or metal.min() != metal.max():
                 continue
-            rgba = np.concatenate(
-                [state["color"], state["opacity"][..., :1]], axis=-1
-            )
-            if not prog.supports_opacity:
-                rgba[..., 3] = 1.0
-            rgba = (np.clip(rgba, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            frames = []
+            for s in states:
+                rgba = np.concatenate(
+                    [s["color"], s["opacity"][..., :1]], axis=-1
+                )
+                if not prog.supports_opacity:
+                    rgba[..., 3] = 1.0
+                frames.append(
+                    Texture(
+                        (np.clip(rgba, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+                    )
+                )
             shader_slots[si] = (
                 len(tiles),
                 float(np.clip(rough.flat[0], 0.0, 1.0)),
                 float(np.clip(metal.flat[0], 0.0, 1.0)),
             )
-            tiles.append(Tile.from_texture(Texture(rgba)))
+            tiles.append(Tile.from_textures(frames))
         return AtlasIndex(
             atlas=TextureAtlas.build(tiles),
             static_offset=static_offset,

@@ -54,6 +54,37 @@ def _from_vmvalue(v):
     return v.x
 
 
+class _HostGlobals(dict):
+    """exec globals for the Python dialect: every unknown bare name that is
+    not a Python builtin resolves to a host call through
+    RegionHost.on_host_call — which records unknown names like the VM path
+    (region.py on_host_call) instead of raising NameError mid-script.
+    Builtins (str/int/len/print/...) must keep resolving normally: a dict
+    subclass's __missing__ preempts the builtins fallback, so it raises
+    KeyError for them."""
+
+    def __init__(self, region):
+        super().__init__()
+        self.region = region
+
+    def __missing__(self, key):
+        import builtins
+
+        if key.startswith("__") or hasattr(builtins, key):
+            raise KeyError(key)
+        region = self.region
+
+        def call(*args):
+            return _from_vmvalue(
+                region.host.on_host_call(
+                    key, [_to_vmvalue(a) for a in args], None
+                )
+            )
+
+        call.__name__ = key
+        return call
+
+
 class PythonEntityProgram:
     """One compiled .rxe class script; instantiated per entity on first use."""
 
@@ -68,30 +99,8 @@ class PythonEntityProgram:
         self.instances: Dict[int, object] = {}
         self._compile()
 
-    def _host_bridge(self) -> dict:
-        """Bind every RegionHost h_* handler as a bare global; the handler
-        reads the current entity from host.entity, set by the caller."""
-        region = self.region
-
-        def wrap(name):
-            def call(*args):
-                return _from_vmvalue(
-                    region.host.on_host_call(
-                        name, [_to_vmvalue(a) for a in args], None
-                    )
-                )
-
-            call.__name__ = name
-            return call
-
-        ns = {}
-        for attr in dir(type(self.region.host)):
-            if attr.startswith("h_"):
-                ns[attr[2:]] = wrap(attr[2:])
-        return ns
-
     def _compile(self) -> None:
-        ns = self._host_bridge()
+        ns = _HostGlobals(self.region)
         exec(compile(self.source, "<rxe>", "exec"), ns)
         for k, v in ns.items():
             if isinstance(v, type) and not k.startswith("_"):

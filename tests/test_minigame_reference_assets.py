@@ -97,6 +97,20 @@ def test_engine_ticks_and_renders_lit_frame():
     rx.server.stop()
 
 
+def test_player_event_sets_first_person_camera():
+    """Player.rxe's event() calls register_player() (an unknown host call —
+    recorded, not fatal) and THEN set_player_camera(\"firstp\"); a NameError
+    on the first call must not kill the second (server/pyscript._HostGlobals)."""
+    from rusterix_tpu.server.message import PlayerCamera
+
+    rx = build_engine()
+    world = rx.assets.maps["world"]
+    rx.update_server()
+    rx.apply_entities_items(world)
+    assert rx.player_camera == PlayerCamera.D3FirstP
+    rx.server.stop()
+
+
 def test_player_moves_with_input():
     rx = build_engine()
     inst = rx.server.instances[0]

@@ -154,10 +154,13 @@ def test_key_answer_buys_item_and_moves_currency():
     assert "Sword" not in [i.name() for _, i in trader.iter_inventory()]
     assert player.wallet.balances.get("G") == 5
     assert trader.wallet.balances.get("G") == 5
-    # buyer got the purchase message on the next drain
+    # buyer got the purchase message on the next drain, with the item token
+    # resolved from the mirrored inventory ({I:<id>.name, article=indef,
+    # case=lower} -> "a sword"; "you_bought" stays a raw locale key here)
     rx.update_server()
+    rx.apply_entities_items(rx.assets.maps["world"])
     rx.process_messages()
-    assert any("bought" in m[1] for m in rx.client.messages)
+    assert any("a sword" in m[1] for m in rx.client.messages), rx.client.messages
     rx.server.stop()
 
 

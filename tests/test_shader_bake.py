@@ -72,12 +72,18 @@ def test_static_shader_bakes_out_of_runtime():
     ).all()
 
 
-def test_animated_shader_stays_runtime():
+def test_animated_shader_bakes_to_anim_frames():
+    """Since round 3, genuinely time-dependent shaders bake to a
+    SHADER_ANIM_FRAMES animated tile instead of staying on the per-pixel
+    runtime path (verdict r2 #1; see tests/test_shader_time_mega.py)."""
+    from rusterix_tpu.ops.scene_pack import SHADER_ANIM_FRAMES
+
     scene = _scene(ANIMATED)
     packed = PackedScene.from_scene(scene, Assets.default())
-    assert packed.atlas_index.shader_slots == {}
-    assert len(packed.runtime_shaders) == 1
-    assert packed.runtime_shaders[0] is scene.shaders[0]
+    assert 0 in packed.atlas_index.shader_slots
+    slot = packed.atlas_index.shader_slots[0][0]
+    assert int(packed.atlas_index.atlas.tile_count[slot]) == SHADER_ANIM_FRAMES
+    assert packed.runtime_shaders == ()
 
 
 def test_baked_shader_mega_vs_xla_parity():
@@ -92,13 +98,16 @@ def test_baked_shader_mega_vs_xla_parity():
     assert np.abs(frames[0] - frames[1]).max() <= 1
 
 
-def test_animated_shader_varies_with_time():
+def test_animated_shader_varies_with_anim_clock():
+    """The baked animation advances with scene.animation_frame — the time
+    axis is quantized to the tile anim clock (scene_pack SHADER_ANIM_DT)."""
     scene = _scene(ANIMATED)
     rast = _rast()
     rast.use_pallas = False
-    f0 = rast.rasterize(scene, W, H, 32, Assets.default())
-    rast.set_time(0.5)
-    f1 = rast.rasterize(scene, W, H, 32, Assets.default())
+    assets = Assets.default()
+    f0 = rast.rasterize(scene, W, H, 32, assets)
+    scene.animation_frame += 3
+    f1 = rast.rasterize(scene, W, H, 32, assets)
     assert (f0 != f1).any()
 
 
