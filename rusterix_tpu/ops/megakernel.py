@@ -66,6 +66,23 @@ N_ATTR_BLEND = 48
 
 _BIG = 1 << 30  # python int: jnp constants would be captured as kernel consts
 
+#: SMEM byte budget for the prefetched per-chunk bbox table; past it the
+#: kernel drops the chunk gate (use_cbox=False) so huge scenes still compile
+_CBOX_SMEM_LIMIT = 512 << 10
+
+
+def _pack_boxes16(boxes_flat: jnp.ndarray) -> jnp.ndarray:
+    """Pack (n*4,) integer boxes into (n,) i32 at 16-px granularity,
+    conservatively grown (floor mins, ceil maxes) — 4x less SMEM than the
+    flat table, which compile-OOMs past ~64K candidate slots. Valid for
+    screens up to 4080 px; callers gate on that."""
+    b = boxes_flat.reshape(-1, 4)
+    x0 = jnp.clip(b[:, 0] >> 4, 0, 255)
+    y0 = jnp.clip(b[:, 1] >> 4, 0, 255)
+    x1 = jnp.clip((b[:, 2] + 15) >> 4, 0, 255)
+    y1 = jnp.clip((b[:, 3] + 15) >> 4, 0, 255)
+    return x0 | (y0 << 8) | (x1 << 16) | (y1 << 24)
+
 
 def _srgb_to_linear(x):
     return (0.6975 * x * x + 0.3025) * x
@@ -185,11 +202,11 @@ def _texel_lookup(atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode,
 
 
 def _mega_kernel(
-    n_attr, sample_mode, has_blend, has_material, hbm_tables,
-    sbox_ref, cbox_ref, params_ref, lights_ref, occ_ref,
+    n_attr, sample_mode, has_blend, has_material, hbm_tables, use_cbox,
+    sbox_ref, cbox_ref, snear_ref, params_ref, lights_ref, occ_ref,
     planes_ref, attr_ref, atlas_ref, bg_ref,
     rgba_ref, zeff_ref,
-    a_scr, idx_scr, *dma_scratch,
+    a_scr, idx_scr, minb_scr, *dma_scratch,
 ):
     if hbm_tables:
         planes_buf, dma_sems = dma_scratch
@@ -210,6 +227,10 @@ def _mega_kernel(
     zeff_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
     idx_scr[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
     a_scr[:] = jnp.zeros((n_attr, TILE_H, TILE_W), jnp.float32)
+    # front-to-back early-out state: the tile's min winning 1/z. Supers are
+    # sorted nearest-first (mega_render), so once snear[s] <= min(best) no
+    # remaining super can beat any pixel and the scan stops for good.
+    minb_scr[0] = 1.0
 
     group = CHUNK * SUPER
     ns = planes_ref.shape[0] // group
@@ -219,15 +240,7 @@ def _mega_kernel(
         the row data (VMEM direct or the DMA slot buffer)."""
 
         def chunk_body(c, _2):
-            c_hit = (
-                (cbox_ref[c * 4 + 0] < x0 + TILE_W)
-                & (cbox_ref[c * 4 + 2] > x0)
-                & (cbox_ref[c * 4 + 1] < y_base + TILE_H)
-                & (cbox_ref[c * 4 + 3] > y_base)
-            )
-
-            @pl.when(c_hit)
-            def _():
+            def scan_chunk():
                 # winner tracked as MAX 1/z: strictly monotonic in z, so
                 # the per-triangle reciprocal disappears from the scan
                 # (one 1/x at the end instead of one per tri per pixel)
@@ -263,6 +276,21 @@ def _mega_kernel(
                             )
                         a_scr[ch] = acc
 
+            if use_cbox:
+                # 16-px packed box: x0 | y0<<8 | x1<<16 | y1<<24, grown
+                # conservatively at pack time (_pack_boxes16)
+                v = cbox_ref[c]
+                c_hit = (
+                    ((v & 0xFF) * 16 < x0 + TILE_W)
+                    & (((v >> 16) & 0xFF) * 16 > x0)
+                    & (((v >> 8) & 0xFF) * 16 < y_base + TILE_H)
+                    & (((v >> 24) & 0xFF) * 16 > y_base)
+                )
+                pl.when(c_hit)(scan_chunk)
+            else:
+                # huge scenes: chunk boxes exceed SMEM — the super test
+                # already passed, scan every chunk (see mega_render)
+                scan_chunk()
             return 0
 
         jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, chunk_body, 0)
@@ -279,9 +307,13 @@ def _mega_kernel(
             & (sbox_ref[s * 4 + 3] > y_base)
         )
 
+    def _not_done(s):
+        # strict >: a super at exactly min(best) cannot win (`invz > best`)
+        return (s < ns) & (snear_ref[jnp.minimum(s, ns - 1)] > minb_scr[0])
+
     if not hbm_tables:
         # small scenes: whole candidate tables live in VMEM
-        def super_body(s, _):
+        def super_body(s):
             @pl.when(_s_hit(s))
             def _():
                 _scan_super(
@@ -289,10 +321,11 @@ def _mega_kernel(
                     lambda i, cf, s=s: planes_ref[s * group + i, cf],
                     lambda i, ch, s=s: attr_ref[s * group + i, ch],
                 )
+                minb_scr[0] = jnp.min(zeff_ref[:])
 
-            return 0
+            return s + 1
 
-        jax.lax.fori_loop(0, ns, super_body, 0)
+        jax.lax.while_loop(_not_done, super_body, 0)
     else:
         # big scenes: tables stay in HBM; each super-chunk's `group` rows DMA
         # into a double-buffered VMEM slot while the previous one computes
@@ -340,11 +373,18 @@ def _mega_kernel(
                 lambda i, cf: planes_buf[slot, i, cf],
                 lambda i, ch: planes_buf[slot, i, 12 + ch],
             )
+            minb_scr[0] = jnp.min(zeff_ref[:])
             return nxt, k + 1
 
-        jax.lax.while_loop(
-            lambda c: c[0] < ns, super_body, (first, jnp.int32(0))
+        s_end, k_end = jax.lax.while_loop(
+            lambda c: _not_done(c[0]), super_body, (first, jnp.int32(0))
         )
+
+        # depth early-out can exit with s_end's prefetch in flight (started
+        # by the previous iteration) — drain it so no DMA is left pending
+        @pl.when(s_end < ns)
+        def _():
+            dma_super(s_end, jax.lax.rem(k_end, 2)).wait()
 
     z = 1.0 / zeff_ref[:]  # back from the max-1/z scan domain
     hit = idx_scr[:] >= 0
@@ -821,8 +861,51 @@ def mega_render(
     )
     attr = jnp.where((alive > 0.5)[:, None], attr, 0.0)
 
+    # ---- front-to-back super ordering + per-super near bound ----
+    # Conservative nearest point of each triangle: the invz plane (affine in
+    # screen x,y) evaluated at its screen-clipped bbox corners — the max over
+    # the bbox bounds the max over the triangle. Supers scan nearest-first so
+    # the kernel can STOP the whole visibility scan once every pixel's winner
+    # is nearer than everything remaining (early-out; tie caveat shared with
+    # morton_sort: scan order flips bitwise-equal-invz winners).
+    ns_ = t2 // group
+    bx0 = jnp.clip(bbox[:, 0], 0.0, float(width))
+    by0 = jnp.clip(bbox[:, 1], 0.0, float(height))
+    bx1 = jnp.clip(bbox[:, 2], 0.0, float(width))
+    by1 = jnp.clip(bbox[:, 3], 0.0, float(height))
+    pa, pb, pc = planes[:, 9], planes[:, 10], planes[:, 11]
+    tri_near = jnp.maximum(
+        jnp.maximum(pa * bx0 + pb * by0 + pc, pa * bx1 + pb * by0 + pc),
+        jnp.maximum(pa * bx0 + pb * by1 + pc, pa * bx1 + pb * by1 + pc),
+    )
+    tri_near = jnp.where(alive > 0.5, tri_near, -jnp.inf)
+    s_near = tri_near.reshape(ns_, group).max(axis=1)
+    order = jnp.argsort(-s_near)
+    row_perm = (
+        order[:, None] * group + jnp.arange(group, dtype=order.dtype)[None, :]
+    ).reshape(-1)
+    planes = planes[row_perm]
+    attr = attr[row_perm]
+    bbox = bbox[row_perm]
+    s_near = s_near[order]
+    # dead supers carry -inf: clamp so SMEM comparisons stay finite
+    s_near = jnp.maximum(s_near, -1e30).astype(jnp.float32)
+
     cboxes = _group_boxes(bbox, CHUNK)
     sboxes = _group_boxes(bbox, group)
+
+    # SMEM budget: flat per-chunk boxes are t2 i32 values and blow the
+    # scalar-memory limit past ~64K candidate slots (observed: 128K tris =
+    # 1MB of prefetched SMEM -> compile OOM; this is what broke big scenes
+    # after the CHUNK 8->4 sweep). Boxes pack 4-in-1 at 16-px granularity
+    # (t2 bytes); only past _CBOX_SMEM_LIMIT — or on >4080px screens where
+    # the packed range clips — does the chunk gate drop out, leaving the
+    # super-level test + front-to-back early-out.
+    use_cbox = (
+        cboxes.shape[0] <= _CBOX_SMEM_LIMIT
+        and max(width, height) <= 4080
+    )
+    cboxes = _pack_boxes16(cboxes) if use_cbox else jnp.zeros(1, jnp.int32)
 
     ph = -height % TILE_H
     pw = -width % TILE_W
@@ -869,6 +952,7 @@ def mega_render(
     scratch = [
         pltpu.VMEM((n_attr, TILE_H, TILE_W), jnp.float32),
         pltpu.VMEM((TILE_H, TILE_W), jnp.int32),
+        pltpu.SMEM((1,), jnp.float32),  # front-to-back early-out min(best)
     ]
     if hbm_tables:
         scratch += [
@@ -877,7 +961,7 @@ def mega_render(
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=grid,
         in_specs=[
             planes_spec,
@@ -898,7 +982,7 @@ def mega_render(
     rgba, zeff = pl.pallas_call(
         functools.partial(
             _mega_kernel, n_attr, sample_mode, has_blend, has_material,
-            hbm_tables,
+            hbm_tables, use_cbox,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -906,7 +990,7 @@ def mega_render(
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ],
         interpret=interpret,
-    )(sboxes, cboxes, params, lights_packed, occ_packed,
+    )(sboxes, cboxes, s_near, params, lights_packed, occ_packed,
       planes_in, attr_in, atlas_rows, bg_u32)
 
     return rgba[:height, :width], zeff[:height, :width]
