@@ -1,0 +1,74 @@
+"""Single-buffer upload arena for per-frame leaves.
+
+The engine loop uploads ~90 tiny numpy leaves per frame (dynamic packs,
+lights, uniforms — ~12 KB total). Even as ONE batched ``jax.device_put``
+pytree, the runtime issues one transfer per leaf: measured ~0.05 ms/leaf
+over the dev tunnel (~6 ms/frame), dwarfing the render itself. A single
+contiguous buffer of the same bytes uploads in ~0.16 ms.
+
+``pack_arena`` flattens a pytree of 4-byte numpy leaves into one uint32
+buffer plus a STATIC layout (offsets/shapes/dtypes + treedef).
+``unpack_arena`` runs INSIDE jit: static slices + same-width bitcasts,
+which XLA folds into the consumers for free.
+
+The reference never needed this: its rasterizer reads scene memory
+in-process (rasterizer.rs:227+); PCIe/ICI hosts see per-leaf latency too,
+just less of it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: layout: (tuple[(offset_words, shape, dtype_name)], treedef) — hashable,
+#: passed as a static jit argument
+Layout = Tuple[tuple, Any]
+
+
+def pack_arena(tree) -> Tuple[Optional[np.ndarray], Optional[Layout]]:
+    """Flatten `tree`'s numpy leaves into one uint32 buffer.
+
+    Returns ``(None, None)`` when any leaf is not a 4-byte-itemsize numpy
+    array (or is already on device — bit-copying those would force a D2H
+    round trip); callers fall back to the per-leaf batched device_put.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrs = []
+    for leaf in leaves:
+        if isinstance(leaf, jax.Array):
+            return None, None
+        a = np.asarray(leaf)
+        if a.dtype.itemsize != 4:
+            return None, None
+        arrs.append(a)
+
+    total = sum(a.size for a in arrs)
+    arena = np.empty(max(total, 1), np.uint32)
+    entries = []
+    off = 0
+    for a in arrs:
+        flat = np.ascontiguousarray(a.reshape(-1)).view(np.uint32)
+        arena[off : off + a.size] = flat
+        entries.append((off, a.shape, a.dtype.name))
+        off += a.size
+    return arena, (tuple(entries), treedef)
+
+
+def unpack_arena(arena: jnp.ndarray, layout: Layout):
+    """Rebuild the pytree from the device arena (call inside jit).
+
+    Offsets and shapes are static, so every leaf is a `lax.slice` +
+    same-width `bitcast_convert_type` — zero-copy after XLA fusion.
+    """
+    entries, treedef = layout
+    leaves = []
+    for off, shape, dtype_name in entries:
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        seg = jax.lax.slice(arena, (off,), (off + n,))
+        leaf = jax.lax.bitcast_convert_type(seg, jnp.dtype(dtype_name))
+        leaves.append(leaf.reshape(shape))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

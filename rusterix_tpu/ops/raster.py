@@ -276,6 +276,73 @@ def render_frame(
     return frame_to_u8(frame)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "arena_layout",
+        "width",
+        "height",
+        "sample_mode",
+        "preserve_transparency",
+        "has_ambient",
+        "has_lights",
+        "has_opacity",
+        "has_d2",
+        "shaders",
+        "use_pallas",
+        "has_sky",
+        "has_fog",
+        "has_blend",
+        "has_brush",
+        "has_dyn",
+        "has_material",
+    ),
+)
+def render_frame_arena(
+    d3,
+    d3_op,
+    d2,
+    atlas,
+    background,
+    arena,
+    arena_layout,
+    width: int,
+    height: int,
+    sample_mode: int = 0,
+    preserve_transparency: bool = False,
+    has_ambient: bool = False,
+    has_lights: bool = False,
+    has_opacity: bool = False,
+    has_d2: bool = False,
+    shaders: tuple = (),
+    use_pallas: bool = False,
+    has_sky: bool = False,
+    has_fog: bool = False,
+    sky_pre: dict = None,
+    has_blend: bool = False,
+    has_brush: bool = False,
+    has_dyn: bool = False,
+    has_material: bool = False,
+):
+    """render_frame behind ONE per-frame upload: the dynamic packs, lights
+    and uniforms arrive as a single uint32 arena (see ops/arena.py) and are
+    sliced back out here, inside the trace, where it costs nothing. ~90
+    per-leaf transfers x ~0.05 ms tunnel latency was most of the engine
+    loop's frame time."""
+    from .arena import unpack_arena
+
+    d3_dyn, d3_op_dyn, d2_dyn, lights, uniforms = unpack_arena(
+        arena, arena_layout
+    )
+    return render_frame(
+        d3, d3_op, d2, lights, atlas, uniforms, background, width, height,
+        sample_mode, preserve_transparency, has_ambient, has_lights,
+        has_opacity, has_d2, shaders, use_pallas, has_sky, has_fog, sky_pre,
+        has_blend, has_brush, has_dyn, d3_dyn, d3_op_dyn, d2_dyn,
+        has_material,
+    )
+
+
 def draw_lines_bresenham(pixels: np.ndarray, segments: np.ndarray, colors: np.ndarray):
     """Exact port of rasterize_line_bresenham (src/rasterizer.rs:1777-1841)
     over the full frame (tile union ≡ full frame). Mutates `pixels` (H,W,4)."""
@@ -320,6 +387,9 @@ _BG_CACHE: dict = {}
 # id(host bg array) -> device copy; host arrays are kept alive by _BG_CACHE
 # so their ids are stable while cached
 _BG_DEV_CACHE: dict = {}
+# (id(sky node), hour) -> device sky params; sky_device_params uploads 7
+# arrays, which over the tunnel would otherwise cost per-frame latency
+_SKY_DEV_CACHE: dict = {}
 
 
 class Rasterizer:
@@ -592,7 +662,20 @@ class Rasterizer:
                         self.ambient_color = amb
                     if ni in miss_nodes:
                         has_sky = True
-                        sky_pre = sky_device_params(node)
+                        # render_setup(hour) is the only precomputed-state
+                        # setter, so (node, hour) keys the device copy
+                        sky_key = (id(node), float(self.hour))
+                        hit = _SKY_DEV_CACHE.get(sky_key)
+                        # the cached node rides along so its id() can't be
+                        # GC-recycled onto a different node (same pitfall as
+                        # the scene cache above)
+                        if hit is not None and hit[0] is node:
+                            sky_pre = hit[1]
+                        else:
+                            if len(_SKY_DEV_CACHE) > 32:
+                                _SKY_DEV_CACHE.clear()
+                            sky_pre = sky_device_params(node)
+                            _SKY_DEV_CACHE[sky_key] = (node, sky_pre)
                 elif node.role == ShapeFXRole.Fog and ni in hit_nodes:
                     has_fog = True
                     self._fog_color = node.precomputed[0]
@@ -707,12 +790,23 @@ class Rasterizer:
             uniforms["seg_b"] = segs["seg_b"]
             uniforms["seg_valid"] = segs["seg_valid"]
 
-        # ONE batched host->device transfer for every per-frame leaf —
-        # ~82 individual device_puts were 87% of the engine-loop frame
-        # time over the dev tunnel (each is a host round trip)
-        d3_dyn, d3_op_dyn, d2_dyn, lights_dev, uniforms = jax.device_put(
-            (d3_dyn, d3_op_dyn, d2_dyn, lights_dev, uniforms)
-        )
+        # ONE host->device transfer for every per-frame leaf. Even a single
+        # batched device_put pytree issues one transfer per leaf (~0.05 ms
+        # tunnel latency x ~90 leaves = most of the engine-loop frame), so
+        # the leaves pack into ONE uint32 arena and are bitcast-sliced back
+        # out inside the jit (ops/arena.py).
+        from .arena import pack_arena
+
+        per_frame = (d3_dyn, d3_op_dyn, d2_dyn, lights_dev, uniforms)
+        arena_np, arena_layout = pack_arena(per_frame)
+        if arena_np is None:
+            # non-4-byte leaf snuck in: per-leaf batched put still works
+            arena_dev = None
+            d3_dyn, d3_op_dyn, d2_dyn, lights_dev, uniforms = jax.device_put(
+                per_frame
+            )
+        else:
+            arena_dev = jax.device_put(arena_np)
 
         if self.render_mode.ignore_background_shader and scene.background is not None:
             import copy as _copy
@@ -769,10 +863,21 @@ class Rasterizer:
                 (packed.d3.rough != 0.5).any() or packed.d3.metal.any()
             ),
         )
-        #: exact device-resident args of the last frame — consumed by
-        #: profiling.frame_breakdown's full-frame phase ablations
+        #: exact args of the last frame — consumed by profiling's
+        #: full-frame phase ablations (numpy leaves are fine there: the
+        #: breakdown jits its own chained loop around render_frame)
         self._frame_args = frame_args
-        frame = render_frame(**frame_args)
+        if arena_dev is not None:
+            passthru = {
+                k: v
+                for k, v in frame_args.items()
+                if k not in ("lights", "uniforms", "d3_dyn", "d3_op_dyn", "d2_dyn")
+            }
+            frame = render_frame_arena(
+                arena=arena_dev, arena_layout=arena_layout, **passthru
+            )
+        else:
+            frame = render_frame(**frame_args)
         if not readback:
             return frame
         out = np.asarray(frame)
