@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Optional
 
 from ..server.message import EntityAction, EntityActionKind
+from ..server.pyscript import HostCallGlobals
 from ..vm import VM, HostHandler, VMValue
 
 
@@ -34,22 +35,15 @@ class _ClientHostHandler(HostHandler):
         return VMValue.zero()
 
 
-class _PyGlobals(dict):
-    """exec globals for Python-dialect scripts: every unknown bare name that
-    is not a Python builtin routes through the owner's current handler — the
-    client-side mirror of server/pyscript._HostGlobals (builtins must keep
-    resolving normally; a dict subclass's __missing__ preempts the builtins
-    fallback, so it raises KeyError for them)."""
+class _PyGlobals(HostCallGlobals):
+    """Client-side bridge: host calls route through the owner's CURRENT
+    handler (rebound per user_event call, so caching the closure is safe)."""
 
     def __init__(self, owner: "ClientAction"):
         super().__init__()
         self.owner = owner
 
-    def __missing__(self, key):
-        import builtins
-
-        if key.startswith("__") or hasattr(builtins, key):
-            raise KeyError(key)
+    def _bridge(self, key):
         owner = self.owner
 
         def call(*args):
@@ -63,7 +57,6 @@ class _PyGlobals(dict):
             )
             return _from_vmvalue(out)
 
-        call.__name__ = key
         return call
 
 
@@ -88,12 +81,11 @@ class ClientAction:
 
         if looks_like_python_dialect(source):
             try:
-                ns = _PyGlobals(self)
-                exec(compile(source, "<rxe>", "exec"), ns)
-                cls = next(
-                    v for k, v in ns.items()
-                    if isinstance(v, type) and not k.startswith("_")
-                )
+                from ..server.pyscript import exec_entity_class
+
+                _, cls = exec_entity_class(source, _PyGlobals(self))
+                if cls is None:
+                    raise ValueError("python-dialect script defines no class")
                 self._py_inst = cls()
                 self._has_user_event = callable(
                     getattr(self._py_inst, "user_event", None)

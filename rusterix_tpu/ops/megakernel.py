@@ -820,7 +820,7 @@ def unpack_frame_u32(rgba_u32) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "width", "height", "sample_mode", "has_blend", "has_material",
-        "interpret", "force_hbm",
+        "interpret", "force_hbm", "full_height",
     ),
 )
 def mega_render(
@@ -828,7 +828,7 @@ def mega_render(
     params, lights_packed, occ_packed,
     width: int, height: int, sample_mode: int = 0, has_blend: bool = False,
     has_material: bool = False, interpret: bool = False,
-    force_hbm: bool = False,
+    force_hbm: bool = False, full_height: int = None,
 ):
     """One composed opaque frame -> (rgba_u32 (H,W) i32, z_eff (H,W) f32).
 
@@ -869,10 +869,15 @@ def mega_render(
     # is nearer than everything remaining (early-out; tie caveat shared with
     # morton_sort: scan order flips bitwise-equal-invz winners).
     ns_ = t2 // group
+    # bboxes are GLOBAL screen coords; under row sharding this kernel owns
+    # rows [y0g, y0g+height) (y0g = params[58]), so the near bound clips to
+    # that range — clipping to [0, height) would underestimate invz for
+    # geometry below the first shard and let the early-out drop it
+    y0g = params[58]
     bx0 = jnp.clip(bbox[:, 0], 0.0, float(width))
-    by0 = jnp.clip(bbox[:, 1], 0.0, float(height))
+    by0 = jnp.clip(bbox[:, 1], y0g, y0g + float(height))
     bx1 = jnp.clip(bbox[:, 2], 0.0, float(width))
-    by1 = jnp.clip(bbox[:, 3], 0.0, float(height))
+    by1 = jnp.clip(bbox[:, 3], y0g, y0g + float(height))
     pa, pb, pc = planes[:, 9], planes[:, 10], planes[:, 11]
     tri_near = jnp.maximum(
         jnp.maximum(pa * bx0 + pb * by0 + pc, pa * bx1 + pb * by0 + pc),
@@ -901,9 +906,12 @@ def mega_render(
     # (t2 bytes); only past _CBOX_SMEM_LIMIT — or on >4080px screens where
     # the packed range clips — does the chunk gate drop out, leaving the
     # super-level test + front-to-back early-out.
+    # the 16-px packed range must cover GLOBAL coordinates: under row
+    # sharding `height` is rows_local but box y / y_base run to the full
+    # frame height (full_height), so gate on that
     use_cbox = (
         cboxes.shape[0] <= _CBOX_SMEM_LIMIT
-        and max(width, height) <= 4080
+        and max(width, full_height or height) <= 4080
     )
     cboxes = _pack_boxes16(cboxes) if use_cbox else jnp.zeros(1, jnp.int32)
 

@@ -662,20 +662,22 @@ class Rasterizer:
                         self.ambient_color = amb
                     if ni in miss_nodes:
                         has_sky = True
-                        # render_setup(hour) is the only precomputed-state
-                        # setter, so (node, hour) keys the device copy
-                        sky_key = (id(node), float(self.hour))
-                        hit = _SKY_DEV_CACHE.get(sky_key)
+                        # the device copy is keyed on the precomputed
+                        # CONTENT (6 vec4s, ~100 bytes): hour alone is not
+                        # enough — sky_setup also reads node.values (palette
+                        # edits change precomputed at a fixed hour)
+                        snap = tuple(a.tobytes() for a in node.precomputed)
+                        hit = _SKY_DEV_CACHE.get(id(node))
                         # the cached node rides along so its id() can't be
                         # GC-recycled onto a different node (same pitfall as
                         # the scene cache above)
-                        if hit is not None and hit[0] is node:
+                        if hit is not None and hit[0] is node and hit[2] == snap:
                             sky_pre = hit[1]
                         else:
                             if len(_SKY_DEV_CACHE) > 32:
                                 _SKY_DEV_CACHE.clear()
                             sky_pre = sky_device_params(node)
-                            _SKY_DEV_CACHE[sky_key] = (node, sky_pre)
+                            _SKY_DEV_CACHE[id(node)] = (node, sky_pre, snap)
                 elif node.role == ShapeFXRole.Fog and ni in hit_nodes:
                     has_fog = True
                     self._fog_color = node.precomputed[0]

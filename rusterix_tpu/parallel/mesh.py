@@ -135,7 +135,7 @@ def render_frame_sharded(
                 pack_light_params(lights_r),
                 pack_occ_params(uniforms_r),
                 width, rows_local, sample_mode, False, has_material,
-                interpret=interpret,
+                interpret=interpret, full_height=height,
             )
             frame = unpack_frame_u32(rgba_u32).astype(jnp.float32) * (1.0 / 255.0)
         else:

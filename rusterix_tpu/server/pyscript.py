@@ -54,24 +54,39 @@ def _from_vmvalue(v):
     return v.x
 
 
-class _HostGlobals(dict):
+class HostCallGlobals(dict):
     """exec globals for the Python dialect: every unknown bare name that is
-    not a Python builtin resolves to a host call through
-    RegionHost.on_host_call — which records unknown names like the VM path
-    (region.py on_host_call) instead of raising NameError mid-script.
-    Builtins (str/int/len/print/...) must keep resolving normally: a dict
-    subclass's __missing__ preempts the builtins fallback, so it raises
-    KeyError for them."""
-
-    def __init__(self, region):
-        super().__init__()
-        self.region = region
+    not a Python builtin resolves to a host-call bridge from the subclass's
+    `_bridge(name)` hook. Builtins (str/int/len/print/...) must keep
+    resolving normally: a dict subclass's __missing__ preempts the builtins
+    fallback, so it raises KeyError for them. The generated closure is
+    cached in the dict — per-tick event handlers re-look-up the same names
+    every call, and the builtins scan + closure allocation is not free."""
 
     def __missing__(self, key):
         import builtins
 
         if key.startswith("__") or hasattr(builtins, key):
             raise KeyError(key)
+        call = self._bridge(key)
+        call.__name__ = key
+        self[key] = call
+        return call
+
+    def _bridge(self, key):
+        raise NotImplementedError
+
+
+class _HostGlobals(HostCallGlobals):
+    """Server-side bridge: host calls route through RegionHost.on_host_call —
+    which records unknown names like the VM path (region.py on_host_call)
+    instead of raising NameError mid-script."""
+
+    def __init__(self, region):
+        super().__init__()
+        self.region = region
+
+    def _bridge(self, key):
         region = self.region
 
         def call(*args):
@@ -81,8 +96,18 @@ class _HostGlobals(dict):
                 )
             )
 
-        call.__name__ = key
         return call
+
+
+def exec_entity_class(source: str, ns: dict):
+    """exec an .rxe script and return ``(class_name, class)`` — the first
+    class the script defines (the dialect's one-entity-class-per-file
+    convention). Returns ``("", None)`` when it defines no class."""
+    exec(compile(source, "<rxe>", "exec"), ns)
+    for k, v in ns.items():
+        if isinstance(v, type) and not k.startswith("_"):
+            return k, v
+    return "", None
 
 
 class PythonEntityProgram:
@@ -101,12 +126,7 @@ class PythonEntityProgram:
 
     def _compile(self) -> None:
         ns = _HostGlobals(self.region)
-        exec(compile(self.source, "<rxe>", "exec"), ns)
-        for k, v in ns.items():
-            if isinstance(v, type) and not k.startswith("_"):
-                self.cls = v
-                self.class_name = k
-                break
+        self.class_name, self.cls = exec_entity_class(self.source, ns)
         if self.cls is None:
             raise ValueError("python-dialect script defines no class")
         self.functions = {

@@ -984,7 +984,9 @@ class RegionInstance:
                             "system",
                         )
                     )
-            elif buyer is not None:
+            elif buyer is not None and not can_afford:
+                # a missing seller/item is silent (region.rs:1309-1332 only
+                # messages on a genuine failed affordability check)
                 self.out_messages.append(
                     RegionMessage.message(
                         self.ctx.region_id, 0, buyer.id,

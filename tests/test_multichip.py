@@ -216,3 +216,75 @@ def test_sharded_material_matches_single(mesh8):
         has_material=True,
     )
     np.testing.assert_array_equal(sharded, frame)
+
+
+def test_sharded_megakernel_early_out_keeps_lower_shard_geometry(mesh8):
+    """Regression: the front-to-back early-out's per-super near bound must
+    clip bboxes to the shard's GLOBAL row range [y0, y0+rows_local), not
+    [0, rows_local). With the wrong clip, a floor whose invz grows toward
+    the bottom of the frame gets its near bound evaluated at the TOP rows
+    (far end), sorts behind a mid-depth wall that fills the screen, and the
+    early-out stops the scan before ever testing the floor — bottom shards
+    render the wall through the floor. Needs >1 super (>128 candidates) to
+    engage the early-out at all."""
+    from rusterix_tpu import (
+        Assets, Batch3D, CullMode, D3FirstPCamera, PixelSource, Texture, Tile,
+        Scene,
+    )
+    from rusterix_tpu.ops.raster import Rasterizer
+    from rusterix_tpu.parallel.mesh import render_frame_sharded
+
+    width, height = 64, 128  # 16-row slabs across 8 devices
+
+    # The wall is ONE frustum-filling quad: its two coplanar triangles share
+    # identical attribute planes, so their diagonal invz tie renders the same
+    # bytes either way, and full coverage lets the early-out actually fire
+    # (a gappy wall leaves background pixels whose sentinel best blocks it).
+    # Floor quads are NON-adjacent (size < spacing): coplanar shared edges
+    # between distinct quads tie on invz with different uv planes, and that
+    # scan-order-dependent winner (documented morton_sort caveat) would mask
+    # the bug under test.
+    wall = Batch3D()
+    wall.add_quad([0.0, 1.0, 4.05], [0.0, 0.0, -1.0], 14.0)
+    floor = Batch3D()
+    for gx in range(12):
+        for gz in range(7):
+            floor.add_quad(
+                [(gx - 5.5) * 0.5, 0.0, 0.5 + gz * 0.5], [0.0, 1.0, 0.0], 0.45
+            )
+    for b in (wall, floor):
+        b.set_cull_mode(CullMode.Off)
+        b.set_source(PixelSource.static_tile_index(0))
+        b.with_computed_normals()
+    scene = Scene.from_static([], [wall, floor])
+
+    assets = Assets.default().with_textures(
+        [Tile.from_texture(Texture.checkerboard(32, 8))]
+    )
+    camera = D3FirstPCamera()
+    camera.set_parameter_vec3("position", [0.0, 1.0, 0.0])
+    camera.set_parameter_vec3("center", [0.0, 1.0, 4.0])
+    rast = Rasterizer.setup(
+        None, camera.view_matrix(), camera.projection_matrix(width, height)
+    ).ambient([0.4, 0.4, 0.4, 1.0])
+
+    rast.use_pallas = True  # interpret-mode megakernel on CPU
+    single = rast.rasterize(scene, width, height, 40, assets)
+    cache = rast._scene_cache
+    lights = dict(cache["packed"].lights)
+    lights["flicker_factor"] = rast._flicker_factors(lights)
+    ld = {k: jnp.asarray(v) for k, v in lights.items()}
+    uni = rast._uniforms(scene)
+
+    # the scene must actually span >1 super, or the early-out never fires
+    assert cache["packed"].d3.valid.shape[0] > 128
+
+    sharded = np.asarray(
+        render_frame_sharded(
+            mesh8, cache["d3"], cache["d2"], ld, cache["atlas"], uni,
+            jnp.zeros((height, width, 4), jnp.float32),
+            width, height, sample_mode=0, has_ambient=True, has_lights=False,
+            has_d2=False, use_pallas=True,
+        )
+    )
+    np.testing.assert_array_equal(sharded, single)

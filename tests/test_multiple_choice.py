@@ -211,3 +211,25 @@ def test_touch_answer_on_menu_entry():
     rx.update_server()
     assert "Sword" in [i.name() for _, i in player.iter_inventory()]
     rx.server.stop()
+
+
+def test_missing_seller_is_silent():
+    """A despawned seller (or stale seller_id) between offer and answer is
+    SILENT: region.rs:1309-1332 only messages the buyer on a genuine failed
+    affordability check — price 0 with no seller must not say cant_afford."""
+    rx = build_engine()
+    inst, trader = _offer(rx)
+    player = inst.find_entity(rx.client.player_id)
+    inst.ctx.entities.remove(trader)  # seller despawns before the answer
+
+    rx.local_player_event("key_down", "1")
+    rx.update_server()
+
+    assert "Sword" not in [i.name() for _, i in player.iter_inventory()]
+    assert player.wallet.balances.get("G") == 10  # untouched
+    assert not any(
+        "cant_afford" in str(m.message)
+        for m in inst.out_messages
+        if getattr(m, "message", None)
+    )
+    rx.server.stop()

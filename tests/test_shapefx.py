@@ -97,3 +97,19 @@ def test_material_and_light_nodes_compile():
     l.values.set("intensity", 2.0)
     light = l.compile_light()
     assert light.intensity == 2.0
+
+
+def test_sky_palette_edit_invalidates_device_cache():
+    """Regression: the sky's device params are cached across frames; the key
+    must track the precomputed CONTENT, not just (node, hour) — sky_setup
+    reads node.values, so a palette edit at a fixed hour changes the sky."""
+    g = ShapeFXGraph.default_render_graph(with_sky=True)
+    sky_node = next(n for n in g.nodes if n.role == ShapeFXRole.Sky)
+    before, rast = _render(g, 13.0)
+
+    sky_node.values.set("day_zenith", (0.9, 0.05, 0.05, 1.0))
+    scene = Scene.from_static([], [])
+    after = rast.rasterize(scene, 96, 72, 32, Assets.default())
+    top = after[:5].astype(int)
+    assert top[..., 0].mean() > top[..., 2].mean() + 40  # red now dominates
+    assert not np.array_equal(after[:5], before[:5])
