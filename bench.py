@@ -367,6 +367,14 @@ def measure_chained(rast, scene, assets, width, height, n=20):
                 bool(packed.d2.valid.any()),
                 packed.runtime_shaders,
                 rast.use_pallas,
+                light_spec=tuple(
+                    (i, int(t))
+                    for i, t in enumerate(np.asarray(packed.lights["type"]))
+                    if float(packed.lights["valid"][i]) > 0.5
+                ),
+                sun_off=not (
+                    rast.sun_dir is not None and rast.day_factor > 0
+                ),
             )
             return acc + f[0, 0, 0].astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, 0.0)

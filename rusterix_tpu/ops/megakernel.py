@@ -203,6 +203,7 @@ def _texel_lookup(atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode,
 
 def _mega_kernel(
     n_attr, sample_mode, has_blend, has_material, hbm_tables, use_cbox,
+    light_spec, sun_off,
     sbox_ref, cbox_ref, snear_ref, params_ref, lights_ref, occ_ref,
     planes_ref, attr_ref, atlas_ref, bg_ref,
     rgba_ref, zeff_ref,
@@ -555,20 +556,24 @@ def _mega_kernel(
             jnp.where(dead, 0.0, (kd_b * n_dot_l + fb * sb) * rad_b),
         )
 
-    has_sun = params_ref[43]
-    sdx = -params_ref[44]
-    sdy = -params_ref[45]
-    sdz = -params_ref[46]
-    slen = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
-    inv_slen = 1.0 / jnp.maximum(slen, 1e-30)
-    day = params_ref[47]
-    sr, sg, sb = brdf(
-        sdx * inv_slen, sdy * inv_slen, sdz * inv_slen,
-        day * params_ref[55], day * params_ref[56], day * params_ref[57],
-    )
-    lit_r += has_sun * sr
-    lit_g += has_sun * sg
-    lit_b += has_sun * sb
+    # sun_off (static): the caller knows host-side that has_sun == 0, so the
+    # whole sun BRDF drops out (bit-safe: its contribution would be
+    # has_sun * finite = 0.0 exactly)
+    if not sun_off:
+        has_sun = params_ref[43]
+        sdx = -params_ref[44]
+        sdy = -params_ref[45]
+        sdz = -params_ref[46]
+        slen = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
+        inv_slen = 1.0 / jnp.maximum(slen, 1e-30)
+        day = params_ref[47]
+        sr, sg, sb = brdf(
+            sdx * inv_slen, sdy * inv_slen, sdz * inv_slen,
+            day * params_ref[55], day * params_ref[56], day * params_ref[57],
+        )
+        lit_r += has_sun * sr
+        lit_g += has_sun * sg
+        lit_b += has_sun * sb
 
     lit_r *= occlusion
     lit_g *= occlusion
@@ -578,7 +583,18 @@ def _mega_kernel(
     lit_g += amb_g * kd_g * hemi
     lit_b += amb_b * kd_b * hemi
 
-    for li in range(lights_ref.shape[0]):
+    # light_spec (static, from the caller): tuple of (row, type_code) for the
+    # VALID light rows — each light emits ONLY its own type's attenuation
+    # path (dead padding rows are never visited). None falls back to the
+    # generic runtime one-hot blend over every row (the sharded path, whose
+    # lights are device arrays at call time). Bit-compatible: the one-hot
+    # factors are exact 0.0/1.0 and every blended term is finite, so
+    # dropping the zero-weighted terms cannot change the sum.
+    if light_spec is None:
+        light_iter = [(li, None) for li in range(lights_ref.shape[0])]
+    else:
+        light_iter = list(light_spec)
+    for li, lt in light_iter:
         lpx = lights_ref[li, 0]
         lpy = lights_ref[li, 1]
         lpz = lights_ref[li, 2]
@@ -586,11 +602,20 @@ def _mega_kernel(
         end = lights_ref[li, 5]
         intensity = lights_ref[li, 6]
         valid = lights_ref[li, 20]
-        f_point = lights_ref[li, 3]
-        f_amb = lights_ref[li, 21]
-        f_spot = lights_ref[li, 22]
-        f_area = lights_ref[li, 23]
-        f_day = 1.0 - f_point - f_amb - f_spot - f_area
+        # static emission predicates (p_*): which paths THIS light needs.
+        # f_* stay the numeric one-hot factors (traced in generic mode,
+        # exact Python 0/1 in specialized mode).
+        p_point = lt is None or lt == 0
+        p_amb = lt is None or lt in (1, 2)
+        p_spot = lt is None or lt == 3
+        p_area = lt is None or lt == 4
+        p_day = lt is None or lt not in (0, 1, 2, 3, 4)
+        if lt is None:
+            f_point = lights_ref[li, 3]
+            f_amb = lights_ref[li, 21]
+            f_spot = lights_ref[li, 22]
+            f_area = lights_ref[li, 23]
+            f_day = 1.0 - f_point - f_amb - f_spot - f_area
         f_linedef = lights_ref[li, 19]
 
         tpx = wx - lpx
@@ -601,54 +626,82 @@ def _mega_kernel(
 
         rng_f = (dist < end).astype(jnp.float32)
         near_f = (dist <= start).astype(jnp.float32)
-        smooth_att = near_f + (1.0 - near_f) * _smoothstep(end, start, dist)
+        if p_point or p_area or p_day:
+            smooth_att = near_f + (1.0 - near_f) * _smoothstep(end, start, dist)
 
-        point_c = intensity * smooth_att
+        point_c = intensity * smooth_att if p_point else 0.0
 
-        lin_att = near_f + (1.0 - near_f) * (
-            1.0 - (dist - start) / jnp.maximum(end - start, 1e-20)
-        )
-        dirx = lights_ref[li, 10]
-        diry = lights_ref[li, 11]
-        dirz = lights_ref[li, 12]
-        cosang = jnp.clip(
-            (dirx * tpx + diry * tpy + dirz * tpz) * inv_dist, -1.0, 1.0
-        )
-        spot_ok_f = (cosang >= lights_ref[li, 13]).astype(jnp.float32)
-        spot_c = spot_ok_f * intensity * lin_att
+        if p_spot:
+            lin_att = near_f + (1.0 - near_f) * (
+                1.0 - (dist - start) / jnp.maximum(end - start, 1e-20)
+            )
+            dirx = lights_ref[li, 10]
+            diry = lights_ref[li, 11]
+            dirz = lights_ref[li, 12]
+            cosang = jnp.clip(
+                (dirx * tpx + diry * tpy + dirz * tpz) * inv_dist, -1.0, 1.0
+            )
+            spot_ok_f = (cosang >= lights_ref[li, 13]).astype(jnp.float32)
+            spot_c = spot_ok_f * intensity * lin_att
+        else:
+            spot_c = 0.0
 
-        area = lights_ref[li, 14] * lights_ref[li, 15]
-        lnx = lights_ref[li, 16]
-        lny = lights_ref[li, 17]
-        lnz = lights_ref[li, 18]
-        angle_att = jnp.maximum(
-            (lnx * tpx + lny * tpy + lnz * tpz) * inv_dist, 0.0
-        )
-        area_main = angle_att * smooth_att * area * intensity
-        area_linedef = smooth_att * area * intensity
-        area_c = f_linedef * area_linedef + (1.0 - f_linedef) * area_main
-        inner_f = (dist < 0.1).astype(jnp.float32)
-        area_c = inner_f + (1.0 - inner_f) * area_c
+        if p_area or p_day:
+            lnx = lights_ref[li, 16]
+            lny = lights_ref[li, 17]
+            lnz = lights_ref[li, 18]
+            angle_att = jnp.maximum(
+                (lnx * tpx + lny * tpy + lnz * tpz) * inv_dist, 0.0
+            )
+        if p_area:
+            area = lights_ref[li, 14] * lights_ref[li, 15]
+            area_main = angle_att * smooth_att * area * intensity
+            area_linedef = smooth_att * area * intensity
+            area_c = f_linedef * area_linedef + (1.0 - f_linedef) * area_main
+            inner_f = (dist < 0.1).astype(jnp.float32)
+            area_c = inner_f + (1.0 - inner_f) * area_c
+        else:
+            area_c = 0.0
 
-        day_c = angle_att * smooth_att * intensity
+        day_c = angle_att * smooth_att * intensity if p_day else 0.0
 
-        scale = (
-            f_point * point_c
-            + f_amb * intensity
-            + f_spot * spot_c
-            + f_area * area_c
-            + f_day * day_c
-        )
-
-        ok_f = valid * (f_amb + (1.0 - f_amb) * rng_f)
-        ok_f = ok_f * (1.0 - f_spot * (1.0 - spot_ok_f))
+        if lt is None:
+            scale = (
+                f_point * point_c
+                + f_amb * intensity
+                + f_spot * spot_c
+                + f_area * area_c
+                + f_day * day_c
+            )
+            ok_f = valid * (f_amb + (1.0 - f_amb) * rng_f)
+            ok_f = ok_f * (1.0 - f_spot * (1.0 - spot_ok_f))
+        else:
+            # exactly one one-hot is 1.0: the blends reduce to that term
+            scale = (
+                point_c if lt == 0
+                else intensity if lt in (1, 2)
+                else spot_c if lt == 3
+                else area_c if lt == 4
+                else day_c
+            )
+            if lt in (1, 2):
+                ok_f = valid
+            elif lt == 3:
+                ok_f = valid * rng_f * spot_ok_f
+            else:
+                ok_f = valid * rng_f
 
         ldx = -tpx * inv_dist
         ldy = -tpy * inv_dist
         ldz = -tpz * inv_dist
-        lambert = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
-        needs = f_point + f_spot + f_area
-        lam = needs * lambert + (1.0 - needs)
+        if lt is None:
+            needs = f_point + f_spot + f_area
+            lambert = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
+            lam = needs * lambert + (1.0 - needs)
+        elif lt in (0, 3, 4):
+            lam = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
+        else:
+            lam = 1.0
 
         rad = ok_f * scale * lam
         rad_r = lights_ref[li, 7] * rad
@@ -820,7 +873,7 @@ def unpack_frame_u32(rgba_u32) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "width", "height", "sample_mode", "has_blend", "has_material",
-        "interpret", "force_hbm", "full_height",
+        "interpret", "force_hbm", "full_height", "light_spec", "sun_off",
     ),
 )
 def mega_render(
@@ -828,7 +881,8 @@ def mega_render(
     params, lights_packed, occ_packed,
     width: int, height: int, sample_mode: int = 0, has_blend: bool = False,
     has_material: bool = False, interpret: bool = False,
-    force_hbm: bool = False, full_height: int = None,
+    force_hbm: bool = False, full_height: int = None, light_spec: tuple = None,
+    sun_off: bool = False,
 ):
     """One composed opaque frame -> (rgba_u32 (H,W) i32, z_eff (H,W) f32).
 
@@ -990,7 +1044,7 @@ def mega_render(
     rgba, zeff = pl.pallas_call(
         functools.partial(
             _mega_kernel, n_attr, sample_mode, has_blend, has_material,
-            hbm_tables, use_cbox,
+            hbm_tables, use_cbox, light_spec, sun_off,
         ),
         grid_spec=grid_spec,
         out_shape=[

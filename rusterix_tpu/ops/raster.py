@@ -119,6 +119,8 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "has_brush",
         "has_dyn",
         "has_material",
+        "light_spec",
+        "sun_off",
     ),
 )
 def render_frame(
@@ -149,6 +151,8 @@ def render_frame(
     d3_op_dyn=None,
     d2_dyn=None,
     has_material: bool = False,
+    light_spec: tuple = None,
+    sun_off: bool = False,
 ):
     """One full frame on device -> (H, W, 4) uint8."""
     view = uniforms["view"]
@@ -202,7 +206,7 @@ def render_frame(
             pack_light_params(lights),
             pack_occ_params(uniforms),
             width, height, sample_mode, has_blend, has_material,
-            interpret=interpret,
+            interpret=interpret, light_spec=light_spec, sun_off=sun_off,
         )
         if not (has_sky or has_opacity or has_d2 or has_brush):
             return unpack_frame_u32(rgba_u32)
@@ -296,6 +300,8 @@ def render_frame(
         "has_brush",
         "has_dyn",
         "has_material",
+        "light_spec",
+        "sun_off",
     ),
 )
 def render_frame_arena(
@@ -323,6 +329,8 @@ def render_frame_arena(
     has_brush: bool = False,
     has_dyn: bool = False,
     has_material: bool = False,
+    light_spec: tuple = None,
+    sun_off: bool = False,
 ):
     """render_frame behind ONE per-frame upload: the dynamic packs, lights
     and uniforms arrive as a single uint32 arena (see ops/arena.py) and are
@@ -339,7 +347,7 @@ def render_frame_arena(
         sample_mode, preserve_transparency, has_ambient, has_lights,
         has_opacity, has_d2, shaders, use_pallas, has_sky, has_fog, sky_pre,
         has_blend, has_brush, has_dyn, d3_dyn, d3_op_dyn, d2_dyn,
-        has_material,
+        has_material, light_spec, sun_off,
     )
 
 
@@ -864,6 +872,16 @@ class Rasterizer:
             has_material=bool(
                 (packed.d3.rough != 0.5).any() or packed.d3.metal.any()
             ),
+            # static per-light (row, type) of the VALID rows: the megakernel
+            # emits only each light's own attenuation path and never visits
+            # dead padding rows (types are host numpy here; the kernel can't
+            # inspect them at trace time)
+            light_spec=tuple(
+                (i, int(t))
+                for i, t in enumerate(np.asarray(lights["type"]))
+                if float(lights["valid"][i]) > 0.5
+            ),
+            sun_off=not (self.sun_dir is not None and self.day_factor > 0),
         )
         #: exact args of the last frame — consumed by profiling's
         #: full-frame phase ablations (numpy leaves are fine there: the

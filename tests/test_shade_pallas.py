@@ -170,3 +170,31 @@ def test_no_cbox_gate_matches_full_hierarchy(monkeypatch):
         mk.mega_render = orig
         raster.render_frame.clear_cache()
     assert np.array_equal(ref, out)
+
+
+def test_light_spec_specialization_is_bit_exact():
+    """The per-light-type static specialization (light_spec) and the static
+    sun skip (sun_off) must be BIT-identical to the generic runtime one-hot
+    blend: the one-hot factors are exact 0/1 and every dropped term is
+    finite, so eliminating them cannot change any sum."""
+    import rusterix_tpu.ops.megakernel as mk
+    from rusterix_tpu.ops import raster
+
+    for sun in (True, False):
+        ref = _render(LIGHT_SETS["mixed"], use_pallas=True, sun=sun)
+
+        orig = mk.mega_render
+
+        def generic(*args, **kw):
+            kw["light_spec"] = None
+            kw["sun_off"] = False
+            return orig(*args, **kw)
+
+        mk.mega_render = generic
+        raster.render_frame.clear_cache()
+        try:
+            out = _render(LIGHT_SETS["mixed"], use_pallas=True, sun=sun)
+        finally:
+            mk.mega_render = orig
+            raster.render_frame.clear_cache()
+        assert np.array_equal(ref, out), f"sun={sun}"
