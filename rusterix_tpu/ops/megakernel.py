@@ -387,363 +387,377 @@ def _mega_kernel(
         def _():
             dma_super(s_end, jax.lax.rem(k_end, 2)).wait()
 
-    z = 1.0 / zeff_ref[:]  # back from the max-1/z scan domain
-    hit = idx_scr[:] >= 0
+    # tiles with no winner at all (pure sky/background — ~40% of the
+    # 1080p map frame) skip the ENTIRE per-pixel pipeline below
+    # (interp + texel + lighting + fog + compose) and just copy the
+    # background through; the scan above already exited cheaply via the
+    # super bbox gate.
+    tile_hit = idx_scr[:] >= 0
 
-    # ---- stage 2: plane interpolation ----
-    def interp(i):
-        return a_scr[3 * i] * xg + a_scr[3 * i + 1] * yg + a_scr[3 * i + 2]
+    @pl.when(jnp.any(tile_hit))
+    def _shade_tile():
+        z = 1.0 / zeff_ref[:]  # back from the max-1/z scan domain
+        hit = idx_scr[:] >= 0
 
-    inv_w = interp(0)
-    safe_w = jnp.where(inv_w == 0.0, 1.0, inv_w)
-    u = interp(1) / safe_w
-    v = interp(2) / safe_w
-    nx = interp(3)
-    ny = interp(4)
-    nz = interp(5)
+        # ---- stage 2: plane interpolation ----
+        def interp(i):
+            return a_scr[3 * i] * xg + a_scr[3 * i + 1] * yg + a_scr[3 * i + 2]
 
-    kind = a_scr[18]
-    repeat = a_scr[19]
-    fullbright = (repeat >= 4.0).astype(jnp.float32)
-    repeat = repeat - 4.0 * fullbright
-    has_n = a_scr[20]
-    rgba_cols = [a_scr[21 + c] for c in range(4)]
-    amb_r, amb_g, amb_b = a_scr[25], a_scr[26], a_scr[27]
-    rect = (a_scr[28], a_scr[29], a_scr[30], a_scr[31])
+        inv_w = interp(0)
+        safe_w = jnp.where(inv_w == 0.0, 1.0, inv_w)
+        u = interp(1) / safe_w
+        v = interp(2) / safe_w
+        nx = interp(3)
+        ny = interp(4)
+        nz = interp(5)
 
-    # ---- stage 3: texel resolve ----
-    atlas_w = params_ref[54].astype(jnp.int32)
-    tex = _texel_lookup(
-        atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode, atlas_w
-    )
-    if has_blend:
-        mb = 34 if has_material else 32  # blend ext start (module header)
-        rect2 = (a_scr[mb + 8], a_scr[mb + 9], a_scr[mb + 10], a_scr[mb + 11])
-        rgba2_cols = [a_scr[mb + 4 + c] for c in range(4)]
-        tex2 = _texel_lookup(
-            atlas_ref, u, v, rect2, a_scr[mb + 3], rgba2_cols, repeat,
-            sample_mode, atlas_w,
+        kind = a_scr[18]
+        repeat = a_scr[19]
+        fullbright = (repeat >= 4.0).astype(jnp.float32)
+        repeat = repeat - 4.0 * fullbright
+        has_n = a_scr[20]
+        rgba_cols = [a_scr[21 + c] for c in range(4)]
+        amb_r, amb_g, amb_b = a_scr[25], a_scr[26], a_scr[27]
+        rect = (a_scr[28], a_scr[29], a_scr[30], a_scr[31])
+
+        # ---- stage 3: texel resolve ----
+        atlas_w = params_ref[54].astype(jnp.int32)
+        tex = _texel_lookup(
+            atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode, atlas_w
         )
-        b_w = jnp.clip(
-            (a_scr[mb] * xg + a_scr[mb + 1] * yg + a_scr[mb + 2]) / safe_w,
-            0.0, 1.0,
-        )
-        blend_on = (a_scr[mb + 3] >= 0.0).astype(jnp.float32) * b_w
-        tex = [a * (1.0 - blend_on) + b * blend_on for a, b in zip(tex, tex2)]
-    tex_r, tex_g, tex_b, tex_a = tex
+        if has_blend:
+            mb = 34 if has_material else 32  # blend ext start (module header)
+            rect2 = (a_scr[mb + 8], a_scr[mb + 9], a_scr[mb + 10], a_scr[mb + 11])
+            rgba2_cols = [a_scr[mb + 4 + c] for c in range(4)]
+            tex2 = _texel_lookup(
+                atlas_ref, u, v, rect2, a_scr[mb + 3], rgba2_cols, repeat,
+                sample_mode, atlas_w,
+            )
+            b_w = jnp.clip(
+                (a_scr[mb] * xg + a_scr[mb + 1] * yg + a_scr[mb + 2]) / safe_w,
+                0.0, 1.0,
+            )
+            blend_on = (a_scr[mb + 3] >= 0.0).astype(jnp.float32) * b_w
+            tex = [a * (1.0 - blend_on) + b * blend_on for a, b in zip(tex, tex2)]
+        tex_r, tex_g, tex_b, tex_a = tex
 
-    # ---- stage 4: lighting (rasterizer.rs:1319-1412 + light.rs:491-653) ----
-    width = params_ref[41]
-    height = params_ref[42]
-    x_ndc = 2.0 * (xg / width) - 1.0
-    y_ndc = 1.0 - 2.0 * (yg / height)
+        # ---- stage 4: lighting (rasterizer.rs:1319-1412 + light.rs:491-653) ----
+        width = params_ref[41]
+        height = params_ref[42]
+        x_ndc = 2.0 * (xg / width) - 1.0
+        y_ndc = 1.0 - 2.0 * (yg / height)
 
-    def mat(base, r, c):
-        return params_ref[base + 4 * r + c]
+        def mat(base, r, c):
+            return params_ref[base + 4 * r + c]
 
-    vx = mat(0, 0, 0) * x_ndc + mat(0, 0, 1) * y_ndc + mat(0, 0, 2) * z + mat(0, 0, 3)
-    vy = mat(0, 1, 0) * x_ndc + mat(0, 1, 1) * y_ndc + mat(0, 1, 2) * z + mat(0, 1, 3)
-    vz = mat(0, 2, 0) * x_ndc + mat(0, 2, 1) * y_ndc + mat(0, 2, 2) * z + mat(0, 2, 3)
-    vw = mat(0, 3, 0) * x_ndc + mat(0, 3, 1) * y_ndc + mat(0, 3, 2) * z + mat(0, 3, 3)
-    inv_vw = 1.0 / vw
-    vx *= inv_vw
-    vy *= inv_vw
-    vz *= inv_vw
-    wx = mat(16, 0, 0) * vx + mat(16, 0, 1) * vy + mat(16, 0, 2) * vz + mat(16, 0, 3)
-    wy = mat(16, 1, 0) * vx + mat(16, 1, 1) * vy + mat(16, 1, 2) * vz + mat(16, 1, 3)
-    wz = mat(16, 2, 0) * vx + mat(16, 2, 1) * vy + mat(16, 2, 2) * vz + mat(16, 2, 3)
+        vx = mat(0, 0, 0) * x_ndc + mat(0, 0, 1) * y_ndc + mat(0, 0, 2) * z + mat(0, 0, 3)
+        vy = mat(0, 1, 0) * x_ndc + mat(0, 1, 1) * y_ndc + mat(0, 1, 2) * z + mat(0, 1, 3)
+        vz = mat(0, 2, 0) * x_ndc + mat(0, 2, 1) * y_ndc + mat(0, 2, 2) * z + mat(0, 2, 3)
+        vw = mat(0, 3, 0) * x_ndc + mat(0, 3, 1) * y_ndc + mat(0, 3, 2) * z + mat(0, 3, 3)
+        inv_vw = 1.0 / vw
+        vx *= inv_vw
+        vy *= inv_vw
+        vz *= inv_vw
+        wx = mat(16, 0, 0) * vx + mat(16, 0, 1) * vy + mat(16, 0, 2) * vz + mat(16, 0, 3)
+        wy = mat(16, 1, 0) * vx + mat(16, 1, 1) * vy + mat(16, 1, 2) * vz + mat(16, 1, 3)
+        wz = mat(16, 2, 0) * vx + mat(16, 2, 1) * vy + mat(16, 2, 2) * vz + mat(16, 2, 3)
 
-    cam_x = params_ref[32]
-    cam_y = params_ref[33]
-    cam_z = params_ref[34]
+        cam_x = params_ref[32]
+        cam_y = params_ref[33]
+        cam_z = params_ref[34]
 
-    vdx = cam_x - wx
-    vdy = cam_y - wy
-    vdz = cam_z - wz
-    vlen = jnp.sqrt(vdx * vdx + vdy * vdy + vdz * vdz)
-    inv_vlen = 1.0 / jnp.maximum(vlen, 1e-30)
-    vdx *= inv_vlen
-    vdy *= inv_vlen
-    vdz *= inv_vlen
+        vdx = cam_x - wx
+        vdy = cam_y - wy
+        vdz = cam_z - wz
+        vlen = jnp.sqrt(vdx * vdx + vdy * vdy + vdz * vdz)
+        inv_vlen = 1.0 / jnp.maximum(vlen, 1e-30)
+        vdx *= inv_vlen
+        vdy *= inv_vlen
+        vdz *= inv_vlen
 
-    nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-    inv_nlen = 1.0 / jnp.maximum(nlen, 1e-30)
-    ux = nx * inv_nlen
-    uy = ny * inv_nlen
-    uz = nz * inv_nlen
-    flip = jnp.where(ux * vdx + uy * vdy + uz * vdz < 0.0, -1.0, 1.0)
-    n_ok = has_n > 0.5
-    ux = jnp.where(n_ok, ux * flip, 0.0)
-    uy = jnp.where(n_ok, uy * flip, 0.0)
-    uz = jnp.where(n_ok, uz * flip, 0.0)
+        nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+        inv_nlen = 1.0 / jnp.maximum(nlen, 1e-30)
+        ux = nx * inv_nlen
+        uy = ny * inv_nlen
+        uz = nz * inv_nlen
+        flip = jnp.where(ux * vdx + uy * vdy + uz * vdz < 0.0, -1.0, 1.0)
+        n_ok = has_n > 0.5
+        ux = jnp.where(n_ok, ux * flip, 0.0)
+        uy = jnp.where(n_ok, uy * flip, 0.0)
+        uz = jnp.where(n_ok, uz * flip, 0.0)
 
-    base_r = _srgb_to_linear(tex_r)
-    base_g = _srgb_to_linear(tex_g)
-    base_b = _srgb_to_linear(tex_b)
+        base_r = _srgb_to_linear(tex_r)
+        base_g = _srgb_to_linear(tex_g)
+        base_b = _srgb_to_linear(tex_b)
 
-    if has_material:
-        # per-batch constant material from baked shaders (cols 32/33):
-        # same math as shade_fast_brdf with variable roughness/metallic
-        m_rough = jnp.clip(a_scr[32], 0.0, 1.0)
-        m_metal = jnp.clip(a_scr[33], 0.0, 1.0)
-        f0_r = 0.04 + (base_r - 0.04) * m_metal
-        f0_g = 0.04 + (base_g - 0.04) * m_metal
-        f0_b = 0.04 + (base_b - 0.04) * m_metal
-        f0_max = jnp.maximum(f0_r, jnp.maximum(f0_g, f0_b))
-        kd_scale = (1.0 - m_metal) * (1.0 - f0_max)
-        kd_r = base_r * kd_scale
-        kd_g = base_g * kd_scale
-        kd_b = base_b * kd_scale
-        alpha_m = jnp.maximum(m_rough * m_rough, 1e-4)
-        shininess = jnp.clip(2.0 / alpha_m - 2.0, 1.0, 2048.0)
-    else:
-        # roughness fixed at 0.5, metallic 0 (rasterizer.rs:1284): f0=0.04,
-        # shininess 6 — integer power keeps the transcendentals out
-        kd_r = base_r * 0.96
-        kd_g = base_g * 0.96
-        kd_b = base_b * 0.96
-    hemi = 0.5 * (uy + 1.0)
-
-    occlusion = jnp.ones_like(wx)
-    for bi in range(occ_ref.shape[0]):
-        inside = (
-            (wx >= occ_ref[bi, 0])
-            & (wz >= occ_ref[bi, 1])
-            & (wx <= occ_ref[bi, 2])
-            & (wz <= occ_ref[bi, 3])
-        )
-        occlusion = jnp.minimum(occlusion, jnp.where(inside, occ_ref[bi, 4], 1.0))
-
-    has_ambient = params_ref[35]
-    lit_r = has_ambient * params_ref[36] * kd_r * hemi
-    lit_g = has_ambient * params_ref[37] * kd_g * hemi
-    lit_b = has_ambient * params_ref[38] * kd_b * hemi
-
-    def brdf(ldx, ldy, ldz, rad_r, rad_g, rad_b):
-        n_dot_l = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
-        hx = ldx + vdx
-        hy = ldy + vdy
-        hz = ldz + vdz
-        hl = jnp.sqrt(hx * hx + hy * hy + hz * hz)
-        inv_hl = 1.0 / jnp.maximum(hl, 1e-30)
-        n_dot_h = jnp.maximum((ux * hx + uy * hy + uz * hz) * inv_hl, 0.0)
         if has_material:
-            spec_b = jnp.where(
-                n_dot_h > 0.0,
-                jnp.exp2(
-                    shininess * (jnp.log2(jnp.maximum(n_dot_h, 1e-38)))
-                ),
-                0.0,
-            )
+            # per-batch constant material from baked shaders (cols 32/33):
+            # same math as shade_fast_brdf with variable roughness/metallic
+            m_rough = jnp.clip(a_scr[32], 0.0, 1.0)
+            m_metal = jnp.clip(a_scr[33], 0.0, 1.0)
+            f0_r = 0.04 + (base_r - 0.04) * m_metal
+            f0_g = 0.04 + (base_g - 0.04) * m_metal
+            f0_b = 0.04 + (base_b - 0.04) * m_metal
+            f0_max = jnp.maximum(f0_r, jnp.maximum(f0_g, f0_b))
+            kd_scale = (1.0 - m_metal) * (1.0 - f0_max)
+            kd_r = base_r * kd_scale
+            kd_g = base_g * kd_scale
+            kd_b = base_b * kd_scale
+            alpha_m = jnp.maximum(m_rough * m_rough, 1e-4)
+            shininess = jnp.clip(2.0 / alpha_m - 2.0, 1.0, 2048.0)
         else:
-            nh2 = n_dot_h * n_dot_h
-            spec_b = nh2 * nh2 * nh2
-        n_dot_v = jnp.maximum(ux * vdx + uy * vdy + uz * vdz, 0.0)
-        x1 = 1.0 - jnp.clip(n_dot_v, 0.0, 1.0)
-        x2 = x1 * x1
-        x5 = x2 * x2 * x1
-        if has_material:
-            fr = f0_r + (1.0 - f0_r) * x5
-            fg = f0_g + (1.0 - f0_g) * x5
-            fb = f0_b + (1.0 - f0_b) * x5
-        else:
-            fr = fg = fb = 0.04 + 0.96 * x5
-        sb = spec_b * n_dot_l
-        dead = n_dot_l <= 0.0
-        return (
-            jnp.where(dead, 0.0, (kd_r * n_dot_l + fr * sb) * rad_r),
-            jnp.where(dead, 0.0, (kd_g * n_dot_l + fg * sb) * rad_g),
-            jnp.where(dead, 0.0, (kd_b * n_dot_l + fb * sb) * rad_b),
-        )
+            # roughness fixed at 0.5, metallic 0 (rasterizer.rs:1284): f0=0.04,
+            # shininess 6 — integer power keeps the transcendentals out
+            kd_r = base_r * 0.96
+            kd_g = base_g * 0.96
+            kd_b = base_b * 0.96
+        hemi = 0.5 * (uy + 1.0)
 
-    # sun_off (static): the caller knows host-side that has_sun == 0, so the
-    # whole sun BRDF drops out (bit-safe: its contribution would be
-    # has_sun * finite = 0.0 exactly)
-    if not sun_off:
-        has_sun = params_ref[43]
-        sdx = -params_ref[44]
-        sdy = -params_ref[45]
-        sdz = -params_ref[46]
-        slen = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
-        inv_slen = 1.0 / jnp.maximum(slen, 1e-30)
-        day = params_ref[47]
-        sr, sg, sb = brdf(
-            sdx * inv_slen, sdy * inv_slen, sdz * inv_slen,
-            day * params_ref[55], day * params_ref[56], day * params_ref[57],
-        )
-        lit_r += has_sun * sr
-        lit_g += has_sun * sg
-        lit_b += has_sun * sb
-
-    lit_r *= occlusion
-    lit_g *= occlusion
-    lit_b *= occlusion
-
-    lit_r += amb_r * kd_r * hemi
-    lit_g += amb_g * kd_g * hemi
-    lit_b += amb_b * kd_b * hemi
-
-    # light_spec (static, from the caller): tuple of (row, type_code) for the
-    # VALID light rows — each light emits ONLY its own type's attenuation
-    # path (dead padding rows are never visited). None falls back to the
-    # generic runtime one-hot blend over every row (the sharded path, whose
-    # lights are device arrays at call time). Bit-compatible: the one-hot
-    # factors are exact 0.0/1.0 and every blended term is finite, so
-    # dropping the zero-weighted terms cannot change the sum.
-    if light_spec is None:
-        light_iter = [(li, None) for li in range(lights_ref.shape[0])]
-    else:
-        light_iter = list(light_spec)
-    for li, lt in light_iter:
-        lpx = lights_ref[li, 0]
-        lpy = lights_ref[li, 1]
-        lpz = lights_ref[li, 2]
-        start = lights_ref[li, 4]
-        end = lights_ref[li, 5]
-        intensity = lights_ref[li, 6]
-        valid = lights_ref[li, 20]
-        # static emission predicates (p_*): which paths THIS light needs.
-        # f_* stay the numeric one-hot factors (traced in generic mode,
-        # exact Python 0/1 in specialized mode).
-        p_point = lt is None or lt == 0
-        p_amb = lt is None or lt in (1, 2)
-        p_spot = lt is None or lt == 3
-        p_area = lt is None or lt == 4
-        p_day = lt is None or lt not in (0, 1, 2, 3, 4)
-        if lt is None:
-            f_point = lights_ref[li, 3]
-            f_amb = lights_ref[li, 21]
-            f_spot = lights_ref[li, 22]
-            f_area = lights_ref[li, 23]
-            f_day = 1.0 - f_point - f_amb - f_spot - f_area
-        f_linedef = lights_ref[li, 19]
-
-        tpx = wx - lpx
-        tpy = wy - lpy
-        tpz = wz - lpz
-        dist = jnp.sqrt(tpx * tpx + tpy * tpy + tpz * tpz)
-        inv_dist = 1.0 / jnp.maximum(dist, 1e-20)
-
-        rng_f = (dist < end).astype(jnp.float32)
-        near_f = (dist <= start).astype(jnp.float32)
-        if p_point or p_area or p_day:
-            smooth_att = near_f + (1.0 - near_f) * _smoothstep(end, start, dist)
-
-        point_c = intensity * smooth_att if p_point else 0.0
-
-        if p_spot:
-            lin_att = near_f + (1.0 - near_f) * (
-                1.0 - (dist - start) / jnp.maximum(end - start, 1e-20)
+        occlusion = jnp.ones_like(wx)
+        for bi in range(occ_ref.shape[0]):
+            inside = (
+                (wx >= occ_ref[bi, 0])
+                & (wz >= occ_ref[bi, 1])
+                & (wx <= occ_ref[bi, 2])
+                & (wz <= occ_ref[bi, 3])
             )
-            dirx = lights_ref[li, 10]
-            diry = lights_ref[li, 11]
-            dirz = lights_ref[li, 12]
-            cosang = jnp.clip(
-                (dirx * tpx + diry * tpy + dirz * tpz) * inv_dist, -1.0, 1.0
-            )
-            spot_ok_f = (cosang >= lights_ref[li, 13]).astype(jnp.float32)
-            spot_c = spot_ok_f * intensity * lin_att
-        else:
-            spot_c = 0.0
+            occlusion = jnp.minimum(occlusion, jnp.where(inside, occ_ref[bi, 4], 1.0))
 
-        if p_area or p_day:
-            lnx = lights_ref[li, 16]
-            lny = lights_ref[li, 17]
-            lnz = lights_ref[li, 18]
-            angle_att = jnp.maximum(
-                (lnx * tpx + lny * tpy + lnz * tpz) * inv_dist, 0.0
-            )
-        if p_area:
-            area = lights_ref[li, 14] * lights_ref[li, 15]
-            area_main = angle_att * smooth_att * area * intensity
-            area_linedef = smooth_att * area * intensity
-            area_c = f_linedef * area_linedef + (1.0 - f_linedef) * area_main
-            inner_f = (dist < 0.1).astype(jnp.float32)
-            area_c = inner_f + (1.0 - inner_f) * area_c
-        else:
-            area_c = 0.0
+        has_ambient = params_ref[35]
+        lit_r = has_ambient * params_ref[36] * kd_r * hemi
+        lit_g = has_ambient * params_ref[37] * kd_g * hemi
+        lit_b = has_ambient * params_ref[38] * kd_b * hemi
 
-        day_c = angle_att * smooth_att * intensity if p_day else 0.0
-
-        if lt is None:
-            scale = (
-                f_point * point_c
-                + f_amb * intensity
-                + f_spot * spot_c
-                + f_area * area_c
-                + f_day * day_c
-            )
-            ok_f = valid * (f_amb + (1.0 - f_amb) * rng_f)
-            ok_f = ok_f * (1.0 - f_spot * (1.0 - spot_ok_f))
-        else:
-            # exactly one one-hot is 1.0: the blends reduce to that term
-            scale = (
-                point_c if lt == 0
-                else intensity if lt in (1, 2)
-                else spot_c if lt == 3
-                else area_c if lt == 4
-                else day_c
-            )
-            if lt in (1, 2):
-                ok_f = valid
-            elif lt == 3:
-                ok_f = valid * rng_f * spot_ok_f
+        def brdf(ldx, ldy, ldz, rad_r, rad_g, rad_b):
+            n_dot_l = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
+            hx = ldx + vdx
+            hy = ldy + vdy
+            hz = ldz + vdz
+            hl = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+            inv_hl = 1.0 / jnp.maximum(hl, 1e-30)
+            n_dot_h = jnp.maximum((ux * hx + uy * hy + uz * hz) * inv_hl, 0.0)
+            if has_material:
+                spec_b = jnp.where(
+                    n_dot_h > 0.0,
+                    jnp.exp2(
+                        shininess * (jnp.log2(jnp.maximum(n_dot_h, 1e-38)))
+                    ),
+                    0.0,
+                )
             else:
-                ok_f = valid * rng_f
+                nh2 = n_dot_h * n_dot_h
+                spec_b = nh2 * nh2 * nh2
+            n_dot_v = jnp.maximum(ux * vdx + uy * vdy + uz * vdz, 0.0)
+            x1 = 1.0 - jnp.clip(n_dot_v, 0.0, 1.0)
+            x2 = x1 * x1
+            x5 = x2 * x2 * x1
+            if has_material:
+                fr = f0_r + (1.0 - f0_r) * x5
+                fg = f0_g + (1.0 - f0_g) * x5
+                fb = f0_b + (1.0 - f0_b) * x5
+            else:
+                fr = fg = fb = 0.04 + 0.96 * x5
+            sb = spec_b * n_dot_l
+            dead = n_dot_l <= 0.0
+            return (
+                jnp.where(dead, 0.0, (kd_r * n_dot_l + fr * sb) * rad_r),
+                jnp.where(dead, 0.0, (kd_g * n_dot_l + fg * sb) * rad_g),
+                jnp.where(dead, 0.0, (kd_b * n_dot_l + fb * sb) * rad_b),
+            )
 
-        ldx = -tpx * inv_dist
-        ldy = -tpy * inv_dist
-        ldz = -tpz * inv_dist
-        if lt is None:
-            needs = f_point + f_spot + f_area
-            lambert = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
-            lam = needs * lambert + (1.0 - needs)
-        elif lt in (0, 3, 4):
-            lam = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
+        # sun_off (static): the caller knows host-side that has_sun == 0, so the
+        # whole sun BRDF drops out (bit-safe: its contribution would be
+        # has_sun * finite = 0.0 exactly)
+        if not sun_off:
+            has_sun = params_ref[43]
+            sdx = -params_ref[44]
+            sdy = -params_ref[45]
+            sdz = -params_ref[46]
+            slen = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
+            inv_slen = 1.0 / jnp.maximum(slen, 1e-30)
+            day = params_ref[47]
+            sr, sg, sb = brdf(
+                sdx * inv_slen, sdy * inv_slen, sdz * inv_slen,
+                day * params_ref[55], day * params_ref[56], day * params_ref[57],
+            )
+            lit_r += has_sun * sr
+            lit_g += has_sun * sg
+            lit_b += has_sun * sb
+
+        lit_r *= occlusion
+        lit_g *= occlusion
+        lit_b *= occlusion
+
+        lit_r += amb_r * kd_r * hemi
+        lit_g += amb_g * kd_g * hemi
+        lit_b += amb_b * kd_b * hemi
+
+        # light_spec (static, from the caller): tuple of (row, type_code) for the
+        # VALID light rows — each light emits ONLY its own type's attenuation
+        # path (dead padding rows are never visited). None falls back to the
+        # generic runtime one-hot blend over every row (the sharded path, whose
+        # lights are device arrays at call time). Bit-compatible: the one-hot
+        # factors are exact 0.0/1.0 and every blended term is finite, so
+        # dropping the zero-weighted terms cannot change the sum.
+        if light_spec is None:
+            light_iter = [(li, None) for li in range(lights_ref.shape[0])]
         else:
-            lam = 1.0
+            light_iter = list(light_spec)
+        for li, lt in light_iter:
+            lpx = lights_ref[li, 0]
+            lpy = lights_ref[li, 1]
+            lpz = lights_ref[li, 2]
+            start = lights_ref[li, 4]
+            end = lights_ref[li, 5]
+            intensity = lights_ref[li, 6]
+            valid = lights_ref[li, 20]
+            # static emission predicates (p_*): which paths THIS light needs.
+            # f_* stay the numeric one-hot factors (traced in generic mode,
+            # exact Python 0/1 in specialized mode).
+            p_point = lt is None or lt == 0
+            p_amb = lt is None or lt in (1, 2)
+            p_spot = lt is None or lt == 3
+            p_area = lt is None or lt == 4
+            p_day = lt is None or lt not in (0, 1, 2, 3, 4)
+            if lt is None:
+                f_point = lights_ref[li, 3]
+                f_amb = lights_ref[li, 21]
+                f_spot = lights_ref[li, 22]
+                f_area = lights_ref[li, 23]
+                f_day = 1.0 - f_point - f_amb - f_spot - f_area
+            f_linedef = lights_ref[li, 19]
 
-        rad = ok_f * scale * lam
-        rad_r = lights_ref[li, 7] * rad
-        rad_g = lights_ref[li, 8] * rad
-        rad_b = lights_ref[li, 9] * rad
+            tpx = wx - lpx
+            tpy = wy - lpy
+            tpz = wz - lpz
+            dist = jnp.sqrt(tpx * tpx + tpy * tpy + tpz * tpz)
+            inv_dist = 1.0 / jnp.maximum(dist, 1e-20)
 
-        cr, cg, cb = brdf(ldx, ldy, ldz, rad_r, rad_g, rad_b)
-        has_rad = (
-            (rad_r != 0.0) | (rad_g != 0.0) | (rad_b != 0.0)
-        ).astype(jnp.float32)
-        lit_r += has_rad * cr
-        lit_g += has_rad * cg
-        lit_b += has_rad * cb
+            rng_f = (dist < end).astype(jnp.float32)
+            near_f = (dist <= start).astype(jnp.float32)
+            if p_point or p_area or p_day:
+                smooth_att = near_f + (1.0 - near_f) * _smoothstep(end, start, dist)
 
-    out_r = _linear_to_srgb(lit_r)
-    out_g = _linear_to_srgb(lit_g)
-    out_b = _linear_to_srgb(lit_b)
+            point_c = intensity * smooth_att if p_point else 0.0
 
-    # fullbright batches bypass lighting entirely (raw sRGB texel)
-    out_r = fullbright * tex_r + (1.0 - fullbright) * out_r
-    out_g = fullbright * tex_g + (1.0 - fullbright) * out_g
-    out_b = fullbright * tex_b + (1.0 - fullbright) * out_b
+            if p_spot:
+                lin_att = near_f + (1.0 - near_f) * (
+                    1.0 - (dist - start) / jnp.maximum(end - start, 1e-20)
+                )
+                dirx = lights_ref[li, 10]
+                diry = lights_ref[li, 11]
+                dirz = lights_ref[li, 12]
+                cosang = jnp.clip(
+                    (dirx * tpx + diry * tpy + dirz * tpz) * inv_dist, -1.0, 1.0
+                )
+                spot_ok_f = (cosang >= lights_ref[li, 13]).astype(jnp.float32)
+                spot_c = spot_ok_f * intensity * lin_att
+            else:
+                spot_c = 0.0
 
-    # ---- stage 5: distance fog (Fog render node, shapefx.rs:1071-1083) ----
-    has_fog = params_ref[48]
-    fog_t = has_fog * jnp.clip(
-        (vlen - params_ref[52]) / params_ref[53], 0.0, 1.0
-    )
-    out_r = out_r * (1.0 - fog_t) + params_ref[49] * fog_t
-    out_g = out_g * (1.0 - fog_t) + params_ref[50] * fog_t
-    out_b = out_b * (1.0 - fog_t) + params_ref[51] * fog_t
+            if p_area or p_day:
+                lnx = lights_ref[li, 16]
+                lny = lights_ref[li, 17]
+                lnz = lights_ref[li, 18]
+                angle_att = jnp.maximum(
+                    (lnx * tpx + lny * tpy + lnz * tpz) * inv_dist, 0.0
+                )
+            if p_area:
+                area = lights_ref[li, 14] * lights_ref[li, 15]
+                area_main = angle_att * smooth_att * area * intensity
+                area_linedef = smooth_att * area * intensity
+                area_c = f_linedef * area_linedef + (1.0 - f_linedef) * area_main
+                inner_f = (dist < 0.1).astype(jnp.float32)
+                area_c = inner_f + (1.0 - inner_f) * area_c
+            else:
+                area_c = 0.0
 
-    # ---- stage 6: compose + RGBA8 pack ----
-    a_u8 = jnp.floor(jnp.clip(tex_a, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.int32)
-    wrote = hit & (a_u8 >= 255)
+            day_c = angle_att * smooth_att * intensity if p_day else 0.0
 
-    def q(x):
-        return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.int32)
+            if lt is None:
+                scale = (
+                    f_point * point_c
+                    + f_amb * intensity
+                    + f_spot * spot_c
+                    + f_area * area_c
+                    + f_day * day_c
+                )
+                ok_f = valid * (f_amb + (1.0 - f_amb) * rng_f)
+                ok_f = ok_f * (1.0 - f_spot * (1.0 - spot_ok_f))
+            else:
+                # exactly one one-hot is 1.0: the blends reduce to that term
+                scale = (
+                    point_c if lt == 0
+                    else intensity if lt in (1, 2)
+                    else spot_c if lt == 3
+                    else area_c if lt == 4
+                    else day_c
+                )
+                if lt in (1, 2):
+                    ok_f = valid
+                elif lt == 3:
+                    ok_f = valid * rng_f * spot_ok_f
+                else:
+                    ok_f = valid * rng_f
 
-    packed = q(out_r) | (q(out_g) << 8) | (q(out_b) << 16) | (a_u8 << 24)
-    rgba_ref[:] = jnp.where(wrote, packed, bg_ref[:])
-    zeff_ref[:] = jnp.where(wrote, z, 1.0)
+            ldx = -tpx * inv_dist
+            ldy = -tpy * inv_dist
+            ldz = -tpz * inv_dist
+            if lt is None:
+                needs = f_point + f_spot + f_area
+                lambert = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
+                lam = needs * lambert + (1.0 - needs)
+            elif lt in (0, 3, 4):
+                lam = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
+            else:
+                lam = 1.0
+
+            rad = ok_f * scale * lam
+            rad_r = lights_ref[li, 7] * rad
+            rad_g = lights_ref[li, 8] * rad
+            rad_b = lights_ref[li, 9] * rad
+
+            cr, cg, cb = brdf(ldx, ldy, ldz, rad_r, rad_g, rad_b)
+            has_rad = (
+                (rad_r != 0.0) | (rad_g != 0.0) | (rad_b != 0.0)
+            ).astype(jnp.float32)
+            lit_r += has_rad * cr
+            lit_g += has_rad * cg
+            lit_b += has_rad * cb
+
+        out_r = _linear_to_srgb(lit_r)
+        out_g = _linear_to_srgb(lit_g)
+        out_b = _linear_to_srgb(lit_b)
+
+        # fullbright batches bypass lighting entirely (raw sRGB texel)
+        out_r = fullbright * tex_r + (1.0 - fullbright) * out_r
+        out_g = fullbright * tex_g + (1.0 - fullbright) * out_g
+        out_b = fullbright * tex_b + (1.0 - fullbright) * out_b
+
+        # ---- stage 5: distance fog (Fog render node, shapefx.rs:1071-1083) ----
+        has_fog = params_ref[48]
+        fog_t = has_fog * jnp.clip(
+            (vlen - params_ref[52]) / params_ref[53], 0.0, 1.0
+        )
+        out_r = out_r * (1.0 - fog_t) + params_ref[49] * fog_t
+        out_g = out_g * (1.0 - fog_t) + params_ref[50] * fog_t
+        out_b = out_b * (1.0 - fog_t) + params_ref[51] * fog_t
+
+        # ---- stage 6: compose + RGBA8 pack ----
+        a_u8 = jnp.floor(jnp.clip(tex_a, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.int32)
+        wrote = hit & (a_u8 >= 255)
+
+        def q(x):
+            return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.int32)
+
+        packed = q(out_r) | (q(out_g) << 8) | (q(out_b) << 16) | (a_u8 << 24)
+        rgba_ref[:] = jnp.where(wrote, packed, bg_ref[:])
+        zeff_ref[:] = jnp.where(wrote, z, 1.0)
+
+    @pl.when(jnp.logical_not(jnp.any(tile_hit)))
+    def _miss_tile():
+        rgba_ref[:] = bg_ref[:]
+        zeff_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
 
 
 def pack_mega_table(attr_planes, tri_id, meta, atlas, anim_frame,
