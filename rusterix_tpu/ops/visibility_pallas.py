@@ -212,16 +212,37 @@ def morton_sort(vis_planes, bbox, alive, tri_id, width: int, height: int,
         return v
 
     code = (spread(xi) << 1) | spread(yi)
-    key = jnp.where(alive > 0.5, code, jnp.uint32(0xFFFFFFFF))
-    perm = jnp.argsort(key)
+    t2 = bbox.shape[0]
+    slot_bits = max((t2 - 1).bit_length(), 1)
+    code_bits = 32 - slot_bits
+    if code_bits < 20:
+        # huge scenes: coarsen the curve so code|slot still fits u32 (the
+        # curve is a locality heuristic — any deterministic order is valid)
+        code = code >> (20 - code_bits)
+    # ONE u32 sort instead of argsort's variadic (key, iota) sort: the slot
+    # index rides the low bits (ties break by slot, same as stable argsort).
+    # Dead slots carry an all-ones code field -> sort to the end.
+    code = jnp.where(alive > 0.5, code, jnp.uint32((1 << code_bits) - 1))
+    packed_key = (code << slot_bits) | jnp.arange(t2, dtype=jnp.uint32)
+    perm = (jnp.sort(packed_key) & jnp.uint32((1 << slot_bits) - 1)).astype(
+        jnp.int32
+    )
+    # one fused row-gather over a combined matrix instead of five gathers
+    cols = [vis_planes, bbox, alive[:, None], tri_id.astype(jnp.float32)[:, None]]
+    n_extra = 0
+    if extra is not None:
+        cols.append(extra)
+        n_extra = extra.shape[1]
+    combined = jnp.concatenate(cols, axis=1)[perm]
+    nv = vis_planes.shape[1]
     out = (
-        vis_planes[perm],
-        bbox[perm],
-        alive[perm],
-        tri_id[perm],
+        combined[:, :nv],
+        combined[:, nv : nv + 4],
+        combined[:, nv + 4],
+        combined[:, nv + 5].astype(tri_id.dtype),
     )
     if extra is not None:
-        return out + (extra[perm],)
+        return out + (combined[:, nv + 6 : nv + 6 + n_extra],)
     return out
 
 
