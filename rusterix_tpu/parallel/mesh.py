@@ -58,8 +58,15 @@ def render_frame_sharded(
     has_d2: bool = False,
     use_pallas: bool = False,
     has_material: bool = False,
+    light_spec: tuple = None,
+    sun_off: bool = False,
 ):
     """Render one frame with triangles+rows sharded over `mesh`.
+
+    light_spec / sun_off are the megakernel's static lighting
+    specialization (ops/megakernel.py) — callers that hold the packed
+    lights host-side (tests, the driver dryrun, an engine host loop)
+    can pass them; None keeps the generic runtime one-hot loop.
 
     Requirements: height % n_devices == 0 and d3 capacity % n_devices == 0
     (both are padded powers of two in practice).
@@ -136,6 +143,7 @@ def render_frame_sharded(
                 pack_occ_params(uniforms_r),
                 width, rows_local, sample_mode, False, has_material,
                 interpret=interpret, full_height=height,
+                light_spec=light_spec, sun_off=sun_off,
             )
             frame = unpack_frame_u32(rgba_u32).astype(jnp.float32) * (1.0 / 255.0)
         else:
@@ -175,7 +183,8 @@ def render_frame_sharded(
 
 
 def render_sharded_jit(mesh, width, height, sample_mode, has_ambient,
-                       has_lights, has_d2, use_pallas=False):
+                       has_lights, has_d2, use_pallas=False,
+                       light_spec=None, sun_off=False):
     """jitted closure for a fixed config."""
 
     @jax.jit
@@ -183,7 +192,7 @@ def render_sharded_jit(mesh, width, height, sample_mode, has_ambient,
         return render_frame_sharded(
             mesh, d3, d2, lights, atlas, uniforms, background,
             width, height, sample_mode, has_ambient, has_lights, has_d2,
-            use_pallas,
+            use_pallas, light_spec=light_spec, sun_off=sun_off,
         )
 
     return run

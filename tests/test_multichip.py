@@ -288,3 +288,29 @@ def test_sharded_megakernel_early_out_keeps_lower_shard_geometry(mesh8):
         )
     )
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_light_spec_matches_generic(mesh8):
+    """The static lighting specialization (light_spec/sun_off) must be
+    byte-identical under sharding too (same bit-compatibility argument as
+    the single-chip test in test_shade_pallas)."""
+    width, height = 64, 48
+    rast, scene, assets, packed = _cube_scene(width, height, tris=24)
+    frame, cache, ld, uni, packed = _single_frame(rast, scene, assets, width, height)
+    spec = tuple(
+        (i, int(t))
+        for i, t in enumerate(np.asarray(packed.lights["type"]))
+        if float(packed.lights["valid"][i]) > 0.5
+    )
+    assert spec  # the cube scene has a real point light
+    generic = _sharded_frame(
+        mesh8, cache, ld, uni, width, height,
+        sample_mode=0, has_ambient=True, has_lights=True, has_d2=True,
+        use_pallas=True,
+    )
+    specialized = _sharded_frame(
+        mesh8, cache, ld, uni, width, height,
+        sample_mode=0, has_ambient=True, has_lights=True, has_d2=True,
+        use_pallas=True, light_spec=spec, sun_off=True,
+    )
+    np.testing.assert_array_equal(generic, specialized)
