@@ -203,7 +203,7 @@ def _texel_lookup(atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode,
 
 def _mega_kernel(
     n_attr, sample_mode, has_blend, has_material, hbm_tables, use_cbox,
-    light_spec, sun_off,
+    light_spec, sun_off, stage_cut,
     sbox_ref, cbox_ref, snear_ref, params_ref, lights_ref, occ_ref,
     planes_ref, attr_ref, atlas_ref, bg_ref,
     rgba_ref, zeff_ref,
@@ -223,6 +223,18 @@ def _mega_kernel(
     cols_f = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
     yg = rows_f + (y_base.astype(jnp.float32) + 0.5)
     xg = cols_f + (x0.astype(jnp.float32) + 0.5)
+    # separable plane factors for the scan: a*x+b*y+c == (a*xs+c) + b*ys
+    # evaluated on a (1, W) row and an (H, 1) column — one broadcast-add
+    # over the tile per plane instead of two FMAs (same expression order as
+    # visibility.py, so edge decisions stay bit-equal across paths)
+    xs_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1).astype(jnp.float32)
+        + (x0.astype(jnp.float32) + 0.5)
+    )
+    ys_col = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, 1), 0).astype(jnp.float32)
+        + (y_base.astype(jnp.float32) + 0.5)
+    )
 
     # ---- stage 1: visibility scan (hierarchy of visibility_pallas) ----
     zeff_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
@@ -242,6 +254,11 @@ def _mega_kernel(
 
         def chunk_body(c, _2):
             def scan_chunk():
+                if stage_cut == 4:  # profiling: gates only, no scan body
+                    # SMEM side effect so the gated body isn't DCE'd (reset
+                    # by the per-super min(zeff) before anyone reads it)
+                    minb_scr[0] = minb_scr[0] + 1.0
+                    return
                 # winner tracked as MAX 1/z: strictly monotonic in z, so
                 # the per-triangle reciprocal disappears from the scan
                 # (one 1/x at the end instead of one per tri per pixel)
@@ -252,17 +269,20 @@ def _mega_kernel(
                 for k in range(CHUNK):
                     t = c * CHUNK + k
                     row = [planes_at(local_c + k, cf) for cf in range(12)]
-                    e0 = row[0] * xg + row[1] * yg + row[2]
-                    e1 = row[3] * xg + row[4] * yg + row[5]
-                    e2 = row[6] * xg + row[7] * yg + row[8]
-                    invz = row[9] * xg + row[10] * yg + row[11]
-                    cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                    e0 = (row[0] * xs_row + row[2]) + row[1] * ys_col
+                    e1 = (row[3] * xs_row + row[5]) + row[4] * ys_col
+                    e2 = (row[6] * xs_row + row[8]) + row[7] * ys_col
+                    invz = (row[9] * xs_row + row[11]) + row[10] * ys_col
+                    cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0
                     better = cov & (invz > best)
                     best = jnp.where(better, invz, best)
                     idx = jnp.where(better, t, idx)
                     won = better if won is False else (won | better)
                 zeff_ref[:] = best
                 idx_scr[:] = idx
+
+                if stage_cut == 3:  # profiling: scan without attr pull-in
+                    return
 
                 # chunks that won nothing skip the n_attr*CHUNK-select
                 # attribute pull-in (common under heavy overlap)
@@ -394,6 +414,10 @@ def _mega_kernel(
     # super bbox gate.
     tile_hit = idx_scr[:] >= 0
 
+    if stage_cut in (1, 3, 4):  # profiling: visibility scan only
+        rgba_ref[:] = idx_scr[:]
+        return
+
     @pl.when(jnp.any(tile_hit))
     def _shade_tile():
         z = 1.0 / zeff_ref[:]  # back from the max-1/z scan domain
@@ -440,6 +464,18 @@ def _mega_kernel(
             blend_on = (a_scr[mb + 3] >= 0.0).astype(jnp.float32) * b_w
             tex = [a * (1.0 - blend_on) + b * blend_on for a, b in zip(tex, tex2)]
         tex_r, tex_g, tex_b, tex_a = tex
+
+        if stage_cut == 2:  # profiling: scan + interp + texel, no shading
+            def q2(x):
+                return jnp.floor(
+                    jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5
+                ).astype(jnp.int32)
+
+            rgba_ref[:] = (
+                q2(tex_r) | (q2(tex_g) << 8) | (q2(tex_b) << 16)
+                | (q2(tex_a) << 24)
+            )
+            return
 
         # ---- stage 4: lighting (rasterizer.rs:1319-1412 + light.rs:491-653) ----
         width = params_ref[41]
@@ -809,6 +845,96 @@ def pack_mega_table(attr_planes, tri_id, meta, atlas, anim_frame,
     return jnp.concatenate(cols, axis=1)
 
 
+def morton_ftb_sort(vis_planes, bbox, alive, table, width: int, height: int,
+                    y0g=0.0, rows_local: int = None):
+    """Morton + front-to-back super ordering in ONE fused row gather.
+
+    Composes the two permutations the mega path needs — the Morton curve
+    (visibility_pallas.morton_sort) and the nearest-first super-chunk order
+    (previously recomputed inside mega_render with a SECOND full-table
+    gather) — and applies them to the combined candidate matrix once. The
+    full table is ~50-66 f32 columns; at map@1080p the second gather was
+    ~0.3ms of the 1.5ms pack+morton phase.
+
+    `height` is the FULL frame height (Morton normalization); the near-bound
+    clip window is rows [y0g, y0g + rows_local) — the rows this kernel
+    instance owns under row sharding (y0g may be traced). Returns
+    (vis_s, bbox_s, alive_s, table_s, s_near) with every array padded to a
+    super-group multiple, ready for mega_render(..., s_near=s_near).
+
+    Bit-exact vs the unfused pipeline: dead/padded rows carry an all-ones
+    code field and tie-break by slot, so they land in the same tail order,
+    and s_near is the same group-max over the same values — argsort ties
+    resolve identically.
+    """
+    group = CHUNK * SUPER
+    t2 = vis_planes.shape[0]
+    pad = (-t2) % group
+    if pad:
+        vis_planes = jnp.pad(vis_planes, ((0, pad), (0, 0)))
+        bbox = jnp.pad(bbox, ((0, pad), (0, 0)))
+        alive = jnp.pad(alive, (0, pad))
+        table = jnp.pad(table, ((0, pad), (0, 0)))
+        t2 += pad
+    ns = t2 // group
+
+    # ---- Morton key (same construction as visibility_pallas.morton_sort) --
+    cx = jnp.clip((bbox[:, 0] + bbox[:, 2]) * 0.5 / width, 0.0, 1.0)
+    cy = jnp.clip((bbox[:, 1] + bbox[:, 3]) * 0.5 / height, 0.0, 1.0)
+    xi = (cx * 1023).astype(jnp.uint32)
+    yi = (cy * 1023).astype(jnp.uint32)
+
+    def spread(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    code = (spread(xi) << 1) | spread(yi)
+    slot_bits = max((t2 - 1).bit_length(), 1)
+    code_bits = 32 - slot_bits
+    if code_bits < 20:
+        code = code >> (20 - code_bits)
+    code = jnp.where(alive > 0.5, code, jnp.uint32((1 << code_bits) - 1))
+    packed_key = (code << slot_bits) | jnp.arange(t2, dtype=jnp.uint32)
+    p1 = (jnp.sort(packed_key) & jnp.uint32((1 << slot_bits) - 1)).astype(
+        jnp.int32
+    )
+
+    # ---- per-row near bound (elementwise, ORIGINAL order) ----
+    rl = float(height if rows_local is None else rows_local)
+    bx0 = jnp.clip(bbox[:, 0], 0.0, float(width))
+    by0 = jnp.clip(bbox[:, 1], y0g, y0g + rl)
+    bx1 = jnp.clip(bbox[:, 2], 0.0, float(width))
+    by1 = jnp.clip(bbox[:, 3], y0g, y0g + rl)
+    pa, pb, pc = vis_planes[:, 9], vis_planes[:, 10], vis_planes[:, 11]
+    tri_near = jnp.maximum(
+        jnp.maximum(pa * bx0 + pb * by0 + pc, pa * bx1 + pb * by0 + pc),
+        jnp.maximum(pa * bx0 + pb * by1 + pc, pa * bx1 + pb * by1 + pc),
+    )
+    tri_near = jnp.where(alive > 0.5, tri_near, -jnp.inf)
+
+    # group-max over the MORTON order (one single-column gather), then the
+    # composed permutation feeds the one full-table gather below
+    s_near = tri_near[p1].reshape(ns, group).max(axis=1)
+    order = jnp.argsort(-s_near)
+    s_near = jnp.maximum(s_near[order], -1e30).astype(jnp.float32)
+    perm = p1.reshape(ns, group)[order].reshape(-1)
+
+    nv = vis_planes.shape[1]
+    combined = jnp.concatenate(
+        [vis_planes, bbox, alive[:, None], table], axis=1
+    )[perm]
+    return (
+        combined[:, :nv],
+        combined[:, nv : nv + 4],
+        combined[:, nv + 4],
+        combined[:, nv + 5 :],
+        s_near,
+    )
+
+
 def pack_light_params(lights) -> jnp.ndarray:
     """SoA light dict -> (L, 24) scalar-prefetch array. Light-type dispatch
     uses host-precomputed one-hot floats (slots 3/21/22/23): scalar-pred
@@ -894,6 +1020,7 @@ def unpack_frame_u32(rgba_u32) -> jnp.ndarray:
     static_argnames=(
         "width", "height", "sample_mode", "has_blend", "has_material",
         "interpret", "force_hbm", "full_height", "light_spec", "sun_off",
+        "stage_cut",
     ),
 )
 def mega_render(
@@ -902,29 +1029,39 @@ def mega_render(
     width: int, height: int, sample_mode: int = 0, has_blend: bool = False,
     has_material: bool = False, interpret: bool = False,
     force_hbm: bool = False, full_height: int = None, light_spec: tuple = None,
-    sun_off: bool = False,
+    sun_off: bool = False, s_near=None, stage_cut: int = 0,
 ):
     """One composed opaque frame -> (rgba_u32 (H,W) i32, z_eff (H,W) f32).
 
     Inputs are Morton-sorted candidate
     planes/bbox/alive plus the mega attr table; atlas_rows from
-    atlas_rows_i32; bg_u32 from pack_background_u32."""
+    atlas_rows_i32; bg_u32 from pack_background_u32.
+
+    `s_near` (from morton_ftb_sort): the per-super nearest-invz bounds for
+    inputs ALREADY in front-to-back super order — skips the second
+    full-table gather this function otherwise performs."""
     t2 = vis_planes.shape[0]
     n_attr = attr.shape[1]
     group = CHUNK * SUPER
-    pad = (-t2) % group
-    if pad:
-        vis_planes = jnp.pad(vis_planes, ((0, pad), (0, 0)))
-        alive = jnp.pad(alive, (0, pad))
-        attr = jnp.pad(attr, ((0, pad), (0, 0)))
-        bbox = jnp.pad(bbox, ((0, pad), (0, 0)))
-        bbox = (
-            bbox.at[t2:, 0].set(1e9)
-            .at[t2:, 1].set(1e9)
-            .at[t2:, 2].set(-1e9)
-            .at[t2:, 3].set(-1e9)
+    if s_near is None:
+        pad = (-t2) % group
+        if pad:
+            vis_planes = jnp.pad(vis_planes, ((0, pad), (0, 0)))
+            alive = jnp.pad(alive, (0, pad))
+            attr = jnp.pad(attr, ((0, pad), (0, 0)))
+            bbox = jnp.pad(bbox, ((0, pad), (0, 0)))
+            bbox = (
+                bbox.at[t2:, 0].set(1e9)
+                .at[t2:, 1].set(1e9)
+                .at[t2:, 2].set(-1e9)
+                .at[t2:, 3].set(-1e9)
+            )
+            t2 += pad
+    else:
+        assert t2 % group == 0, (
+            f"presorted inputs must be padded to super-group multiples "
+            f"(t2={t2}, group={group}) — use morton_ftb_sort"
         )
-        t2 += pad
 
     dead = jnp.array([0.0, 0.0, -1.0] * 3 + [0.0, 0.0, 1.0], jnp.float32)
     planes = jnp.where((alive > 0.5)[:, None], vis_planes, dead[None, :])
@@ -935,40 +1072,44 @@ def mega_render(
     )
     attr = jnp.where((alive > 0.5)[:, None], attr, 0.0)
 
-    # ---- front-to-back super ordering + per-super near bound ----
-    # Conservative nearest point of each triangle: the invz plane (affine in
-    # screen x,y) evaluated at its screen-clipped bbox corners — the max over
-    # the bbox bounds the max over the triangle. Supers scan nearest-first so
-    # the kernel can STOP the whole visibility scan once every pixel's winner
-    # is nearer than everything remaining (early-out; tie caveat shared with
-    # morton_sort: scan order flips bitwise-equal-invz winners).
-    ns_ = t2 // group
-    # bboxes are GLOBAL screen coords; under row sharding this kernel owns
-    # rows [y0g, y0g+height) (y0g = params[58]), so the near bound clips to
-    # that range — clipping to [0, height) would underestimate invz for
-    # geometry below the first shard and let the early-out drop it
-    y0g = params[58]
-    bx0 = jnp.clip(bbox[:, 0], 0.0, float(width))
-    by0 = jnp.clip(bbox[:, 1], y0g, y0g + float(height))
-    bx1 = jnp.clip(bbox[:, 2], 0.0, float(width))
-    by1 = jnp.clip(bbox[:, 3], y0g, y0g + float(height))
-    pa, pb, pc = planes[:, 9], planes[:, 10], planes[:, 11]
-    tri_near = jnp.maximum(
-        jnp.maximum(pa * bx0 + pb * by0 + pc, pa * bx1 + pb * by0 + pc),
-        jnp.maximum(pa * bx0 + pb * by1 + pc, pa * bx1 + pb * by1 + pc),
-    )
-    tri_near = jnp.where(alive > 0.5, tri_near, -jnp.inf)
-    s_near = tri_near.reshape(ns_, group).max(axis=1)
-    order = jnp.argsort(-s_near)
-    row_perm = (
-        order[:, None] * group + jnp.arange(group, dtype=order.dtype)[None, :]
-    ).reshape(-1)
-    planes = planes[row_perm]
-    attr = attr[row_perm]
-    bbox = bbox[row_perm]
-    s_near = s_near[order]
-    # dead supers carry -inf: clamp so SMEM comparisons stay finite
-    s_near = jnp.maximum(s_near, -1e30).astype(jnp.float32)
+    if s_near is None:
+        # ---- front-to-back super ordering + per-super near bound ----
+        # Conservative nearest point of each triangle: the invz plane (affine
+        # in screen x,y) evaluated at its screen-clipped bbox corners — the
+        # max over the bbox bounds the max over the triangle. Supers scan
+        # nearest-first so the kernel can STOP the whole visibility scan once
+        # every pixel's winner is nearer than everything remaining
+        # (early-out; tie caveat shared with morton sorting: scan order flips
+        # bitwise-equal-invz winners).
+        ns_ = t2 // group
+        # bboxes are GLOBAL screen coords; under row sharding this kernel
+        # owns rows [y0g, y0g+height) (y0g = params[58]), so the near bound
+        # clips to that range — clipping to [0, height) would underestimate
+        # invz for geometry below the first shard and let the early-out drop
+        # it
+        y0g = params[58]
+        bx0 = jnp.clip(bbox[:, 0], 0.0, float(width))
+        by0 = jnp.clip(bbox[:, 1], y0g, y0g + float(height))
+        bx1 = jnp.clip(bbox[:, 2], 0.0, float(width))
+        by1 = jnp.clip(bbox[:, 3], y0g, y0g + float(height))
+        pa, pb, pc = planes[:, 9], planes[:, 10], planes[:, 11]
+        tri_near = jnp.maximum(
+            jnp.maximum(pa * bx0 + pb * by0 + pc, pa * bx1 + pb * by0 + pc),
+            jnp.maximum(pa * bx0 + pb * by1 + pc, pa * bx1 + pb * by1 + pc),
+        )
+        tri_near = jnp.where(alive > 0.5, tri_near, -jnp.inf)
+        s_near = tri_near.reshape(ns_, group).max(axis=1)
+        order = jnp.argsort(-s_near)
+        row_perm = (
+            order[:, None] * group
+            + jnp.arange(group, dtype=order.dtype)[None, :]
+        ).reshape(-1)
+        planes = planes[row_perm]
+        attr = attr[row_perm]
+        bbox = bbox[row_perm]
+        s_near = s_near[order]
+        # dead supers carry -inf: clamp so SMEM comparisons stay finite
+        s_near = jnp.maximum(s_near, -1e30).astype(jnp.float32)
 
     cboxes = _group_boxes(bbox, CHUNK)
     sboxes = _group_boxes(bbox, group)
@@ -1064,7 +1205,7 @@ def mega_render(
     rgba, zeff = pl.pallas_call(
         functools.partial(
             _mega_kernel, n_attr, sample_mode, has_blend, has_material,
-            hbm_tables, use_cbox, light_spec, sun_off,
+            hbm_tables, use_cbox, light_spec, sun_off, stage_cut,
         ),
         grid_spec=grid_spec,
         out_shape=[

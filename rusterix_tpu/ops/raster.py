@@ -181,6 +181,7 @@ def render_frame(
         from .megakernel import (
             atlas_rows_i32,
             mega_render,
+            morton_ftb_sort,
             pack_background_u32,
             pack_light_params,
             pack_mega_params,
@@ -188,15 +189,13 @@ def render_frame(
             pack_occ_params,
             unpack_frame_u32,
         )
-        from .visibility_pallas import morton_sort
 
         table = pack_mega_table(
             attr, tri_id, d3, atlas, uniforms["anim_frame"], has_blend,
             has_material,
         )
-        vis_s, bbox_s, alive_s, _, table_s = morton_sort(
-            vis, bbox, alive.astype(jnp.float32), tri_id, width, height,
-            extra=table,
+        vis_s, bbox_s, alive_s, table_s, s_near = morton_ftb_sort(
+            vis, bbox, alive.astype(jnp.float32), table, width, height,
         )
         rgba_u32, z_eff = mega_render(
             vis_s, alive_s, bbox_s, table_s,
@@ -207,6 +206,7 @@ def render_frame(
             pack_occ_params(uniforms),
             width, height, sample_mode, has_blend, has_material,
             interpret=interpret, light_spec=light_spec, sun_off=sun_off,
+            s_near=s_near,
         )
         if not (has_sky or has_opacity or has_d2 or has_brush):
             return unpack_frame_u32(rgba_u32)

@@ -42,10 +42,13 @@ def visibility_pass(vis_planes, alive, width: int, height: int, chunk: int = 8, 
         alive = jnp.pad(alive, (0, pad))
         t2 += pad
 
-    px = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
-    py = (jnp.arange(height, dtype=jnp.float32) + jnp.float32(y0) + 0.5)[:, None]
-    px = jnp.broadcast_to(px, (height, width))
-    py = jnp.broadcast_to(py, (height, width))
+    # separable plane evaluation: a*x + b*y + c == (a*xs + c) + (b*ys) with
+    # the row term on a (W,) vector and the column term on (H,1) — ONE
+    # broadcast-add over the framebuffer per plane instead of two FMAs.
+    # The megakernel / pallas visibility scans use the IDENTICAL expression
+    # order so edge decisions stay bit-equal across paths.
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    ys = (jnp.arange(height, dtype=jnp.float32) + jnp.float32(y0) + 0.5)[:, None]
 
     # fold `alive` into the planes once: dead rows get the impossible edge
     dead = jnp.array([0.0, 0.0, -1.0] * 3 + [0.0, 0.0, 1.0], jnp.float32)
@@ -57,18 +60,19 @@ def visibility_pass(vis_planes, alive, width: int, height: int, chunk: int = 8, 
     z0 = jnp.ones((height, width), jnp.float32)
     i0 = jnp.full((height, width), -1, jnp.int32)
 
-    def step(carry, xs):
+    def step(carry, chunk_xs):
         # winner tracked as MAX 1/z (strictly monotonic in z): keeps the
         # per-candidate reciprocal out of the scan and matches the Pallas
         # kernels' selection bit-for-bit
         zbest, ibest = carry
-        pl, base = xs  # (C, 12), scalar
+        pl, base = chunk_xs  # (C, 12), scalar
         for c in range(pl.shape[0]):
-            e0 = pl[c, 0] * px + pl[c, 1] * py + pl[c, 2]
-            e1 = pl[c, 3] * px + pl[c, 4] * py + pl[c, 5]
-            e2 = pl[c, 6] * px + pl[c, 7] * py + pl[c, 8]
-            invz = pl[c, 9] * px + pl[c, 10] * py + pl[c, 11]
-            cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+            e0 = (pl[c, 0] * xs + pl[c, 2]) + pl[c, 1] * ys
+            e1 = (pl[c, 3] * xs + pl[c, 5]) + pl[c, 4] * ys
+            e2 = (pl[c, 6] * xs + pl[c, 8]) + pl[c, 7] * ys
+            invz = (pl[c, 9] * xs + pl[c, 11]) + pl[c, 10] * ys
+            # min-chain == all-three >= 0 (NaN propagates to a miss either way)
+            cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0
             better = cov & (invz > zbest)
             zbest = jnp.where(better, invz, zbest)
             ibest = jnp.where(better, base + c, ibest)

@@ -45,10 +45,16 @@ def _kernel(sbox_ref, cbox_ref, planes_ref, z_ref, idx_ref):
     y0 = ti * TILE_H
     x0 = tj * TILE_W
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    yg = rows + (y0.astype(jnp.float32) + 0.5)
-    xg = cols + (x0.astype(jnp.float32) + 0.5)
+    # separable plane factors (see megakernel / visibility.py — identical
+    # expression order keeps edge decisions bit-equal across paths)
+    xs_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1).astype(jnp.float32)
+        + (x0.astype(jnp.float32) + 0.5)
+    )
+    ys_col = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, 1), 0).astype(jnp.float32)
+        + (y0.astype(jnp.float32) + 0.5)
+    )
 
     z_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
     idx_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
@@ -86,11 +92,11 @@ def _kernel(sbox_ref, cbox_ref, planes_ref, z_ref, idx_ref):
                     for k in range(CHUNK):
                         t = c * CHUNK + k
                         row = planes_ref[t, :]  # (12,)
-                        e0 = row[0] * xg + row[1] * yg + row[2]
-                        e1 = row[3] * xg + row[4] * yg + row[5]
-                        e2 = row[6] * xg + row[7] * yg + row[8]
-                        invz = row[9] * xg + row[10] * yg + row[11]
-                        cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                        e0 = (row[0] * xs_row + row[2]) + row[1] * ys_col
+                        e1 = (row[3] * xs_row + row[5]) + row[4] * ys_col
+                        e2 = (row[6] * xs_row + row[8]) + row[7] * ys_col
+                        invz = (row[9] * xs_row + row[11]) + row[10] * ys_col
+                        cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0
                         better = cov & (invz > best)
                         best = jnp.where(better, invz, best)
                         idx = jnp.where(better, t, idx)

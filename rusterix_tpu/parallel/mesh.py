@@ -114,6 +114,7 @@ def render_frame_sharded(
             from ..ops.megakernel import (
                 atlas_rows_i32,
                 mega_render,
+                morton_ftb_sort,
                 pack_background_u32,
                 pack_light_params,
                 pack_mega_params,
@@ -121,16 +122,16 @@ def render_frame_sharded(
                 pack_occ_params,
                 unpack_frame_u32,
             )
-            from ..ops.visibility_pallas import morton_sort
 
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
             table = pack_mega_table(
                 attr, tri_id, d3_full, atlas_r, uniforms_r["anim_frame"],
                 False, has_material,
             )
-            vis_s, bbox_s, alive_s, _, table_s = morton_sort(
-                vis, bbox, ok.astype(jnp.float32), tri_id, width, height,
-                extra=table,
+            # near bounds clip to THIS shard's rows (y0 is traced here)
+            vis_s, bbox_s, alive_s, table_s, s_near = morton_ftb_sort(
+                vis, bbox, ok.astype(jnp.float32), table, width, height,
+                y0g=y0.astype(jnp.float32), rows_local=rows_local,
             )
             rgba_u32, z_eff = mega_render(
                 vis_s, alive_s, bbox_s, table_s,
@@ -143,7 +144,7 @@ def render_frame_sharded(
                 pack_occ_params(uniforms_r),
                 width, rows_local, sample_mode, False, has_material,
                 interpret=interpret, full_height=height,
-                light_spec=light_spec, sun_off=sun_off,
+                light_spec=light_spec, sun_off=sun_off, s_near=s_near,
             )
             frame = unpack_frame_u32(rgba_u32).astype(jnp.float32) * (1.0 / 255.0)
         else:

@@ -49,8 +49,6 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
     import jax.numpy as jnp
 
     from .ops.setup_pass import setup_pass
-    from .ops.visibility_pallas import morton_sort
-
     # device-resident warmup (no D2H — the dev tunnel's download path can
     # degrade to minutes per MB and must not gate profiling)
     rast.rasterize(scene, width, height, 40, assets, readback=False)
@@ -88,6 +86,7 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
         from .ops.megakernel import (
             atlas_rows_i32,
             mega_render,
+            morton_ftb_sort,
             pack_background_u32,
             pack_light_params,
             pack_mega_params,
@@ -98,13 +97,12 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
         table = pack_mega_table(attr, tri_id, d3, atlas, uni["anim_frame"], False)
 
         def run_sort(v):
-            return morton_sort(
-                vis + v[0, 0] * 0, bbox, alive_f, tri_id, width, height,
-                extra=table,
+            return morton_ftb_sort(
+                vis + v[0, 0] * 0, bbox, alive_f, table, width, height,
             )
 
         out["pack_morton_ms"] = round(_chain(run_sort, perturb_view), 3)
-        vis_s, bbox_s, alive_s, _, table_s = run_sort(view)
+        vis_s, bbox_s, alive_s, table_s, s_near = run_sort(view)
 
         bg = pack_background_u32(bg_dev)
         params = pack_mega_params(uni, width, height, atlas["w"], False)
@@ -116,6 +114,7 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
                 vis_s + v[0, 0] * 0, alive_s, bbox_s, table_s,
                 atlas_rows_i32(atlas["flat_u32"]), bg, params, lp, occ,
                 width, height, int(rast.sample_mode), False,
+                s_near=s_near,
             )
 
         out["megakernel_ms"] = round(_chain(run_mega, perturb_view), 3)
