@@ -83,6 +83,15 @@ class AtlasIndex:
         for si, prog in enumerate(getattr(scene, "shaders", []) or []):
             if prog is None or not getattr(prog, "shade_index", False):
                 continue
+            # soundness: the bake grid supplies DEFAULT inputs; at runtime
+            # color/normal/hitpoint (and under materials rough/metal/opacity)
+            # carry real per-pixel values — a shader that READS any of them
+            # before overwriting cannot bake (jaxc.input_loads)
+            if getattr(prog, "input_loads", frozenset()) & {
+                "color", "normal", "hitpoint",
+                "roughness", "metallic", "opacity",
+            }:
+                continue
             from ..models.texture import Texture
             from ..shader.jaxc import Rusteria
 

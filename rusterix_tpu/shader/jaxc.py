@@ -832,6 +832,122 @@ def texture_to_normal_map(tex: np.ndarray, strength: float = 5.0) -> np.ndarray:
     return ((n + 1.0) * 0.5).astype(np.float32)
 
 
+def input_loads(module: A.Module) -> frozenset:
+    """Registers whose INCOMING value a program may read.
+
+    Pack-time baking (scene_pack) evaluates shade() over a uv grid with
+    DEFAULT register inputs; at runtime the rasterizer supplies real
+    per-pixel values for `color` (the texel), `normal` (interpolated),
+    `hitpoint` (world position), and — under per-batch materials —
+    `roughness`/`metallic`/`opacity`. A shader that reads any of those
+    before fully overwriting them bakes silently wrong, so the bake gate
+    consults this set (reference analogue: the VM reads registers live per
+    pixel, rusteria/src/node/execution.rs:600-660, so it has no such gate).
+
+    Conservative definite-assignment walk: a register counts as loaded
+    unless a plain `=` to the bare name dominates the read on every path.
+    Swizzle stores and augmented ops read-modify-write; If/Match join by
+    intersection; loop bodies and helper functions are analyzed against
+    their entry state (registers are global — Evaluator.lookup falls
+    through scopes into `state`); `let`/params that shadow a register name
+    are ignored (reads after them still flag)."""
+    loads: set = set()
+    fns = module.functions()
+
+    def expr(e, assigned):
+        if isinstance(e, A.Ident):
+            if e.name in REGISTER_WIDTHS and e.name not in assigned:
+                loads.add(e.name)
+        elif isinstance(e, A.Swizzle):
+            expr(e.base, assigned)
+        elif isinstance(e, A.Unary):
+            expr(e.operand, assigned)
+        elif isinstance(e, A.Binary):
+            expr(e.left, assigned)
+            expr(e.right, assigned)
+        elif isinstance(e, A.Ternary):
+            expr(e.cond, assigned)
+            expr(e.then, assigned)
+            expr(e.other, assigned)
+        elif isinstance(e, A.Call):
+            for a in e.args:
+                expr(a, assigned)
+
+    def stmt_seq(stmts, assigned, stack):
+        assigned = set(assigned)
+        for s in stmts:
+            if isinstance(s, A.Assign):
+                expr(s.value, assigned)
+                if isinstance(s.target, A.Ident):
+                    name = s.target.name
+                    if s.op != "=" and name in REGISTER_WIDTHS:
+                        if name not in assigned:
+                            loads.add(name)
+                    if name in REGISTER_WIDTHS:
+                        assigned.add(name)
+                elif isinstance(s.target, A.Swizzle) and isinstance(
+                    s.target.base, A.Ident
+                ):
+                    name = s.target.base.name
+                    # partial store: unwritten components still leak through
+                    if name in REGISTER_WIDTHS and name not in assigned:
+                        loads.add(name)
+                else:
+                    expr(s.target, assigned)
+            elif isinstance(s, A.Let):
+                expr(s.value, assigned)
+            elif isinstance(s, A.ExprStmt):
+                expr(s.expr, assigned)
+                assigned = call_effects(s.expr, assigned, stack)
+            elif isinstance(s, A.If):
+                expr(s.cond, assigned)
+                a1 = stmt_seq(s.then, assigned, stack)
+                a2 = stmt_seq(s.other or [], assigned, stack)
+                assigned = a1 & a2
+            elif isinstance(s, A.Match):
+                expr(s.subject, assigned)
+                arms = [stmt_seq(body, assigned, stack) for _p, body in s.arms]
+                has_default = any(p is None for p, _b in s.arms)
+                joined = set.intersection(*arms) if arms else set(assigned)
+                assigned = joined if has_default else (joined & assigned)
+            elif isinstance(s, A.For):
+                assigned = stmt_seq(s.init, assigned, stack)
+                expr(s.cond, assigned)
+                stmt_seq(s.body + s.incr, assigned, stack)
+            elif isinstance(s, A.While):
+                expr(s.cond, assigned)
+                stmt_seq(s.body, assigned, stack)
+            elif isinstance(s, A.Return):
+                if s.value is not None:
+                    expr(s.value, assigned)
+            elif isinstance(s, A.FnDef):
+                pass  # bodies analyzed at call sites
+        return assigned
+
+    def call_effects(e, assigned, stack):
+        """Helper-function bodies run against the caller's register state;
+        their definite assignments persist (registers are global)."""
+        if isinstance(e, A.Call) and e.name in fns and e.name not in stack:
+            return stmt_seq(fns[e.name].body, assigned, stack | {e.name})
+        return assigned
+
+    # expression-position user calls also walk callee bodies for loads —
+    # patch expr's Call case through a second pass over the module keeps the
+    # code simpler: analyze every function body from the entry points.
+    top = [s for s in module.stmts if not isinstance(s, A.FnDef)]
+    assigned = stmt_seq(top, set(), frozenset())
+    if "shade" in fns:
+        stmt_seq(fns["shade"].body, assigned, frozenset({"shade"}))
+    # calls nested inside expressions (let x = helper();) bypass
+    # call_effects above; cover them by analyzing every OTHER function
+    # body against the weakest (empty) assumption — conservative, and only
+    # adds loads, never removes
+    for name, fn in fns.items():
+        if name != "shade":
+            stmt_seq(fn.body, set(), frozenset({name}))
+    return frozenset(loads)
+
+
 class Program:
     """Compiled shader: AST + metadata; `shade` traces into the caller's jit."""
 
@@ -839,6 +955,8 @@ class Program:
         self.module = module
         self.functions = module.functions()
         self.shade_index = "shade" in self.functions
+        #: registers whose incoming per-pixel value may be read (bake gate)
+        self.input_loads = input_loads(module)
         self.supports_opacity = self._scan(
             module.stmts,
             lambda n: isinstance(n, A.Assign)

@@ -181,3 +181,61 @@ def test_unbakeable_material_shaders_stay_runtime():
         packed = PackedScene.from_scene(_scene(src), Assets.default())
         assert packed.atlas_index.shader_slots == {}
         assert len(packed.runtime_shaders) == 1
+
+
+HITPOINT_READER = """
+fn shade() {
+    color = vec3(fract(hitpoint.y), 0.3, 0.3);
+}
+"""
+
+COLOR_TINT = """
+fn shade() {
+    color = color * 0.5;
+}
+"""
+
+SWIZZLE_PARTIAL = """
+fn shade() {
+    color.x = 1.0;
+}
+"""
+
+
+def test_input_reading_shaders_stay_runtime():
+    """Shaders that READ incoming per-pixel registers (texel color,
+    interpolated normal, world hitpoint) cannot bake — the bake grid only
+    supplies defaults (jaxc.input_loads; the reference VM always reads live
+    registers, rusteria/src/node/execution.rs:600-660). Before this gate a
+    hitpoint-reading shader baked silently wrong."""
+    for src in (HITPOINT_READER, COLOR_TINT, SWIZZLE_PARTIAL):
+        packed = PackedScene.from_scene(_scene(src), Assets.default())
+        assert packed.atlas_index.shader_slots == {}, src
+        assert len(packed.runtime_shaders) == 1, src
+
+
+def test_input_loads_analysis():
+    """Definite-assignment precision: full overwrite before read is NOT an
+    incoming load; partial/augmented writes and one-armed branches are."""
+    from rusterix_tpu.shader.jaxc import Rusteria
+
+    def loads(src):
+        return sorted(Rusteria.parse_and_compile(src).input_loads)
+
+    assert loads("fn shade() { color = vec3(1,0,0); color = color*0.5; }") == []
+    assert loads("fn shade() { color.x = 1.0; }") == ["color"]
+    assert loads("fn shade() { metallic += 0.1; }") == ["metallic"]
+    # one-armed if: the else path leaks the incoming value
+    assert "color" in loads(
+        "fn shade() { if (uv.x > 0.5) { color = vec3(1); } color = color*2.0; }"
+    )
+    # both arms assign -> join keeps it assigned
+    assert "color" not in loads(
+        "fn shade() { if (uv.x > 0.5) { color = vec3(1); }"
+        " else { color = vec3(0); } color = color*2.0; }"
+    )
+    # helper functions run against global register state
+    assert loads("fn t() { color = color*0.5; } fn shade() { t(); }") == ["color"]
+    assert loads(
+        "fn s() { color = vec3(1); } fn shade() { s(); color = color*2.0; }"
+    ) == []
