@@ -48,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scene_pack import SRC_PIXEL, SRC_TEXTURE
+from .scene_pack import SRC_OFF, SRC_PIXEL, SRC_TEXTURE
 from .visibility_pallas import CHUNK, SUPER, TILE_H, TILE_W, _group_boxes
 
 # mega attr-table layout (f32 columns)
@@ -59,7 +59,13 @@ from .visibility_pallas import CHUNK, SUPER, TILE_H, TILE_W, _group_boxes
 #   28-31 anim-resolved atlas rect (rx, ry, rw, rh)
 # material extension (has_material; baked-shader constant material):
 #   32 roughness | 33 metallic
-# blend extension (starts at mb = 34 if has_material else 32):
+# matmap extension (has_matmap; per-pixel material sidecar tiles, starts
+# at 34 — has_matmap implies has_material):
+#   34-37 M1 rect (emissive rgb | roughness texels)
+#   38-41 M2 rect (encoded normal | metallic texels)
+#   42 em_scale | 43 writes_normal | 44 matmap_on
+# blend extension (starts at mb = 45 if has_matmap else 34 if has_material
+# else 32):
 #   mb+0..2 bw plane | mb+3 kind2 | mb+4..7 rgba2 | mb+8..11 rect2 | pad
 N_ATTR_PLAIN = 32
 N_ATTR_BLEND = 48
@@ -202,8 +208,8 @@ def _texel_lookup(atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode,
 
 
 def _mega_kernel(
-    n_attr, sample_mode, has_blend, has_material, hbm_tables, use_cbox,
-    light_spec, sun_off, stage_cut,
+    n_attr, sample_mode, has_blend, has_material, has_matmap, hbm_tables,
+    use_cbox, light_spec, sun_off, stage_cut,
     sbox_ref, cbox_ref, snear_ref, params_ref, lights_ref, occ_ref,
     planes_ref, attr_ref, atlas_ref, bg_ref,
     rgba_ref, zeff_ref,
@@ -450,7 +456,8 @@ def _mega_kernel(
             atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode, atlas_w
         )
         if has_blend:
-            mb = 34 if has_material else 32  # blend ext start (module header)
+            # blend ext start (module header)
+            mb = 45 if has_matmap else 34 if has_material else 32
             rect2 = (a_scr[mb + 8], a_scr[mb + 9], a_scr[mb + 10], a_scr[mb + 11])
             rgba2_cols = [a_scr[mb + 4 + c] for c in range(4)]
             tex2 = _texel_lookup(
@@ -476,6 +483,26 @@ def _mega_kernel(
                 | (q2(tex_a) << 24)
             )
             return
+
+        if has_matmap:
+            # per-PIXEL material from baked M1/M2 sidecar tiles (scene_pack
+            # matmap bake; the reference writes these registers per pixel in
+            # the hot loop, rasterizer.rs:1284-1303):
+            #   M1 = emissive rgb (x em_scale) | roughness
+            #   M2 = encoded normal (n+1)/2   | metallic
+            m_on = a_scr[44]
+            kindm = jnp.where(
+                m_on > 0.5, float(SRC_TEXTURE), float(SRC_OFF)
+            )
+            zeros4 = [jnp.zeros_like(u)] * 4
+            m1 = _texel_lookup(
+                atlas_ref, u, v, (a_scr[34], a_scr[35], a_scr[36], a_scr[37]),
+                kindm, zeros4, repeat, sample_mode, atlas_w,
+            )
+            m2 = _texel_lookup(
+                atlas_ref, u, v, (a_scr[38], a_scr[39], a_scr[40], a_scr[41]),
+                kindm, zeros4, repeat, sample_mode, atlas_w,
+            )
 
         # ---- stage 4: lighting (rasterizer.rs:1319-1412 + light.rs:491-653) ----
         width = params_ref[41]
@@ -522,6 +549,21 @@ def _mega_kernel(
         uy = jnp.where(n_ok, uy * flip, 0.0)
         uz = jnp.where(n_ok, uz * flip, 0.0)
 
+        if has_matmap:
+            # shader-written normals (M2 rgb, decode 2x-1) replace the
+            # interpolated normal UNflipped (shade_pass parity); byte-127
+            # "zero" texels decode to |n| < 0.02 and keep the written-zero
+            # semantics (no normal -> hemi-only lighting)
+            ndx = m2[0] * 2.0 - 1.0
+            ndy = m2[1] * 2.0 - 1.0
+            ndz = m2[2] * 2.0 - 1.0
+            dlen = jnp.sqrt(ndx * ndx + ndy * ndy + ndz * ndz)
+            inv_dlen = jnp.where(dlen > 0.02, 1.0 / jnp.maximum(dlen, 1e-30), 0.0)
+            use_n = (a_scr[43] > 0.5) & (m_on > 0.5)
+            ux = jnp.where(use_n, ndx * inv_dlen, ux)
+            uy = jnp.where(use_n, ndy * inv_dlen, uy)
+            uz = jnp.where(use_n, ndz * inv_dlen, uz)
+
         base_r = _srgb_to_linear(tex_r)
         base_g = _srgb_to_linear(tex_g)
         base_b = _srgb_to_linear(tex_b)
@@ -531,6 +573,11 @@ def _mega_kernel(
             # same math as shade_fast_brdf with variable roughness/metallic
             m_rough = jnp.clip(a_scr[32], 0.0, 1.0)
             m_metal = jnp.clip(a_scr[33], 0.0, 1.0)
+            if has_matmap:
+                # matmap pixels take the per-pixel sidecar values instead
+                m_onb = m_on > 0.5
+                m_rough = jnp.where(m_onb, m1[3], m_rough)
+                m_metal = jnp.where(m_onb, m2[3], m_metal)
             f0_r = 0.04 + (base_r - 0.04) * m_metal
             f0_g = 0.04 + (base_g - 0.04) * m_metal
             f0_b = 0.04 + (base_b - 0.04) * m_metal
@@ -539,6 +586,12 @@ def _mega_kernel(
             kd_r = base_r * kd_scale
             kd_g = base_g * kd_scale
             kd_b = base_b * kd_scale
+            # ambient (sky + batch) reduces by the CONSTANT 0.04 F0, not
+            # f0_max — "cheap F0 reduction", rasterizer.rs:1338,1369
+            ka_scale = (1.0 - m_metal) * 0.96
+            ka_r = base_r * ka_scale
+            ka_g = base_g * ka_scale
+            ka_b = base_b * ka_scale
             alpha_m = jnp.maximum(m_rough * m_rough, 1e-4)
             shininess = jnp.clip(2.0 / alpha_m - 2.0, 1.0, 2048.0)
         else:
@@ -547,6 +600,7 @@ def _mega_kernel(
             kd_r = base_r * 0.96
             kd_g = base_g * 0.96
             kd_b = base_b * 0.96
+            ka_r, ka_g, ka_b = kd_r, kd_g, kd_b
         hemi = 0.5 * (uy + 1.0)
 
         occlusion = jnp.ones_like(wx)
@@ -560,9 +614,9 @@ def _mega_kernel(
             occlusion = jnp.minimum(occlusion, jnp.where(inside, occ_ref[bi, 4], 1.0))
 
         has_ambient = params_ref[35]
-        lit_r = has_ambient * params_ref[36] * kd_r * hemi
-        lit_g = has_ambient * params_ref[37] * kd_g * hemi
-        lit_b = has_ambient * params_ref[38] * kd_b * hemi
+        lit_r = has_ambient * params_ref[36] * ka_r * hemi
+        lit_g = has_ambient * params_ref[37] * ka_g * hemi
+        lit_b = has_ambient * params_ref[38] * ka_b * hemi
 
         def brdf(ldx, ldy, ldz, rad_r, rad_g, rad_b):
             n_dot_l = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
@@ -624,9 +678,9 @@ def _mega_kernel(
         lit_g *= occlusion
         lit_b *= occlusion
 
-        lit_r += amb_r * kd_r * hemi
-        lit_g += amb_g * kd_g * hemi
-        lit_b += amb_b * kd_b * hemi
+        lit_r += amb_r * ka_r * hemi
+        lit_g += amb_g * ka_g * hemi
+        lit_b += amb_b * ka_b * hemi
 
         # light_spec (static, from the caller): tuple of (row, type_code) for the
         # VALID light rows — each light emits ONLY its own type's attenuation
@@ -761,6 +815,14 @@ def _mega_kernel(
             lit_g += has_rad * cg
             lit_b += has_rad * cb
 
+        if has_matmap:
+            # emissive adds once after all lights (shade_pass parity:
+            # `lit = lit + emissive` before the srgb encode)
+            em = m_on * a_scr[42]
+            lit_r += m1[0] * em
+            lit_g += m1[1] * em
+            lit_b += m1[2] * em
+
         out_r = _linear_to_srgb(lit_r)
         out_g = _linear_to_srgb(lit_g)
         out_b = _linear_to_srgb(lit_b)
@@ -797,11 +859,15 @@ def _mega_kernel(
 
 
 def pack_mega_table(attr_planes, tri_id, meta, atlas, anim_frame,
-                    has_blend: bool, has_material: bool = False):
+                    has_blend: bool, has_material: bool = False,
+                    has_matmap: bool = False):
     """Per-candidate rows for the megakernel (layout in the module header).
 
     The texture rect is anim-resolved HERE, per frame per candidate (T rows,
     not H*W pixels), so the kernel never touches tile_first/tile_count."""
+    assert not has_matmap or has_material, (
+        "has_matmap implies has_material (fixed column layout, see header)"
+    )
 
     def resolve_rect(slot_col):
         slot = jnp.maximum(slot_col, 0)
@@ -827,6 +893,14 @@ def pack_mega_table(attr_planes, tri_id, meta, atlas, anim_frame,
     ]
     if has_material:
         tri_cols += [meta["rough"][:, None], meta["metal"][:, None]]
+    if has_matmap:
+        tri_cols += [
+            resolve_rect(meta["m1_slot"]),
+            resolve_rect(meta["m2_slot"]),
+            meta["em_scale"][:, None],
+            meta["nmap"][:, None],
+            (meta["m1_slot"] >= 0).astype(jnp.float32)[:, None],
+        ]
     if has_blend:
         tri_cols += [
             meta["kind2"].astype(jnp.float32)[:, None],
@@ -834,7 +908,8 @@ def pack_mega_table(attr_planes, tri_id, meta, atlas, anim_frame,
             resolve_rect(meta["tex_slot2"]),
         ]
     g = jnp.concatenate(tri_cols, axis=1)[tri_id]
-    n_front = 14 + (2 if has_material else 0)  # kind..rect(4) [+rough+metal]
+    # kind..rect(4) [+rough+metal] [+m1rect+m2rect+em+nmap+on]
+    n_front = 14 + (2 if has_material else 0) + (11 if has_matmap else 0)
     cols = [attr_planes[:, :18], g[:, :n_front]]
     if has_blend:
         cols += [
@@ -1019,15 +1094,16 @@ def unpack_frame_u32(rgba_u32) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "width", "height", "sample_mode", "has_blend", "has_material",
-        "interpret", "force_hbm", "full_height", "light_spec", "sun_off",
-        "stage_cut",
+        "has_matmap", "interpret", "force_hbm", "full_height", "light_spec",
+        "sun_off", "stage_cut",
     ),
 )
 def mega_render(
     vis_planes, alive, bbox, attr, atlas_rows, bg_u32,
     params, lights_packed, occ_packed,
     width: int, height: int, sample_mode: int = 0, has_blend: bool = False,
-    has_material: bool = False, interpret: bool = False,
+    has_material: bool = False, has_matmap: bool = False,
+    interpret: bool = False,
     force_hbm: bool = False, full_height: int = None, light_spec: tuple = None,
     sun_off: bool = False, s_near=None, stage_cut: int = 0,
 ):
@@ -1205,7 +1281,7 @@ def mega_render(
     rgba, zeff = pl.pallas_call(
         functools.partial(
             _mega_kernel, n_attr, sample_mode, has_blend, has_material,
-            hbm_tables, use_cbox, light_spec, sun_off, stage_cut,
+            has_matmap, hbm_tables, use_cbox, light_spec, sun_off, stage_cut,
         ),
         grid_spec=grid_spec,
         out_shape=[

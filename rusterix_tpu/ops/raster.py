@@ -119,6 +119,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "has_brush",
         "has_dyn",
         "has_material",
+        "has_matmap",
         "light_spec",
         "sun_off",
     ),
@@ -151,6 +152,7 @@ def render_frame(
     d3_op_dyn=None,
     d2_dyn=None,
     has_material: bool = False,
+    has_matmap: bool = False,
     light_spec: tuple = None,
     sun_off: bool = False,
 ):
@@ -192,7 +194,7 @@ def render_frame(
 
         table = pack_mega_table(
             attr, tri_id, d3, atlas, uniforms["anim_frame"], has_blend,
-            has_material,
+            has_material, has_matmap,
         )
         vis_s, bbox_s, alive_s, table_s, s_near = morton_ftb_sort(
             vis, bbox, alive.astype(jnp.float32), table, width, height,
@@ -205,6 +207,7 @@ def render_frame(
             pack_light_params(lights),
             pack_occ_params(uniforms),
             width, height, sample_mode, has_blend, has_material,
+            has_matmap=has_matmap,
             interpret=interpret, light_spec=light_spec, sun_off=sun_off,
             s_near=s_near,
         )
@@ -235,7 +238,7 @@ def render_frame(
         shaded, wrote = shade_pass(
             z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height,
             sample_mode, shaders=shaders, has_fog=has_fog, has_blend=has_blend,
-            has_material=has_material,
+            has_material=has_material, has_matmap=has_matmap,
         )
         frame, z_eff = compose_opaque(shaded, wrote, z, background)
 
@@ -300,6 +303,7 @@ def render_frame(
         "has_brush",
         "has_dyn",
         "has_material",
+        "has_matmap",
         "light_spec",
         "sun_off",
     ),
@@ -329,6 +333,7 @@ def render_frame_arena(
     has_brush: bool = False,
     has_dyn: bool = False,
     has_material: bool = False,
+    has_matmap: bool = False,
     light_spec: tuple = None,
     sun_off: bool = False,
 ):
@@ -347,7 +352,7 @@ def render_frame_arena(
         sample_mode, preserve_transparency, has_ambient, has_lights,
         has_opacity, has_d2, shaders, use_pallas, has_sky, has_fog, sky_pre,
         has_blend, has_brush, has_dyn, d3_dyn, d3_op_dyn, d2_dyn,
-        has_material, light_spec, sun_off,
+        has_material, has_matmap, light_spec, sun_off,
     )
 
 
@@ -870,8 +875,11 @@ class Rasterizer:
             d3_op_dyn=d3_op_dyn,
             d2_dyn=d2_dyn,
             has_material=bool(
-                (packed.d3.rough != 0.5).any() or packed.d3.metal.any()
+                (packed.d3.rough != 0.5).any()
+                or packed.d3.metal.any()
+                or (packed.d3.m1_slot >= 0).any()  # matmap implies material
             ),
+            has_matmap=bool((packed.d3.m1_slot >= 0).any()),
             # static per-light (row, type) of the VALID rows: the megakernel
             # emits only each light's own attenuation path and never visits
             # dead padding rows (types are host numpy here; the kernel can't

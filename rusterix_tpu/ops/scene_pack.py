@@ -48,8 +48,11 @@ class AtlasIndex:
     dynamic_offset: int
     entity_slots: Dict[Tuple[int, int], int]
     item_slots: Dict[Tuple[int, int], int]
-    #: scene.shaders index -> atlas slot for baked (time-independent) shaders
+    #: scene.shaders index -> (color slot, rough, metal) for baked shaders
     shader_slots: Dict[int, int] = None
+    #: scene.shaders index -> (m1 slot, m2 slot, em_scale, writes_normal)
+    #: for shaders baked WITH per-pixel material sidecar tiles
+    shader_mat_slots: Dict[int, tuple] = None
 
     @staticmethod
     def build(assets, scene) -> "AtlasIndex":
@@ -80,6 +83,7 @@ class AtlasIndex:
         #     in the hot loop): the shader's time axis quantizes to the tile
         #     animation clock, one anim tick = SHADER_ANIM_DT seconds.
         shader_slots: Dict[int, tuple] = {}
+        shader_mat_slots: Dict[int, tuple] = {}
         for si, prog in enumerate(getattr(scene, "shaders", []) or []):
             if prog is None or not getattr(prog, "shade_index", False):
                 continue
@@ -115,40 +119,101 @@ class AtlasIndex:
                         )
                         for i in range(1, SHADER_ANIM_FRAMES)
                     ]
-            # material representability: the bake only captures color +
-            # opacity per texel plus ONE roughness/metallic constant per
-            # batch (reference shaders write per-pixel registers,
-            # rasterizer.rs:1284-1303). Anything richer stays per-pixel —
-            # and an animated shader must hold the constants across frames.
+            # material representability: per-batch CONSTANT rough/metal ride
+            # as meta scalars (cheapest); anything per-pixel — emissive,
+            # written normals, spatially/temporally varying rough/metal
+            # (reference shaders write the registers per pixel,
+            # rasterizer.rs:1284-1303) — bakes to TWO material sidecar tiles
+            # next to the color tile:
+            #   M1 texel: emissive_r | emissive_g | emissive_b | roughness
+            #     (emissive quantized against a per-shader em_scale)
+            #   M2 texel: enc(nx) | enc(ny) | enc(nz) | metallic
+            #     (enc = (n/|n| + 1)/2; |n| < eps texels encode 127 ≈ zero,
+            #      decoded back to the no-normal default)
+            # so rich materials ride the uniform texture path (megakernel
+            # and XLA both sample the same sidecars). `bump` is a
+            # VM-input-only register (the rasterizer never reads it back,
+            # rasterizer.rs:1284-1303) — writes to it don't affect
+            # representability.
             rough = states[0]["roughness"][..., 0]
             metal = states[0]["metallic"][..., 0]
-            if any(
-                np.any(s["emissive"] != 0.0)
-                or np.any(s["normal"] != 0.0)
-                or np.any(s["bump"] != 0.0)
-                or not np.array_equal(s["roughness"], states[0]["roughness"])
-                or not np.array_equal(s["metallic"], states[0]["metallic"])
-                for s in states
-            ) or rough.min() != rough.max() or metal.min() != metal.max():
-                continue
+            needs_matmap = (
+                any(
+                    np.any(s["emissive"] != 0.0)
+                    or np.any(s["normal"] != 0.0)
+                    or not np.array_equal(
+                        s["roughness"], states[0]["roughness"]
+                    )
+                    or not np.array_equal(s["metallic"], states[0]["metallic"])
+                    for s in states
+                )
+                or rough.min() != rough.max()
+                or metal.min() != metal.max()
+            )
             frames = []
             for s in states:
+                # shader color is LINEAR; the texel samplers decode tiles
+                # with srgb_to_linear_fast, so encode with its exact inverse
+                # (the reference gamma-encodes its bakes the same way,
+                # rusteria/src/renderbuffer.rs:88-107). Alpha stays linear.
+                from ..utils.color import linear_to_srgb_exact_inverse
+
                 rgba = np.concatenate(
-                    [s["color"], s["opacity"][..., :1]], axis=-1
+                    [
+                        linear_to_srgb_exact_inverse(s["color"]),
+                        np.clip(s["opacity"][..., :1], 0.0, 1.0),
+                    ],
+                    axis=-1,
                 )
                 if not prog.supports_opacity:
                     rgba[..., 3] = 1.0
                 frames.append(
-                    Texture(
-                        (np.clip(rgba, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-                    )
+                    Texture((rgba * 255.0 + 0.5).astype(np.uint8))
                 )
-            shader_slots[si] = (
-                len(tiles),
-                float(np.clip(rough.flat[0], 0.0, 1.0)),
-                float(np.clip(metal.flat[0], 0.0, 1.0)),
+            if not needs_matmap:
+                shader_slots[si] = (
+                    len(tiles),
+                    float(np.clip(rough.flat[0], 0.0, 1.0)),
+                    float(np.clip(metal.flat[0], 0.0, 1.0)),
+                )
+                tiles.append(Tile.from_textures(frames))
+                continue
+            # ---- matmap bake ----
+            em_peak = max(float(s["emissive"].max()) for s in states)
+            em_scale = em_peak if em_peak > 0.0 else 1.0
+            writes_normal = any(np.any(s["normal"] != 0.0) for s in states)
+            m1_frames, m2_frames = [], []
+            for s in states:
+                em = np.clip(s["emissive"] / em_scale, 0.0, 1.0)
+                m1 = np.concatenate(
+                    [em, np.clip(s["roughness"][..., :1], 0.0, 1.0)], axis=-1
+                )
+                n = s["normal"].astype(np.float64)
+                nlen = np.sqrt((n * n).sum(-1, keepdims=True))
+                n_enc = np.where(nlen > 1e-6, n / np.maximum(nlen, 1e-30), 0.0)
+                m2 = np.concatenate(
+                    [
+                        (n_enc + 1.0) * 0.5,
+                        np.clip(s["metallic"][..., :1], 0.0, 1.0),
+                    ],
+                    axis=-1,
+                )
+                m1_frames.append(
+                    Texture((m1 * 255.0 + 0.5).astype(np.uint8))
+                )
+                m2_frames.append(
+                    Texture((m2 * 255.0 + 0.5).astype(np.uint8))
+                )
+            shader_slots[si] = (len(tiles), 0.5, 0.0)
+            shader_mat_slots[si] = (
+                len(tiles) + 1,
+                len(tiles) + 2,
+                em_scale,
+                1.0 if writes_normal else 0.0,
             )
             tiles.append(Tile.from_textures(frames))
+            tiles.append(Tile.from_textures(m1_frames))
+            tiles.append(Tile.from_textures(m2_frames))
         return AtlasIndex(
             atlas=TextureAtlas.build(tiles),
             static_offset=static_offset,
@@ -156,6 +221,7 @@ class AtlasIndex:
             entity_slots=entity_slots,
             item_slots=item_slots,
             shader_slots=shader_slots,
+            shader_mat_slots=shader_mat_slots,
         )
 
     def resolve(self, source) -> Tuple[int, int, Tuple[float, float, float, float]]:
@@ -214,6 +280,10 @@ class PackedTriangles3D:
     rgba2: np.ndarray  # (T, 4) f32
     rough: np.ndarray = None  # (T,) f32 per-batch roughness (default 0.5)
     metal: np.ndarray = None  # (T,) f32 per-batch metallic (default 0.0)
+    m1_slot: np.ndarray = None  # (T,) i32 matmap M1 tile slot (-1 none)
+    m2_slot: np.ndarray = None  # (T,) i32 matmap M2 tile slot (-1 none)
+    em_scale: np.ndarray = None  # (T,) f32 emissive decode scale
+    nmap: np.ndarray = None  # (T,) f32 1 when the shader wrote normals
 
     @property
     def capacity(self) -> int:
@@ -237,13 +307,18 @@ def pack_batches_3d(
         shader_idx = -1 if batch.shader is None else int(batch.shader)
         baked = (atlas_index.shader_slots or {}).get(shader_idx)
         b_rough, b_metal = 0.5, 0.0  # reference defaults rasterizer.rs:1284
+        b_m1, b_m2, b_em, b_nmap = -1, -1, 1.0, 0.0
         if baked is not None:
             # shader baked to an atlas tile: the batch becomes a plain
             # textured batch sampling the bake with shader-uv = uv/4 and
             # RepeatXY (the per-pixel path's uv convention, see shade_pass);
             # the shader's constant roughness/metallic ride as per-batch
-            # material scalars
+            # material scalars; per-pixel material bakes carry M1/M2
+            # sidecar slots instead
             slot, b_rough, b_metal = baked
+            mat = (atlas_index.shader_mat_slots or {}).get(shader_idx)
+            if mat is not None:
+                b_m1, b_m2, b_em, b_nmap = mat
             kind, tex_slot, rgba = SRC_TEXTURE, slot, (0.0, 0.0, 0.0, 1.0)
             shader_idx = -1
         # secondary blend source (vertex-blended batches,
@@ -306,6 +381,7 @@ def pack_batches_3d(
                     kind2,
                     tex_slot2,
                     rgba2,
+                    (b_m1, b_m2, b_em, b_nmap),
                     b_rough,
                     b_metal,
                 )
@@ -336,10 +412,14 @@ def pack_batches_3d(
         rgba2=np.zeros((cap, 4), np.float32),
         rough=np.full(cap, 0.5, np.float32),
         metal=np.zeros(cap, np.float32),
+        m1_slot=np.full(cap, -1, np.int32),
+        m2_slot=np.full(cap, -1, np.int32),
+        em_scale=np.ones(cap, np.float32),
+        nmap=np.zeros(cap, np.float32),
     )
     for t, tri in enumerate(tris[:cap]):
         (pos, uv, nrm, has_n, cull, kind, tex_slot, rgba, repeat, rl, sh, amb,
-         prof, cut, op_mul, bw3, kind2, tex_slot2, rgba2, b_rough,
+         prof, cut, op_mul, bw3, kind2, tex_slot2, rgba2, mat4, b_rough,
          b_metal) = tri
         out.pos[t] = pos
         out.uv[t] = uv
@@ -363,6 +443,10 @@ def pack_batches_3d(
         out.rgba2[t] = rgba2
         out.rough[t] = b_rough
         out.metal[t] = b_metal
+        out.m1_slot[t] = mat4[0]
+        out.m2_slot[t] = mat4[1]
+        out.em_scale[t] = mat4[2]
+        out.nmap[t] = mat4[3]
     return out
 
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.color import linear_to_srgb_fast, srgb_to_linear_fast
-from .scene_pack import SRC_PIXEL, SRC_TEXTURE
+from .scene_pack import SRC_OFF, SRC_PIXEL, SRC_TEXTURE
 
 # light type codes (models/light.py LightType)
 LT_POINT = 0
@@ -355,6 +355,7 @@ def shade_pass(
     has_fog: bool = False,
     has_blend: bool = False,
     has_material: bool = False,
+    has_matmap: bool = False,
 ):
     """Shade every pixel from its winning triangle.
 
@@ -387,6 +388,13 @@ def shade_pass(
     ]
     if has_material:
         meta_cols += [meta["rough"][:, None], meta["metal"][:, None]]
+    if has_matmap:
+        meta_cols += [
+            meta["m1_slot"].astype(jnp.float32)[:, None],
+            meta["m2_slot"].astype(jnp.float32)[:, None],
+            meta["em_scale"][:, None],
+            meta["nmap"][:, None],
+        ]
     if has_blend:
         meta_cols += [
             meta["kind2"].astype(jnp.float32)[:, None],
@@ -409,8 +417,9 @@ def shade_pass(
     shader_px = gathered[..., n_planes + 4].astype(jnp.int32)
     rgba = gathered[..., n_planes + 5 : n_planes + 9]
     batch_ambient = gathered[..., n_planes + 9 : n_planes + 12]
-    # blend meta offset: material cols sit between ambient and source2
-    mb = n_planes + (14 if has_material else 12)
+    # blend meta offset: material (+matmap) cols sit between ambient and
+    # source2
+    mb = n_planes + 12 + (2 if has_material else 0) + (4 if has_matmap else 0)
 
     px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
     py = jnp.arange(height, dtype=jnp.float32)[:, None] + jnp.float32(y0) + 0.5
@@ -466,6 +475,43 @@ def shade_pass(
         roughness = jnp.full_like(opacity, 0.5)
         metallic = jnp.zeros_like(opacity)
     emissive = jnp.zeros_like(base)
+
+    if has_matmap:
+        # per-PIXEL material from baked M1/M2 sidecar tiles (scene_pack
+        # matmap bake; reference shaders write these registers per pixel in
+        # the hot loop, rasterizer.rs:1284-1303):
+        #   M1 = emissive rgb (x em_scale) | roughness
+        #   M2 = encoded normal (n+1)/2   | metallic
+        m1s = gathered[..., n_planes + 14].astype(jnp.int32)
+        m2s = gathered[..., n_planes + 15].astype(jnp.int32)
+        em_s = gathered[..., n_planes + 16]
+        nm = gathered[..., n_planes + 17]
+        m_on = m1s >= 0
+        kindm = jnp.where(m_on, SRC_TEXTURE, SRC_OFF)
+        zeros4 = jnp.zeros(rgba.shape, rgba.dtype)
+        m1 = resolve_texel(
+            kindm, m1s, zeros4, repeat, u, v, atlas,
+            uniforms["anim_frame"], sample_mode,
+        )
+        m2 = resolve_texel(
+            kindm, m2s, zeros4, repeat, u, v, atlas,
+            uniforms["anim_frame"], sample_mode,
+        )
+        roughness = jnp.where(m_on, m1[..., 3], roughness)
+        metallic = jnp.where(m_on, m2[..., 3], metallic)
+        emissive = jnp.where(
+            m_on[..., None], m1[..., :3] * em_s[..., None], emissive
+        )
+        # normal override only for shaders that wrote normals (per-tri nmap
+        # flag); byte-127 "zero" texels decode to |n| < 0.02 and keep the
+        # written-zero semantics (no normal -> hemi-only lighting)
+        n_dec = m2[..., :3] * 2.0 - 1.0
+        dlen = jnp.sqrt(jnp.sum(n_dec * n_dec, axis=-1, keepdims=True))
+        n_dir = jnp.where(
+            dlen > 0.02, n_dec / jnp.maximum(dlen, 1e-30), 0.0
+        )
+        use_n = (m_on & (nm > 0.5))[..., None]
+        normal = jnp.where(use_n, n_dir, normal)
 
     # per-batch rusteria shaders (rasterizer.rs:1224-1310): each compiled
     # program evaluates over the full frame; results merge where the pixel's
@@ -533,7 +579,7 @@ def shade_pass(
 
     # roughness fixed at 0.5 only when neither per-pixel shaders nor baked
     # per-batch materials are in play
-    shin6 = 6 if not (shaders or has_material) else None
+    shin6 = 6 if not (shaders or has_material or has_matmap) else None
     sun_radiance = uniforms["day_factor"] * uniforms.get(
         "sun_color", jnp.ones(3, jnp.float32)
     )

@@ -1193,6 +1193,11 @@ class Rusteria:
         rgba = np.array(_run_on_bake_device(run))  # copy: jax buffers are read-only views
         if not program.supports_opacity:
             rgba[..., 3] = 1.0
+        # encode linear shader color for the sRGB-decoding texel samplers
+        # (reference gamma-encodes its bakes too, renderbuffer.rs:88-107)
+        from ..utils.color import linear_to_srgb_exact_inverse
+
+        rgba[..., :3] = linear_to_srgb_exact_inverse(rgba[..., :3])
         return (np.clip(rgba, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
     @staticmethod

@@ -43,6 +43,32 @@ def linear_to_srgb_fast(x):
     return 1.055 * s - 0.055 * (s * s)
 
 
+#: dense inverse table of srgb_to_linear_fast for bake-time encoding
+#: (built lazily: 8193-point linear interp of the strictly increasing
+#: cubic is exact to ~1e-9 — far under the u8 quantization step)
+_SRGB_INV_TABLE = None
+
+
+def linear_to_srgb_exact_inverse(linear):
+    """Encode LINEAR values for storage in u8 textures that the samplers
+    decode with srgb_to_linear_fast — the numerical inverse of that exact
+    cubic, so bake -> sample round-trips to within quantization.
+
+    The reference bakes shader tiles with pow(x, 0.4545)
+    (rusteria/src/renderbuffer.rs:88-107 to_u8_vec_gamma) and decodes with
+    its fast polynomial — an approximate pair. Inverting our own sampler's
+    polynomial instead keeps the intent (store sRGB) with a tighter round
+    trip. numpy only (host bake path)."""
+    global _SRGB_INV_TABLE
+    if _SRGB_INV_TABLE is None:
+        s = np.linspace(0.0, 1.0, 8193, dtype=np.float64)
+        _SRGB_INV_TABLE = (s, srgb_to_linear_fast(s))
+    s_grid, f_grid = _SRGB_INV_TABLE
+    return np.interp(
+        np.clip(np.asarray(linear, np.float64), 0.0, 1.0), f_grid, s_grid
+    ).astype(np.float32)
+
+
 def pixel_to_vec4(pixel):
     """RGBA8 -> float4 in [0,1] (src/lib.rs:53-61)."""
     return np.asarray(pixel, dtype=np.float32) * np.float32(INV_255)

@@ -173,14 +173,15 @@ def test_constant_material_bakes_and_is_applied():
     assert np.abs(m - a).max() <= 4
 
 
-def test_unbakeable_material_shaders_stay_runtime():
-    """Per-pixel roughness or any emissive output cannot ride the bake
-    (only color/opacity texels + one constant material per batch are
-    representable) — those shaders keep the per-pixel path."""
+def test_perpixel_material_shaders_bake_to_matmaps():
+    """Per-pixel roughness / emissive outputs bake to M1/M2 material
+    sidecar tiles (scene_pack matmap bake) and leave the runtime path —
+    see tests/test_matmap.py for the render-parity coverage."""
     for src in (PERPIXEL_ROUGH, EMISSIVE):
         packed = PackedScene.from_scene(_scene(src), Assets.default())
-        assert packed.atlas_index.shader_slots == {}
-        assert len(packed.runtime_shaders) == 1
+        assert 0 in packed.atlas_index.shader_slots
+        assert 0 in packed.atlas_index.shader_mat_slots
+        assert packed.runtime_shaders == ()
 
 
 HITPOINT_READER = """

@@ -121,14 +121,22 @@ def test_baked_frame_matches_direct_bake_time():
     np.testing.assert_array_equal(tile_px, direct[..., :3])
 
 
-def test_per_pixel_material_shader_stays_runtime():
-    """A shader writing spatially-varying roughness is NOT representable as
-    a baked tile — it must stay on the per-pixel path, animated or not."""
+def test_animated_per_pixel_material_shader_bakes_matmap_frames():
+    """A TIME-dependent shader writing spatially-varying roughness bakes to
+    SHADER_ANIM_FRAMES color frames PLUS M1/M2 material sidecar frames in
+    lockstep (same tile_count, so the anim clock resolves all three
+    together) — nothing stays on the runtime path."""
     scene, assets, cam = _scene()
     idx = scene.add_shader(
         "fn shade() { color = vec3(fract(time), 0, 0); roughness = uv.x; }"
     )
     scene.d3_static[0].set_shader(idx)
     packed = PackedScene.from_scene(scene, assets)
-    assert idx not in (packed.atlas_index.shader_slots or {})
-    assert any(packed.runtime_shaders)
+    assert idx in packed.atlas_index.shader_slots
+    m1, m2, _em, _nm = packed.atlas_index.shader_mat_slots[idx]
+    atlas = packed.atlas_index.atlas
+    color_slot = packed.atlas_index.shader_slots[idx][0]
+    assert int(atlas.tile_count[color_slot]) == SHADER_ANIM_FRAMES
+    assert int(atlas.tile_count[m1]) == SHADER_ANIM_FRAMES
+    assert int(atlas.tile_count[m2]) == SHADER_ANIM_FRAMES
+    assert packed.runtime_shaders == ()
