@@ -324,10 +324,16 @@ def build_map_scene(width, height):
     return rast, scene, assets
 
 
-def measure_chained(rast, scene, assets, width, height, n=20):
+def measure_chained(rast, scene, assets, width, height, n=400):
     """Steady-state device frame time: n frames serialized by a data
     dependency INSIDE one jitted loop (fully robust against async-dispatch
-    and tunnel-RTT measurement artifacts)."""
+    and tunnel-RTT measurement artifacts).
+
+    n=400: each many() CALL carries ~25 ms of fixed dispatch+sync overhead
+    (tunnel RTT; measured by varying n — t(n) = T + 25ms/n to within noise),
+    so short chains inflate the per-frame time (n=20 read 2.84 ms/frame on
+    a scene whose true steady-state is 1.69 ms). 400 amortizes the constant
+    under 0.07 ms/frame."""
     import jax
     import jax.numpy as jnp
 

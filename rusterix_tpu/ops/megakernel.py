@@ -209,8 +209,9 @@ def _texel_lookup(atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode,
 
 def _mega_kernel(
     n_attr, sample_mode, has_blend, has_material, has_matmap, hbm_tables,
-    use_cbox, light_spec, sun_off, stage_cut,
-    sbox_ref, cbox_ref, snear_ref, params_ref, lights_ref, occ_ref,
+    use_cbox, use_tmask, light_spec, sun_off, stage_cut,
+    sbox_ref, cbox_ref, snear_ref, slist_ref, cmask_ref,
+    params_ref, lights_ref, occ_ref,
     planes_ref, attr_ref, atlas_ref, bg_ref,
     rgba_ref, zeff_ref,
     a_scr, idx_scr, minb_scr, *dma_scratch,
@@ -254,9 +255,13 @@ def _mega_kernel(
     group = CHUNK * SUPER
     ns = planes_ref.shape[0] // group
 
-    def _scan_super(s, planes_at, attr_at):
+    def _scan_super(s, planes_at, attr_at, cmask_word=None):
         """Scan one super-chunk; planes_at/attr_at map LOCAL row index ->
-        the row data (VMEM direct or the DMA slot buffer)."""
+        the row data (VMEM direct or the DMA slot buffer).
+
+        cmask_word (tmask path): i32 word whose bit k flags chunk
+        s*SUPER + k as tile-intersecting — iterate set bits only instead
+        of gate-testing all SUPER chunks on the scalar core."""
 
         def chunk_body(c, _2):
             def scan_chunk():
@@ -320,7 +325,24 @@ def _mega_kernel(
                 scan_chunk()
             return 0
 
-        jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, chunk_body, 0)
+        if cmask_word is None:
+            jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER, chunk_body, 0)
+        else:
+            # iterate only the SET bits. Branchless binary-search ctz —
+            # Mosaic's scalar core has no popcount/clz/bitcast, but
+            # and/shift/select are native (arith ops)
+            def bit_body(w):
+                x, k = w, jnp.int32(0)
+                for bits, mask in (
+                    (16, 0xFFFF), (8, 0xFF), (4, 0xF), (2, 0x3), (1, 0x1),
+                ):
+                    z = (x & mask) == 0
+                    x = jnp.where(z, x >> bits, x)
+                    k = jnp.where(z, k + bits, k)
+                chunk_body(s * SUPER + k, 0)
+                return w & (w - 1)
+
+            jax.lax.while_loop(lambda w: w != 0, bit_body, cmask_word)
 
     def _s_hit(s):
         # clamp: the HBM skip-ahead loop evaluates the bbox test at s == ns
@@ -338,7 +360,46 @@ def _mega_kernel(
         # strict >: a super at exactly min(best) cannot win (`invz > best`)
         return (s < ns) & (snear_ref[jnp.minimum(s, ns - 1)] > minb_scr[0])
 
-    if not hbm_tables:
+    if use_tmask:
+        # per-tile precomputed gating (mega_render): slist holds this tile's
+        # bbox-passing supers compacted in front-to-back order (sentinel ns),
+        # cmask the matching chunk-hit bit words — the scalar core only ever
+        # touches supers/chunks that actually intersect the tile, instead of
+        # box-testing all of them
+        base = (ti * pl.num_programs(1) + tj) * ns
+
+        def _not_done_t(i):
+            s = slist_ref[base + jnp.minimum(i, ns - 1)]
+            return (
+                (i < ns)
+                & (s < ns)
+                & (snear_ref[jnp.minimum(s, ns - 1)] > minb_scr[0])
+            )
+
+        def super_body_t(i):
+            s = slist_ref[base + i]
+            _scan_super(
+                s,
+                lambda r, cf, s=s: planes_ref[s * group + r, cf],
+                lambda r, ch, s=s: attr_ref[s * group + r, ch],
+                cmask_word=cmask_ref[base + i],
+            )
+            # the early-out bound only matters while supers REMAIN for this
+            # tile — the full-tile min is a vector->scalar sync (the scan's
+            # most expensive scalar op; ~560 of these/frame on the 1080p map
+            # vs ~2 supers/tile), so skip it after the last listed super.
+            # (The clamped peek can read the NEXT tile's first entry: worst
+            # case one pointless reduction, never an incorrect skip.)
+            nxt = slist_ref[jnp.minimum(base + i + 1, slist_ref.shape[0] - 1)]
+
+            @pl.when(nxt < ns)
+            def _():
+                minb_scr[0] = jnp.min(zeff_ref[:])
+
+            return i + 1
+
+        jax.lax.while_loop(_not_done_t, super_body_t, 0)
+    elif not hbm_tables:
         # small scenes: whole candidate tables live in VMEM
         def super_body(s):
             @pl.when(_s_hit(s))
@@ -1223,6 +1284,65 @@ def mega_render(
     # interpret mode on small scenes (the size switch would never take it)
     hbm_tables = force_hbm or (not interpret and table_bytes > (4 << 20))
 
+    # ---- per-tile gate precompute (tmask) ----
+    # The supers/chunks each tile must visit are knowable OUTSIDE the kernel:
+    # one vectorized box-vs-tile pass here (261K lane-parallel tests at
+    # 1080p/4K tris — noise) replaces the kernel's per-tile SCALAR-core gate
+    # loops (up to ns + passing_supers*SUPER branchy iterations per tile —
+    # measured as HALF the kernel at 1080p). Per tile: a front-to-back
+    # compacted list of bbox-passing supers (sentinel ns) + one i32 bit word
+    # per listed super flagging its intersecting chunks. SMEM-bounded like
+    # cbox; huge scenes keep the in-kernel gates / HBM skip-ahead.
+    ns_t = planes.shape[0] // group
+    n_th, n_tw = grid
+    use_tmask = (
+        not hbm_tables
+        and SUPER <= 32
+        and ns_t > 0
+        and 2 * n_th * n_tw * ns_t * 4 <= _CBOX_SMEM_LIMIT
+    )
+    if use_tmask:
+        y0g_i = params[58].astype(jnp.int32)
+        tx0 = jnp.arange(n_tw, dtype=jnp.int32) * TILE_W
+        ty0 = jnp.arange(n_th, dtype=jnp.int32) * TILE_H + y0g_i
+
+        def tile_hits(boxes_flat):
+            b = boxes_flat.reshape(-1, 4)
+            hx = (b[None, :, 0] < tx0[:, None] + TILE_W) & (
+                b[None, :, 2] > tx0[:, None]
+            )  # (n_tw, n)
+            hy = (b[None, :, 1] < ty0[:, None] + TILE_H) & (
+                b[None, :, 3] > ty0[:, None]
+            )  # (n_th, n)
+            return hy[:, None, :] & hx[None, :, :]  # (n_th, n_tw, n)
+
+        s_hit = tile_hits(sboxes)
+        slist_in = jnp.sort(
+            jnp.where(
+                s_hit, jnp.arange(ns_t, dtype=jnp.int32)[None, None, :], ns_t
+            ),
+            axis=-1,
+        ).reshape(-1)
+        c_hit = tile_hits(_group_boxes(bbox, CHUNK)).reshape(
+            n_th, n_tw, ns_t, SUPER
+        )
+        bitw = jnp.left_shift(
+            jnp.int32(1), jnp.arange(SUPER, dtype=jnp.int32)
+        )
+        cmask_sup = jnp.sum(
+            c_hit.astype(jnp.int32) * bitw[None, None, None, :], axis=-1
+        )  # (n_th, n_tw, ns) — disjoint powers: sum == bitwise OR
+        # align each tile's words with its compacted super list (the kernel
+        # reads cmask[base + i] for list entry i); sentinel entries read
+        # in-range garbage the (s < ns) loop guard never visits
+        sidx = jnp.minimum(slist_in.reshape(n_th, n_tw, ns_t), ns_t - 1)
+        cmask_in = jnp.take_along_axis(cmask_sup, sidx, axis=-1).reshape(-1)
+        cboxes = jnp.zeros(1, jnp.int32)  # gates precomputed; free the SMEM
+        use_cbox = False
+    else:
+        slist_in = jnp.zeros(1, jnp.int32)
+        cmask_in = jnp.zeros(1, jnp.int32)
+
     table_space = pl.ANY if (interpret or hbm_tables) else pltpu.VMEM
     if hbm_tables:
         # combined 128-wide rows: [planes | attr | pad] per candidate
@@ -1260,7 +1380,7 @@ def mega_render(
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=8,
         grid=grid,
         in_specs=[
             planes_spec,
@@ -1281,7 +1401,8 @@ def mega_render(
     rgba, zeff = pl.pallas_call(
         functools.partial(
             _mega_kernel, n_attr, sample_mode, has_blend, has_material,
-            has_matmap, hbm_tables, use_cbox, light_spec, sun_off, stage_cut,
+            has_matmap, hbm_tables, use_cbox, use_tmask, light_spec, sun_off,
+            stage_cut,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -1289,7 +1410,7 @@ def mega_render(
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ],
         interpret=interpret,
-    )(sboxes, cboxes, s_near, params, lights_packed, occ_packed,
-      planes_in, attr_in, atlas_rows, bg_u32)
+    )(sboxes, cboxes, s_near, slist_in, cmask_in, params, lights_packed,
+      occ_packed, planes_in, attr_in, atlas_rows, bg_u32)
 
     return rgba[:height, :width], zeff[:height, :width]

@@ -23,6 +23,7 @@ ties within the scan order).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,10 +31,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 64
+# env overrides exist for offline tuning sweeps only (bench hosts); the
+# defaults are the tuned production values
+TILE_H = int(os.environ.get("RUSTERIX_TPU_TILE_H", "64"))
 TILE_W = 128
-CHUNK = 4
-SUPER = 32  # chunks per super-chunk (128 triangles)
+CHUNK = int(os.environ.get("RUSTERIX_TPU_CHUNK", "4"))
+SUPER = int(os.environ.get("RUSTERIX_TPU_SUPER", "32"))  # chunks per super
 
 
 def _kernel(sbox_ref, cbox_ref, planes_ref, z_ref, idx_ref):

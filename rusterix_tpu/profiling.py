@@ -17,9 +17,11 @@ import time
 import numpy as np
 
 
-def _chain(fn, perturb, n=20):
+def _chain(fn, perturb, n=200):
     """ms per call of `fn(x)` with x perturbed per iteration by the f32
-    accumulator (defeats loop-invariant hoisting)."""
+    accumulator (defeats loop-invariant hoisting). n=200 amortizes the
+    ~25 ms fixed dispatch+sync cost per call (see bench.measure_chained)
+    to ~0.13 ms — phase DELTAS cancel it, absolute values carry it."""
     import jax
     import jax.numpy as jnp
 
