@@ -262,6 +262,95 @@ def _minigame_child(n=30):
     print(f"MINIGAME {dt_rb} {dt_dev} {mode}", flush=True)
 
 
+def measure_tracer(width=320, height=240, n=100):
+    """Progressive path-tracer samples/s (examples/tracer.py scene, 8
+    bounces): n one-sample wavefront passes chained by feeding each
+    accumulated frame into the next sample's camera jitter — same
+    methodology as measure_chained."""
+    import jax
+    import jax.numpy as jnp
+
+    from rusterix_tpu import (
+        Assets,
+        Batch3D,
+        D3OrbitCamera,
+        Light,
+        LightType,
+        Material,
+        MaterialModifier,
+        MaterialRole,
+        PixelSource,
+        Scene,
+    )
+    from rusterix_tpu.tracer import AccumBuffer, Tracer
+    from rusterix_tpu.tracer.tracer import _trace_frame
+
+    scene = Scene.from_static(
+        [],
+        [
+            Batch3D.from_box(-2.0, -0.6, -2.0, 4.0, 0.1, 4.0)
+            .set_source(PixelSource.pixel((200, 200, 200, 255)))
+            .with_computed_normals(),
+            Batch3D.from_box(-0.4, -0.5, -0.4, 0.8, 0.8, 0.8)
+            .set_source(PixelSource.pixel((220, 90, 60, 255)))
+            .with_computed_normals(),
+            Batch3D.from_box(0.8, -0.5, -0.8, 0.4, 1.4, 0.4)
+            .set_source(PixelSource.pixel((255, 240, 200, 255)))
+            .set_material(
+                Material(MaterialRole.Emissive, MaterialModifier.Nothing, 0.4, 0.0)
+            )
+            .with_computed_normals(),
+        ],
+    ).set_lights(
+        [
+            Light(LightType.Point)
+            .with_position([1.5, 2.0, 1.5])
+            .with_intensity(0.4)
+            .compile()
+        ]
+    )
+    cam = D3OrbitCamera()
+    cam.azimuth = 0.8
+    cam.elevation = 0.5
+    cam.set_parameter_f32("distance", 4.0)
+
+    tracer = Tracer()
+    buf = AccumBuffer(width, height)
+    tracer.trace(cam, scene, buf, 40, Assets.default())  # warm + cache
+    c = tracer._cache
+    lights = dict(c["lights"])
+    lights["flicker_factor"] = np.ones_like(lights["valid"])
+    lights_dev = {k: jnp.asarray(v) for k, v in lights.items()}
+    pos, forward, right, up = tracer._camera_basis(cam)
+    args = (
+        c["d3"], c["mats"], c["boxes"], lights_dev, c["atlas"],
+        jnp.asarray(pos), jnp.asarray(forward), jnp.asarray(right),
+        jnp.asarray(up), jnp.float32(np.tan(np.radians(cam.fov) * 0.5)),
+        jnp.asarray(tracer.sky_horizon), jnp.asarray(tracer.sky_zenith),
+    )
+
+    @jax.jit
+    def many():
+        def body(i, acc):
+            f = _trace_frame(
+                args[0], args[1], args[2], args[3], args[4],
+                args[5] + acc * 1e-30, *args[6:],
+                jax.random.PRNGKey(i * 7919 + 13),
+                jnp.int32(0), width, height, tracer.bounces,
+                tracer.use_aabb_skip,
+            )
+            return acc + f.reshape(-1)[0].astype(jnp.float32) * 1e-30
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    many().block_until_ready()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        many().block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
 MAP_SOURCE_HEADER = """
 set_default("wall_tex", "brick")
 set_default("floor_tex", "floor")
@@ -436,6 +525,15 @@ def main():
             import sys as _s
 
             print(f"minigame bench skipped: {exc}", file=_s.stderr)
+
+    if os.environ.get("RUSTERIX_TPU_BENCH_TRACER") != "0":
+        try:
+            dt_tr = measure_tracer()
+            results["tracer_320x240_samples_s"] = round(1.0 / dt_tr, 1)
+        except Exception as exc:  # additive metric; never sink the headline
+            import sys as _s
+
+            print(f"tracer bench skipped: {exc}", file=_s.stderr)
 
     rast, scene, assets = build_map_scene(1920, 1080)
     if os.environ.get("RUSTERIX_TPU_PROFILE") == "1":

@@ -26,7 +26,16 @@ import jax.numpy as jnp
 
 from ..models.batch import MaterialModifier, MaterialRole
 from ..ops.scene_pack import SRC_PIXEL, SRC_TEXTURE, PackedScene
-from ..ops.shade import light_radiance, resolve_texel, take_iso
+from ..ops.shade import (
+    LT_AMBIENT,
+    LT_AMBIENT_DAYLIGHT,
+    LT_AREA,
+    LT_DAYLIGHT,
+    LT_POINT,
+    LT_SPOT,
+    resolve_texel,
+    take_iso,
+)
 from ..utils.color import hash_u32, srgb_to_linear_fast
 
 
@@ -247,6 +256,102 @@ class Tracer:
         return camera.position(), forward, right, up
 
 
+
+def _light_sum_soa(lights, wx, wy, wz, nx, ny, nz):
+    """SoA re-expression of ops.shade.light_radiance summed over lights.
+
+    Identical formulas (CompiledLight::radiance_at, light.rs:491-653) but
+    component-wise over (P,) ray arrays with a static python loop over the
+    padded light rows: (P, L, 3) intermediates put the 3-axis on the VPU's
+    128-lane minor dim (2% utilization — measured 18x slower than SoA), so
+    the tracer keeps everything lane-major."""
+    L = lights["valid"].shape[0]
+    acc_r = jnp.zeros_like(wx)
+    acc_g = jnp.zeros_like(wx)
+    acc_b = jnp.zeros_like(wx)
+    for i in range(L):
+        lt = lights["type"][i]
+        start = lights["start"][i]
+        end = lights["end"][i]
+        inten_raw = lights["intensity"][i]
+        inten = inten_raw * lights["flicker_factor"][i]
+        tpx = wx - lights["position"][i, 0]
+        tpy = wy - lights["position"][i, 1]
+        tpz = wz - lights["position"][i, 2]
+        dist = jnp.sqrt(tpx * tpx + tpy * tpy + tpz * tpz)
+        in_range = dist < end
+        # _smoothstep(end, start, dist)
+        st = jnp.clip((dist - end) / (start - end), 0.0, 1.0)
+        smooth_att = jnp.where(dist <= start, 1.0, st * st * (3.0 - 2.0 * st))
+
+        point_c = inten * smooth_att
+        ambient_c = inten
+        lin_att = jnp.where(
+            dist <= start,
+            1.0,
+            1.0 - (dist - start) / jnp.maximum(end - start, 1e-20),
+        )
+        inv_dist = 1.0 / jnp.maximum(dist, 1e-20)
+        dpx, dpy, dpz = tpx * inv_dist, tpy * inv_dist, tpz * inv_dist
+        cosang = jnp.clip(
+            lights["direction"][i, 0] * dpx
+            + lights["direction"][i, 1] * dpy
+            + lights["direction"][i, 2] * dpz,
+            -1.0,
+            1.0,
+        )
+        spot_ok = jnp.arccos(cosang) <= lights["cone_angle"][i]
+        spot_c = jnp.where(spot_ok, inten * lin_att, 0.0)
+
+        area = lights["width"][i] * lights["height"][i]
+        angle_att = jnp.maximum(
+            lights["normal"][i, 0] * dpx
+            + lights["normal"][i, 1] * dpy
+            + lights["normal"][i, 2] * dpz,
+            0.0,
+        )
+        area_main = angle_att * smooth_att * area * inten_raw
+        area_linedef = smooth_att * area * inten_raw
+        area_c = jnp.where(
+            lights["from_linedef"][i] > 0.5, area_linedef, area_main
+        )
+        area_c = jnp.where(dist < 0.1, 1.0, area_c)
+        day_c = angle_att * smooth_att * inten_raw
+
+        scale = jnp.where(
+            lt == LT_POINT,
+            point_c,
+            jnp.where(
+                (lt == LT_AMBIENT) | (lt == LT_AMBIENT_DAYLIGHT),
+                ambient_c,
+                jnp.where(
+                    lt == LT_SPOT,
+                    spot_c,
+                    jnp.where(lt == LT_AREA, area_c, day_c),
+                ),
+            ),
+        )
+        valid = (lights["valid"][i] > 0.5) & in_range
+        valid = jnp.where(
+            (lt == LT_AMBIENT) | (lt == LT_AMBIENT_DAYLIGHT),
+            lights["valid"][i] > 0.5,
+            valid,
+        )
+        valid = valid & jnp.where(lt == LT_SPOT, spot_ok, True)
+
+        # Lambert for point/spot/area (light.rs:504-533): ldir = -to_point/|.|
+        lambert = jnp.maximum(-(nx * dpx + ny * dpy + nz * dpz), 0.0)
+        needs_lambert = ~(
+            (lt == LT_AMBIENT) | (lt == LT_AMBIENT_DAYLIGHT) | (lt == LT_DAYLIGHT)
+        )
+        s = scale * jnp.where(needs_lambert, lambert, 1.0)
+        s = jnp.where(valid, s, 0.0)
+        acc_r = acc_r + lights["color"][i, 0] * s
+        acc_g = acc_g + lights["color"][i, 1] * s
+        acc_b = acc_b + lights["color"][i, 2] * s
+    return acc_r, acc_g, acc_b
+
+
 @partial(jax.jit, static_argnames=("width", "height", "bounces", "use_aabb_skip"))
 def _trace_frame(
     d3,
@@ -268,6 +373,12 @@ def _trace_frame(
     bounces: int,
     use_aabb_skip: bool = False,
 ):
+    """One progressive sample — SoA formulation.
+
+    Every per-ray quantity is a separate (P,) component array: (P, 3)
+    vectors put the xyz axis on the VPU's 128-wide minor dim (2% lane
+    utilization, measured 18x slower than component arrays), so rays,
+    normals, throughput and radiance all stay lane-major end to end."""
     p = width * height
     aspect = width / height
 
@@ -282,49 +393,64 @@ def _trace_frame(
     # screen uv with y flip + jitter (trace.rs:175-183, d3orbit create_ray)
     u = (xs.reshape(-1) + jitter[:, 0]) / width
     v = 1.0 - (ys.reshape(-1) + jitter[:, 1]) / height
-    ndc_x = u * 2.0 - 1.0
-    ndc_y = v * 2.0 - 1.0
-    half_w = half_height_tan * aspect
-    dirs = (
-        forward[None, :]
-        + right[None, :] * (ndc_x * half_w)[:, None]
-        - up[None, :] * (-(ndc_y) * half_height_tan)[:, None]
-    )
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    origins = jnp.broadcast_to(cam_pos, (p, 3))
+    cx = (u * 2.0 - 1.0) * half_height_tan * aspect
+    cy = -(v * 2.0 - 1.0) * half_height_tan
+    dx = forward[0] + right[0] * cx - up[0] * cy
+    dy = forward[1] + right[1] * cx - up[1] * cy
+    dz = forward[2] + right[2] * cx - up[2] * cy
+    inv_len = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+    ox = jnp.full((p,), cam_pos[0])
+    oy = jnp.full((p,), cam_pos[1])
+    oz = jnp.full((p,), cam_pos[2])
 
-    tri_a = d3["pos"][:, 0, :3]
-    tri_e1 = d3["pos"][:, 1, :3] - tri_a
-    tri_e2 = d3["pos"][:, 2, :3] - tri_a
+    pos = d3["pos"]
+    t_ax, t_ay, t_az = pos[:, 0, 0], pos[:, 0, 1], pos[:, 0, 2]
+    t_e1x, t_e1y, t_e1z = (
+        pos[:, 1, 0] - t_ax, pos[:, 1, 1] - t_ay, pos[:, 1, 2] - t_az,
+    )
+    t_e2x, t_e2y, t_e2z = (
+        pos[:, 2, 0] - t_ax, pos[:, 2, 1] - t_ay, pos[:, 2, 2] - t_az,
+    )
     tri_valid = d3["valid"] > 0.5
 
-    def intersect_all(o, d):
+    def intersect_all(ox, oy, oz, dx, dy, dz):
         """Möller-Trumbore over all tris, chunked -> (t, tri, uhit, vhit).
 
         Each Morton-ordered chunk is gated by a wavefront slab test against
         its AABB: when no ray in flight can enter the box (or no ray could
         beat its current best t inside it), the whole chunk's MT math is
         skipped with lax.cond — the TPU wavefront analogue of a 2-level BVH.
-        """
-        tcount = tri_a.shape[0]
+        All math on (P,) / (P, C) lane-major arrays."""
+        tcount = t_ax.shape[0]
         chunk = min(TRACER_CHUNK, tcount)
         nchunks = (tcount + chunk - 1) // chunk
-        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+        inv_dx = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, 1e-20, dx)
+        inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
+        inv_dz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, 1e-20, dz)
 
         def step(carry, ci):
-            best_t, best_i, best_u, best_v = carry
+            best_t = carry[0]
 
             # slab test of every ray vs this chunk's AABB
-            bmin = boxes["box_min"][ci]
-            bmax = boxes["box_max"][ci]
-            t0 = (bmin[None] - o) * inv_d
-            t1 = (bmax[None] - o) * inv_d
-            tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
-            tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            t0x = (boxes["box_min"][ci, 0] - ox) * inv_dx
+            t1x = (boxes["box_max"][ci, 0] - ox) * inv_dx
+            t0y = (boxes["box_min"][ci, 1] - oy) * inv_dy
+            t1y = (boxes["box_max"][ci, 1] - oy) * inv_dy
+            t0z = (boxes["box_min"][ci, 2] - oz) * inv_dz
+            t1z = (boxes["box_max"][ci, 2] - oz) * inv_dz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
             enters = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear < best_t)
 
             def run_chunk(carry):
-                return _mt_chunk(carry, ci, o, d)
+                return _mt_chunk(carry, ci)
 
             if not use_aabb_skip:
                 return run_chunk(carry), None
@@ -333,98 +459,155 @@ def _trace_frame(
                 None,
             )
 
-        def _mt_chunk(carry, ci, o, d):
-            best_t, best_i, best_u, best_v = carry
+        def _mt_chunk(carry, ci):
+            # carry ONLY (t, index): u/v would need take_along_axis lane
+            # gathers here, which force the whole (P, C) chain to
+            # materialize (measured ~2.4 ms/bounce); instead the winner's
+            # u/v are recomputed once per ray afterwards with (P,) math, so
+            # the tt producer fuses straight into the min/argmin reduces.
+            best_t, best_i = carry
             s = ci * chunk
-            a = jax.lax.dynamic_slice(tri_a, (s, 0), (chunk, 3))
-            e1 = jax.lax.dynamic_slice(tri_e1, (s, 0), (chunk, 3))
-            e2 = jax.lax.dynamic_slice(tri_e2, (s, 0), (chunk, 3))
+
+            def row(arr):
+                return jax.lax.dynamic_slice(arr, (s,), (chunk,))[None, :]
+
+            ax_, ay_, az_ = row(t_ax), row(t_ay), row(t_az)
+            e1x, e1y, e1z = row(t_e1x), row(t_e1y), row(t_e1z)
+            e2x, e2y, e2z = row(t_e2x), row(t_e2y), row(t_e2z)
             valid = jax.lax.dynamic_slice(tri_valid, (s,), (chunk,))
-            h = jnp.cross(d[:, None, :], e2[None, :, :])  # (P, C, 3)
-            det = jnp.sum(e1[None] * h, axis=-1)
+
+            dxc, dyc, dzc = dx[:, None], dy[:, None], dz[:, None]
+            # h = d x e2
+            hx = dyc * e2z - dzc * e2y
+            hy = dzc * e2x - dxc * e2z
+            hz = dxc * e2y - dyc * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
             ok = (jnp.abs(det) >= 1e-6) & valid[None, :]
             f = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-            sv = o[:, None, :] - a[None, :, :]
-            uu = f * jnp.sum(sv * h, axis=-1)
+            svx = ox[:, None] - ax_
+            svy = oy[:, None] - ay_
+            svz = oz[:, None] - az_
+            uu = f * (svx * hx + svy * hy + svz * hz)
             ok &= (uu >= 0.0) & (uu <= 1.0)
-            q = jnp.cross(sv, e1[None, :, :])
-            vv = f * jnp.sum(d[:, None, :] * q, axis=-1)
+            # q = sv x e1
+            qx = svy * e1z - svz * e1y
+            qy = svz * e1x - svx * e1z
+            qz = svx * e1y - svy * e1x
+            vv = f * (dxc * qx + dyc * qy + dzc * qz)
             ok &= (vv >= 0.0) & (uu + vv <= 1.0)
-            tt = f * jnp.sum(e2[None] * q, axis=-1)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
             ok &= tt > 1e-4
             tt = jnp.where(ok, tt, jnp.inf)
             local = jnp.argmin(tt, axis=-1)
-            tmin = jnp.take_along_axis(tt, local[:, None], axis=-1)[:, 0]
+            tmin = jnp.min(tt, axis=-1)
             better = tmin < best_t
             best_t = jnp.where(better, tmin, best_t)
             best_i = jnp.where(better, s + local, best_i)
-            best_u = jnp.where(
-                better, jnp.take_along_axis(uu, local[:, None], -1)[:, 0], best_u
-            )
-            best_v = jnp.where(
-                better, jnp.take_along_axis(vv, local[:, None], -1)[:, 0], best_v
-            )
-            return (best_t, best_i, best_u, best_v)
+            return (best_t, best_i)
 
         init = (
-            jnp.full((o.shape[0],), jnp.inf),
-            jnp.full((o.shape[0],), -1, jnp.int32),
-            jnp.zeros(o.shape[0]),
-            jnp.zeros(o.shape[0]),
+            jnp.full((p,), jnp.inf),
+            jnp.full((p,), -1, jnp.int32),
         )
-        (bt, bi, bu, bv), _ = jax.lax.scan(
+        (bt, bi), _ = jax.lax.scan(
             step, init, jnp.arange(nchunks, dtype=jnp.int32)
         )
+
+        # winner u/v: one single-triangle Möller-Trumbore per ray on (P,)
+        # component arrays (gathered rows; misses index row 0 — masked by
+        # the caller's hit test)
+        wi = jnp.maximum(bi, 0)
+        w_ax, w_ay, w_az = take_iso(t_ax, wi), take_iso(t_ay, wi), take_iso(t_az, wi)
+        w_e1x, w_e1y, w_e1z = (
+            take_iso(t_e1x, wi), take_iso(t_e1y, wi), take_iso(t_e1z, wi),
+        )
+        w_e2x, w_e2y, w_e2z = (
+            take_iso(t_e2x, wi), take_iso(t_e2y, wi), take_iso(t_e2z, wi),
+        )
+        whx = dy * w_e2z - dz * w_e2y
+        why = dz * w_e2x - dx * w_e2z
+        whz = dx * w_e2y - dy * w_e2x
+        wdet = w_e1x * whx + w_e1y * why + w_e1z * whz
+        wf = jnp.where(jnp.abs(wdet) >= 1e-6, 1.0 / jnp.where(wdet == 0.0, 1.0, wdet), 0.0)
+        wsx, wsy, wsz = ox - w_ax, oy - w_ay, oz - w_az
+        bu = wf * (wsx * whx + wsy * why + wsz * whz)
+        wqx = wsy * w_e1z - wsz * w_e1y
+        wqy = wsz * w_e1x - wsx * w_e1z
+        wqz = wsx * w_e1y - wsy * w_e1x
+        bv = wf * (dx * wqx + dy * wqy + dz * wqz)
         return bt, bi, bu, bv
 
     def bounce(carry, kidx):
-        o, d, ret, throughput, active = carry
+        ox, oy, oz, dx, dy, dz, ret_r, ret_g, ret_b, tp_r, tp_g, tp_b, active = carry
         k1 = jax.random.fold_in(rng_key, kidx * 3 + 1)
         k2 = jax.random.fold_in(rng_key, kidx * 3 + 2)
         k3 = jax.random.fold_in(rng_key, kidx * 3 + 3)
 
-        t, tri, uu, vv = intersect_all(o, d)
+        t, tri, uu, vv = intersect_all(ox, oy, oz, dx, dy, dz)
         hit = (tri >= 0) & active
         ti = jnp.maximum(tri, 0)
 
         w0 = 1.0 - uu - vv
-        # fusion-isolated row gathers (see ops.shade.take_iso): fused
-        # (P,)-indexed gathers degrade to element-at-a-time on TPU
-        uv_rows = take_iso(d3["uv"], ti)  # (P,3,2)
-        uv = (
-            uv_rows[:, 0] * w0[:, None]
-            + uv_rows[:, 1] * uu[:, None]
-            + uv_rows[:, 2] * vv[:, None]
-        )
+        # fusion-isolated per-COMPONENT row gathers (see ops.shade.take_iso:
+        # fused (P,)-indexed gathers degrade to element-at-a-time on TPU;
+        # additionally, gathering (P,3,k) rows and slicing components back
+        # out costs a strided (P,) extraction kernel per component —
+        # measured slower than one contiguous (P,) gather per component.
+        # The (T,) component tables are loop-invariant and hoist out of the
+        # bounce scan.)
+        def gpc(table, r, c):
+            return take_iso(table[:, r, c], ti)
+
+        t_uv = d3["uv"]
+        uv_u = gpc(t_uv, 0, 0) * w0 + gpc(t_uv, 1, 0) * uu + gpc(t_uv, 2, 0) * vv
+        uv_v = gpc(t_uv, 0, 1) * w0 + gpc(t_uv, 1, 1) * uu + gpc(t_uv, 2, 1) * vv
         has_n = take_iso(d3["has_normals"], ti) > 0.5
-        nrm_rows = take_iso(d3["nrm"], ti)  # (P,3,3)
-        n_interp = (
-            nrm_rows[:, 0] * w0[:, None]
-            + nrm_rows[:, 1] * uu[:, None]
-            + nrm_rows[:, 2] * vv[:, None]
+        t_nrm = d3["nrm"]
+        g_e1x, g_e1y, g_e1z = (
+            take_iso(t_e1x, ti), take_iso(t_e1y, ti), take_iso(t_e1z, ti),
         )
-        n_geo = jnp.cross(take_iso(tri_e1, ti), take_iso(tri_e2, ti))
-        n = jnp.where(has_n[:, None], n_interp, n_geo)
-        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        g_e2x, g_e2y, g_e2z = (
+            take_iso(t_e2x, ti), take_iso(t_e2y, ti), take_iso(t_e2z, ti),
+        )
+        nx = jnp.where(
+            has_n,
+            gpc(t_nrm, 0, 0) * w0 + gpc(t_nrm, 1, 0) * uu + gpc(t_nrm, 2, 0) * vv,
+            g_e1y * g_e2z - g_e1z * g_e2y,
+        )
+        ny = jnp.where(
+            has_n,
+            gpc(t_nrm, 0, 1) * w0 + gpc(t_nrm, 1, 1) * uu + gpc(t_nrm, 2, 1) * vv,
+            g_e1z * g_e2x - g_e1x * g_e2z,
+        )
+        nz = jnp.where(
+            has_n,
+            gpc(t_nrm, 0, 2) * w0 + gpc(t_nrm, 1, 2) * uu + gpc(t_nrm, 2, 2) * vv,
+            g_e1x * g_e2y - g_e1y * g_e2x,
+        )
+        inv_nl = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-20)
+        nx, ny, nz = nx * inv_nl, ny * inv_nl, nz * inv_nl
         # face the incoming ray (batch3d.rs:925-928)
-        n = jnp.where(jnp.sum(n * d, axis=-1, keepdims=True) > 0, -n, n)
+        flip = jnp.where(nx * dx + ny * dy + nz * dz > 0, -1.0, 1.0)
+        nx, ny, nz = nx * flip, ny * flip, nz * flip
 
         texel = resolve_texel(
             take_iso(d3["kind"], ti), take_iso(d3["tex_slot"], ti),
             take_iso(d3["rgba"], ti), take_iso(d3["repeat"], ti),
-            uv[:, 0], uv[:, 1], atlas, anim_frame, 0,
+            uv_u, uv_v, atlas, anim_frame, 0,
         )
-        albedo = srgb_to_linear_fast(texel[:, :3])
+        tex_r, tex_g, tex_b = texel[:, 0], texel[:, 1], texel[:, 2]
+        alb_r = srgb_to_linear_fast(tex_r)
+        alb_g = srgb_to_linear_fast(tex_g)
+        alb_b = srgb_to_linear_fast(tex_b)
 
         # material roles + per-hit modifier (trace.rs evaluate_hit:438-465:
         # modifier.modify(&texel, &material.value) on the SAMPLED texel)
         role = take_iso(mats["role"], ti)
         modifier = take_iso(mats["modifier"], ti)
         raw_value = take_iso(mats["value"], ti)
-        tex = texel[:, :3]
-        lum = 0.2126 * tex[:, 0] + 0.7152 * tex[:, 1] + 0.0722 * tex[:, 2]
-        mx = jnp.max(tex, axis=-1)
-        mn = jnp.min(tex, axis=-1)
+        lum = 0.2126 * tex_r + 0.7152 * tex_g + 0.0722 * tex_b
+        mx = jnp.maximum(jnp.maximum(tex_r, tex_g), tex_b)
+        mn = jnp.minimum(jnp.minimum(tex_r, tex_g), tex_b)
         sat = jnp.where(mx > 0.0, (mx - mn) / jnp.maximum(mx, 1e-20), 0.0)
         value = jnp.where(
             modifier == int(MaterialModifier.Luminance), lum * raw_value,
@@ -448,85 +631,116 @@ def _trace_frame(
                 value, 0.0,
             ),
         )
-        emissive = jnp.where(
-            (role == int(MaterialRole.Emissive))[:, None],
-            albedo * (raw_value * 10.0)[:, None],
-            0.0,
-        )
+        em_on = role == int(MaterialRole.Emissive)
+        em_scale = jnp.where(em_on, raw_value * 10.0, 0.0)
+        em_r, em_g, em_b = alb_r * em_scale, alb_g * em_scale, alb_b * em_scale
 
-        world = o + d * t[:, None]
-        is_emissive = jnp.any(emissive != 0.0, axis=-1)
-        ret = ret + jnp.where((hit & is_emissive)[:, None], emissive * throughput, 0.0)
+        wx = ox + dx * t
+        wy = oy + dy * t
+        wz = oz + dz * t
+        is_emissive = (em_r != 0.0) | (em_g != 0.0) | (em_b != 0.0)
+        add_em = (hit & is_emissive).astype(jnp.float32)
+        ret_r = ret_r + add_em * em_r * tp_r
+        ret_g = ret_g + add_em * em_g * tp_g
+        ret_b = ret_b + add_em * em_b * tp_b
 
         # direct lighting x10 (trace.rs:281-291)
-        radiance = light_radiance(lights, world, n)
-        direct = jnp.sum(radiance, axis=-2) * 10.0
-        brdf = albedo / jnp.pi
-        ret = ret + jnp.where(
-            (hit & ~is_emissive)[:, None], direct * throughput * brdf, 0.0
-        )
+        dir_r, dir_g, dir_b = _light_sum_soa(lights, wx, wy, wz, nx, ny, nz)
+        add_d = (hit & ~is_emissive).astype(jnp.float32) * (10.0 / jnp.pi)
+        ret_r = ret_r + add_d * dir_r * tp_r * alb_r
+        ret_g = ret_g + add_d * dir_g * tp_g * alb_g
+        ret_b = ret_b + add_d * dir_b * tp_b * alb_b
 
         # bounce: specular vs cosine diffuse (trace.rs:293-307)
         p_spec = jnp.clip(spec_w, 0.0, 1.0)
         choose_spec = jax.random.uniform(k1, p_spec.shape) < p_spec
         pdf = jnp.where(choose_spec, p_spec, 1.0 - p_spec)
-        refl = d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+        d_dot_n = dx * nx + dy * ny + dz * nz
+        refl_x = dx - 2.0 * d_dot_n * nx
+        refl_y = dy - 2.0 * d_dot_n * ny
+        refl_z = dz - 2.0 * d_dot_n * nz
 
         # cosine hemisphere sample around n
         r1 = jax.random.uniform(k2, p_spec.shape)
         r2 = jax.random.uniform(k3, p_spec.shape)
         phi = 2.0 * jnp.pi * r1
         sq = jnp.sqrt(r2)
-        tangent = jnp.cross(n, jnp.where(jnp.abs(n[:, 0:1]) < 0.9,
-                                         jnp.array([1.0, 0, 0]), jnp.array([0, 1.0, 0])))
-        tangent = tangent / jnp.maximum(jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-20)
-        bitan = jnp.cross(n, tangent)
-        cosdir = (
-            tangent * (jnp.cos(phi) * sq)[:, None]
-            + bitan * (jnp.sin(phi) * sq)[:, None]
-            + n * jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))[:, None]
-        )
+        # tangent = n x pick, pick = |n.x| < 0.9 ? (1,0,0) : (0,1,0)
+        pick_x = jnp.where(jnp.abs(nx) < 0.9, 1.0, 0.0)
+        pick_y = 1.0 - pick_x
+        tx = -nz * pick_y
+        ty = nz * pick_x
+        tz = nx * pick_y - ny * pick_x
+        inv_tl = 1.0 / jnp.maximum(jnp.sqrt(tx * tx + ty * ty + tz * tz), 1e-20)
+        tx, ty, tz = tx * inv_tl, ty * inv_tl, tz * inv_tl
+        # bitan = n x tangent
+        bx = ny * tz - nz * ty
+        by = nz * tx - nx * tz
+        bz = nx * ty - ny * tx
+        ca, sa = jnp.cos(phi) * sq, jnp.sin(phi) * sq
+        cz_ = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+        cos_x = tx * ca + bx * sa + nx * cz_
+        cos_y = ty * ca + by * sa + ny * cz_
+        cos_z = tz * ca + bz * sa + nz * cz_
 
-        new_d = jnp.where(choose_spec[:, None], refl, cosdir)
+        spec_f = choose_spec.astype(jnp.float32)
+        new_dx = spec_f * refl_x + (1.0 - spec_f) * cos_x
+        new_dy = spec_f * refl_y + (1.0 - spec_f) * cos_y
+        new_dz = spec_f * refl_z + (1.0 - spec_f) * cos_z
         tp_spec = spec_w / jnp.maximum(pdf, 1e-6)
         tp_diff = (1.0 - p_spec) / jnp.maximum(pdf * jnp.pi, 1e-6)
-        new_tp = jnp.where(
-            choose_spec[:, None],
-            throughput * tp_spec[:, None],
-            throughput * albedo * tp_diff[:, None],
-        )
+        new_tp_r = jnp.where(choose_spec, tp_r * tp_spec, tp_r * alb_r * tp_diff)
+        new_tp_g = jnp.where(choose_spec, tp_g * tp_spec, tp_g * alb_g * tp_diff)
+        new_tp_b = jnp.where(choose_spec, tp_b * tp_spec, tp_b * alb_b * tp_diff)
 
         # miss -> sky gradient (debug sky, rasterizer.rs:1824-1842 analogue)
-        up_y = jnp.clip(d[:, 1], -1.0, 1.0)
-        sky_t = (up_y + 1.0) * 0.5
-        sky = sky_horizon[None] + (sky_zenith - sky_horizon)[None] * sky_t[:, None]
-        sky_lin = srgb_to_linear_fast(sky)
-        missed = (~(tri >= 0)) & active
-        ret = ret + jnp.where(missed[:, None], sky_lin * throughput, 0.0)
+        sky_t = (jnp.clip(dy, -1.0, 1.0) + 1.0) * 0.5
+        miss_f = ((~(tri >= 0)) & active).astype(jnp.float32)
+        for c, (ret_c, tp_c) in enumerate(((ret_r, tp_r), (ret_g, tp_g), (ret_b, tp_b))):
+            sky_c = sky_horizon[c] + (sky_zenith[c] - sky_horizon[c]) * sky_t
+            sky_lin = srgb_to_linear_fast(sky_c)
+            if c == 0:
+                ret_r = ret_r + miss_f * sky_lin * tp_r
+            elif c == 1:
+                ret_g = ret_g + miss_f * sky_lin * tp_g
+            else:
+                ret_b = ret_b + miss_f * sky_lin * tp_b
 
         # russian roulette (trace.rs:310-318)
-        pmax = jnp.clip(jnp.max(new_tp, axis=-1), 0.001, 1.0)
+        pmax = jnp.clip(
+            jnp.maximum(jnp.maximum(new_tp_r, new_tp_g), new_tp_b), 0.001, 1.0
+        )
         rr = jax.random.uniform(jax.random.fold_in(k1, 99), pmax.shape)
         survive = rr <= pmax
-        new_tp = new_tp / pmax[:, None]
+        inv_pmax = 1.0 / pmax
+        new_tp_r = new_tp_r * inv_pmax
+        new_tp_g = new_tp_g * inv_pmax
+        new_tp_b = new_tp_b * inv_pmax
 
         new_active = hit & ~is_emissive & survive
-        new_o = world + n * 0.01
-        o = jnp.where(new_active[:, None], new_o, o)
-        d = jnp.where(new_active[:, None], new_d, d)
-        throughput = jnp.where(new_active[:, None], new_tp, throughput)
-        return (o, d, ret, throughput, new_active), None
+        na = new_active.astype(jnp.float32)
+        ox = na * (wx + nx * 0.01) + (1.0 - na) * ox
+        oy = na * (wy + ny * 0.01) + (1.0 - na) * oy
+        oz = na * (wz + nz * 0.01) + (1.0 - na) * oz
+        dx = na * new_dx + (1.0 - na) * dx
+        dy = na * new_dy + (1.0 - na) * dy
+        dz = na * new_dz + (1.0 - na) * dz
+        tp_r = na * new_tp_r + (1.0 - na) * tp_r
+        tp_g = na * new_tp_g + (1.0 - na) * tp_g
+        tp_b = na * new_tp_b + (1.0 - na) * tp_b
+        return (
+            ox, oy, oz, dx, dy, dz, ret_r, ret_g, ret_b, tp_r, tp_g, tp_b,
+            new_active,
+        ), None
 
     init = (
-        origins,
-        dirs,
-        jnp.zeros((p, 3)),
-        jnp.ones((p, 3)),
+        ox, oy, oz, dx, dy, dz,
+        jnp.zeros(p), jnp.zeros(p), jnp.zeros(p),
+        jnp.ones(p), jnp.ones(p), jnp.ones(p),
         jnp.ones(p, bool),
     )
-    (o, d, ret, tp, act), _ = jax.lax.scan(
-        bounce, init, jnp.arange(bounces, dtype=jnp.int32)
-    )
+    carry, _ = jax.lax.scan(bounce, init, jnp.arange(bounces, dtype=jnp.int32))
+    ret_r, ret_g, ret_b = carry[6], carry[7], carry[8]
 
-    rgba = jnp.concatenate([ret, jnp.ones((p, 1))], axis=-1)
+    rgba = jnp.stack([ret_r, ret_g, ret_b, jnp.ones(p)], axis=-1)
     return rgba.reshape(height, width, 4)
