@@ -535,6 +535,17 @@ def main():
 
             print(f"tracer bench skipped: {exc}", file=_s.stderr)
 
+    if os.environ.get("RUSTERIX_TPU_BENCH_4K") != "0":
+        try:
+            rast, scene, assets = build_map_scene(3840, 2160)
+            dt4k = measure_chained(rast, scene, assets, 3840, 2160, n=200)
+            results["map_3840x2160_fps"] = round(1.0 / dt4k, 1)
+            results["map_3840x2160_mpix_s"] = round(3840 * 2160 / dt4k / 1e6, 1)
+        except Exception as exc:  # additive metric; never sink the headline
+            import sys as _s
+
+            print(f"4k bench skipped: {exc}", file=_s.stderr)
+
     rast, scene, assets = build_map_scene(1920, 1080)
     if os.environ.get("RUSTERIX_TPU_PROFILE") == "1":
         from rusterix_tpu.profiling import frame_breakdown
