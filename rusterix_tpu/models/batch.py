@@ -19,6 +19,20 @@ from typing import Optional
 import numpy as np
 
 
+def _cross3(a, b):
+    """3-vector cross without np.cross's moveaxis machinery (the generic
+    path is ~20x the flops for single vectors; billboards rebuild per
+    frame in the engine loop)."""
+    return np.array(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ],
+        np.float32,
+    )
+
+
 class PrimitiveMode(enum.IntEnum):
     """reference src/batch/mod.rs:6-14"""
 
@@ -482,11 +496,11 @@ class Batch3D:
                 n = np.array([0, 1, 0], np.float32)
             else:
                 n = np.array([0, 0, 1], np.float32)
-        side = np.cross(n, dn)
+        side = _cross3(n, dn)
         if not np.all(np.isfinite(side)) or float(np.linalg.norm(side)) < 1e-6:
-            side = np.cross(dn, np.array([0, 1, 0], np.float32))
+            side = _cross3(dn, np.array([0, 1, 0], np.float32))
             if float(np.linalg.norm(side)) < 1e-6:
-                side = np.cross(dn, np.array([1, 0, 0], np.float32))
+                side = _cross3(dn, np.array([1, 0, 0], np.float32))
         side_n = side / np.linalg.norm(side)
         half = side_n * (thickness * 0.5)
         cap = dn * (thickness * 0.5)
@@ -507,9 +521,9 @@ class Batch3D:
             if abs(n[0]) < 0.9
             else np.array([0, 1, 0], np.float32)
         )
-        u = np.cross(n, helper)
+        u = _cross3(n, helper)
         u = u / np.linalg.norm(u)
-        v = np.cross(n, u)
+        v = _cross3(n, u)
         v = v / np.linalg.norm(v)
         h = size * 0.5
         self._push_quad(
@@ -533,7 +547,7 @@ class Batch3D:
             u = np.array([0, 1, 0], np.float32)
         else:
             u = u / np.linalg.norm(u)
-        n = np.cross(r, u)
+        n = _cross3(r, u)
         n = n / np.linalg.norm(n)
         h = size * 0.5
         self._push_quad(

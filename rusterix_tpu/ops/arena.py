@@ -29,6 +29,15 @@ import numpy as np
 Layout = Tuple[tuple, Any]
 
 
+#: treedef -> (shapes, dtypes, offsets, total, layout). The engine loop
+#: packs the SAME tree structure every frame (through a FRESH Rasterizer —
+#: client.draw_d3 constructs one per frame, so this must be module-level);
+#: rebuilding the layout (per-leaf ``dtype.name`` + entry tuples, ~90
+#: leaves) was ~half of pack_arena's host time. Keyed on the hashable
+#: PyTreeDef; bounded, cleared wholesale if it somehow grows.
+_PACK_CACHE: dict = {}
+
+
 def pack_arena(tree) -> Tuple[Optional[np.ndarray], Optional[Layout]]:
     """Flatten `tree`'s numpy leaves into one uint32 buffer.
 
@@ -37,6 +46,26 @@ def pack_arena(tree) -> Tuple[Optional[np.ndarray], Optional[Layout]]:
     round trip); callers fall back to the per-leaf batched device_put.
     """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
+
+    cached = _PACK_CACHE.get(treedef)
+    if cached is not None:
+        shapes, dtypes, offs, total, layout = cached
+        arena = np.empty(max(total, 1), np.uint32)
+        hit = len(leaves) == len(shapes)
+        if hit:
+            for i, leaf in enumerate(leaves):
+                if isinstance(leaf, jax.Array):
+                    hit = False
+                    break
+                a = leaf if isinstance(leaf, np.ndarray) else np.asarray(leaf)
+                if a.shape != shapes[i] or a.dtype != dtypes[i]:
+                    hit = False
+                    break
+                o = offs[i]
+                arena[o : o + a.size] = a.reshape(-1).view(np.uint32)
+        if hit:
+            return arena, layout
+
     arrs = []
     for leaf in leaves:
         if isinstance(leaf, jax.Array):
@@ -55,7 +84,17 @@ def pack_arena(tree) -> Tuple[Optional[np.ndarray], Optional[Layout]]:
         arena[off : off + a.size] = flat
         entries.append((off, a.shape, a.dtype.name))
         off += a.size
-    return arena, (tuple(entries), treedef)
+    layout = (tuple(entries), treedef)
+    if len(_PACK_CACHE) > 32:
+        _PACK_CACHE.clear()
+    _PACK_CACHE[treedef] = (
+        tuple(a.shape for a in arrs),
+        tuple(a.dtype for a in arrs),
+        tuple(e[0] for e in entries),
+        total,
+        layout,
+    )
+    return arena, layout
 
 
 def unpack_arena(arena: jnp.ndarray, layout: Layout):

@@ -31,6 +31,8 @@ SRC_TERRAIN = 3
 #: (one scene.animation_frame increment == SHADER_ANIM_DT shader seconds;
 #: the minigame config's 250ms game tick is the model cadence)
 SHADER_ANIM_FRAMES = 16
+
+_EYE4 = np.eye(4, dtype=np.float32)
 SHADER_ANIM_DT = 0.25
 
 
@@ -299,9 +301,11 @@ def pack_batches_3d(
             continue
         # Fold the per-batch model transform host-side (cheap; the reference
         # folds it into view_model per frame, src/batch/batch3d.rs:555-559).
+        # Exact identity compare: np.allclose's tolerance machinery was a
+        # measurable slice of the per-frame dynamic repack (engine loop).
         verts = batch.vertices
         tf = batch.transform_3d
-        if not np.allclose(tf, np.eye(4)):
+        if not np.array_equal(tf, _EYE4):
             verts = verts @ tf.T.astype(np.float32)
         kind, tex_slot, rgba = atlas_index.resolve(batch.source)
         shader_idx = -1 if batch.shader is None else int(batch.shader)
