@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional
 
 import numpy as np
 
@@ -25,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.batch import MaterialModifier, MaterialRole
-from ..ops.scene_pack import SRC_PIXEL, SRC_TEXTURE, PackedScene
+from ..ops.scene_pack import PackedScene
 from ..ops.shade import (
     LT_AMBIENT,
     LT_AMBIENT_DAYLIGHT,
@@ -36,7 +35,7 @@ from ..ops.shade import (
     resolve_texel,
     take_iso,
 )
-from ..utils.color import hash_u32, srgb_to_linear_fast
+from ..utils.color import srgb_to_linear_fast
 
 
 @dataclass
@@ -696,15 +695,14 @@ def _trace_frame(
         # miss -> sky gradient (debug sky, rasterizer.rs:1824-1842 analogue)
         sky_t = (jnp.clip(dy, -1.0, 1.0) + 1.0) * 0.5
         miss_f = ((~(tri >= 0)) & active).astype(jnp.float32)
-        for c, (ret_c, tp_c) in enumerate(((ret_r, tp_r), (ret_g, tp_g), (ret_b, tp_b))):
-            sky_c = sky_horizon[c] + (sky_zenith[c] - sky_horizon[c]) * sky_t
-            sky_lin = srgb_to_linear_fast(sky_c)
-            if c == 0:
-                ret_r = ret_r + miss_f * sky_lin * tp_r
-            elif c == 1:
-                ret_g = ret_g + miss_f * sky_lin * tp_g
-            else:
-                ret_b = ret_b + miss_f * sky_lin * tp_b
+        def sky_lin(c):
+            return srgb_to_linear_fast(
+                sky_horizon[c] + (sky_zenith[c] - sky_horizon[c]) * sky_t
+            )
+
+        ret_r = ret_r + miss_f * sky_lin(0) * tp_r
+        ret_g = ret_g + miss_f * sky_lin(1) * tp_g
+        ret_b = ret_b + miss_f * sky_lin(2) * tp_b
 
         # russian roulette (trace.rs:310-318)
         pmax = jnp.clip(
