@@ -75,6 +75,32 @@ def test_hbm_dma_streaming_matches_vmem_tables():
     assert np.array_equal(ref, out)
 
 
+def test_scalar_gate_fallback_matches_tmask():
+    """Small scenes gate via precomputed per-tile super lists + chunk bit
+    words (tmask); when the masks exceed the SMEM budget the kernel falls
+    back to in-kernel scalar sbox/cbox gates over VMEM tables. Both
+    gatings must be pixel-identical — force the fallback by shrinking the
+    budget below any mask size."""
+    import rusterix_tpu.ops.megakernel as mk
+    from rusterix_tpu.ops import raster
+
+    ref = _render(LIGHT_SETS["mixed"], use_pallas=True)
+
+    orig = mk._CBOX_SMEM_LIMIT
+    mk._CBOX_SMEM_LIMIT = 0  # no masks AND no cbox: sbox-only scalar gates
+    # the limit is read at trace time: clear BOTH jit caches (mega_render's
+    # own cache would otherwise serve the tmask trace to the outer retrace)
+    raster.render_frame.clear_cache()
+    mk.mega_render.clear_cache()
+    try:
+        out = _render(LIGHT_SETS["mixed"], use_pallas=True)
+    finally:
+        mk._CBOX_SMEM_LIMIT = orig
+        raster.render_frame.clear_cache()
+        mk.mega_render.clear_cache()
+    assert np.array_equal(ref, out)
+
+
 @pytest.mark.parametrize("which", list(LIGHT_SETS))
 def test_megakernel_matches_xla(which):
     """Full u8 frames agree to <=1/255 per channel for every light type."""
