@@ -111,12 +111,22 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
         lp = pack_light_params(ld)
         occ = pack_occ_params(uni)
 
+        # mirror the production call's static light specialization — the
+        # generic light loop is measurably slower than the per-type paths
+        # and would overstate megakernel_ms vs the real frame
+        light_spec = tuple(
+            (i, int(t))
+            for i, t in enumerate(np.asarray(packed.lights["type"]))
+            if float(packed.lights["valid"][i]) > 0.5
+        )
+        sun_off = not (rast.sun_dir is not None and rast.day_factor > 0)
+
         def run_mega(v):
             return mega_render(
                 vis_s + v[0, 0] * 0, alive_s, bbox_s, table_s,
                 atlas_rows_i32(atlas["flat_u32"]), bg, params, lp, occ,
                 width, height, int(rast.sample_mode), False,
-                s_near=s_near,
+                s_near=s_near, light_spec=light_spec, sun_off=sun_off,
             )
 
         out["megakernel_ms"] = round(_chain(run_mega, perturb_view), 3)
