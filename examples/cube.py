@@ -4,10 +4,11 @@ gradient background + animated point light, orbit camera. Headless: renders
 frames and saves cube.png."""
 
 import math
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

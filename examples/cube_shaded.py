@@ -2,9 +2,10 @@
 """Cube-shaded example (reference examples/cube_shaded.rs): procedural wood
 rusteria shader on a cube with a point light. Saves cube_shaded.png."""
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rusterix_tpu import (
     Assets,

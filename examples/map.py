@@ -3,9 +3,10 @@
 built with the MapScript DSL, first-person camera, sky + point lights.
 Saves map.png."""
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rusterix_tpu import (
     Assets,

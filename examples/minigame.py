@@ -4,10 +4,11 @@ engine loop — MapScript world, Player/Monster entity scripts, server ticks,
 input, billboards, device rendering. Headless: simulates a short session and
 saves minigame.png."""
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -4,9 +4,10 @@ culling + depth test under an orbit camera. Generates a procedural torus OBJ
 (the reference ships teapot.obj). Saves obj.png."""
 
 import math
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rusterix_tpu import (
     Assets,

@@ -3,10 +3,11 @@
 progressive wavefront tracing of an emissive + diffuse scene. Saves
 tracer.png."""
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rusterix_tpu import (
     Assets,
