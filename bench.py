@@ -426,6 +426,7 @@ def measure_chained(rast, scene, assets, width, height, n=400):
     import jax
     import jax.numpy as jnp
 
+    from rusterix_tpu.ops.megakernel import light_spec_from
     from rusterix_tpu.ops.raster import render_frame
 
     # device-resident warmup: no D2H — the dev tunnel's download path
@@ -462,11 +463,7 @@ def measure_chained(rast, scene, assets, width, height, n=400):
                 bool(packed.d2.valid.any()),
                 packed.runtime_shaders,
                 rast.use_pallas,
-                light_spec=tuple(
-                    (i, int(t))
-                    for i, t in enumerate(np.asarray(packed.lights["type"]))
-                    if float(packed.lights["valid"][i]) > 0.5
-                ),
+                light_spec=light_spec_from(packed.lights),
                 sun_off=not (
                     rast.sun_dir is not None and rast.day_factor > 0
                 ),

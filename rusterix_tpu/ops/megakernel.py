@@ -49,7 +49,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .scene_pack import SRC_OFF, SRC_PIXEL, SRC_TEXTURE
-from .visibility_pallas import CHUNK, SUPER, TILE_H, TILE_W, _group_boxes
+from .visibility_pallas import (
+    CHUNK,
+    SUPER,
+    TILE_H,
+    TILE_W,
+    _group_boxes,
+    morton_perm,
+)
 
 # mega attr-table layout (f32 columns)
 #   0-17  attribute planes (inv_w, u, v, nx, ny, nz) x (a, b, c)
@@ -981,6 +988,26 @@ def pack_mega_table(attr_planes, tri_id, meta, atlas, anim_frame,
     return jnp.concatenate(cols, axis=1)
 
 
+def _tri_near_bound(vis_planes, bbox, alive, width, y0g, rows_local):
+    """Conservative per-candidate nearest-invz: the invz plane (affine in
+    screen x,y) evaluated at the screen-clipped bbox corners — the max over
+    the box bounds the max over the triangle. Clips rows to
+    [y0g, y0g + rows_local), the rows this kernel instance owns under row
+    sharding. ONE definition: morton_ftb_sort and mega_render's unsorted
+    fallback must produce bit-identical front-to-back orders or the
+    early-out contract between the fused and unfused pipelines breaks."""
+    bx0 = jnp.clip(bbox[:, 0], 0.0, float(width))
+    by0 = jnp.clip(bbox[:, 1], y0g, y0g + rows_local)
+    bx1 = jnp.clip(bbox[:, 2], 0.0, float(width))
+    by1 = jnp.clip(bbox[:, 3], y0g, y0g + rows_local)
+    pa, pb, pc = vis_planes[:, 9], vis_planes[:, 10], vis_planes[:, 11]
+    tri_near = jnp.maximum(
+        jnp.maximum(pa * bx0 + pb * by0 + pc, pa * bx1 + pb * by0 + pc),
+        jnp.maximum(pa * bx0 + pb * by1 + pc, pa * bx1 + pb * by1 + pc),
+    )
+    return jnp.where(alive > 0.5, tri_near, -jnp.inf)
+
+
 def morton_ftb_sort(vis_planes, bbox, alive, table, width: int, height: int,
                     y0g=0.0, rows_local: int = None):
     """Morton + front-to-back super ordering in ONE fused row gather.
@@ -1014,42 +1041,12 @@ def morton_ftb_sort(vis_planes, bbox, alive, table, width: int, height: int,
         t2 += pad
     ns = t2 // group
 
-    # ---- Morton key (same construction as visibility_pallas.morton_sort) --
-    cx = jnp.clip((bbox[:, 0] + bbox[:, 2]) * 0.5 / width, 0.0, 1.0)
-    cy = jnp.clip((bbox[:, 1] + bbox[:, 3]) * 0.5 / height, 0.0, 1.0)
-    xi = (cx * 1023).astype(jnp.uint32)
-    yi = (cy * 1023).astype(jnp.uint32)
-
-    def spread(v):
-        v = (v | (v << 8)) & 0x00FF00FF
-        v = (v | (v << 4)) & 0x0F0F0F0F
-        v = (v | (v << 2)) & 0x33333333
-        v = (v | (v << 1)) & 0x55555555
-        return v
-
-    code = (spread(xi) << 1) | spread(yi)
-    slot_bits = max((t2 - 1).bit_length(), 1)
-    code_bits = 32 - slot_bits
-    if code_bits < 20:
-        code = code >> (20 - code_bits)
-    code = jnp.where(alive > 0.5, code, jnp.uint32((1 << code_bits) - 1))
-    packed_key = (code << slot_bits) | jnp.arange(t2, dtype=jnp.uint32)
-    p1 = (jnp.sort(packed_key) & jnp.uint32((1 << slot_bits) - 1)).astype(
-        jnp.int32
-    )
+    # ---- Morton key (the SHARED curve, visibility_pallas.morton_perm) ----
+    p1 = morton_perm(bbox, alive, width, height)
 
     # ---- per-row near bound (elementwise, ORIGINAL order) ----
     rl = float(height if rows_local is None else rows_local)
-    bx0 = jnp.clip(bbox[:, 0], 0.0, float(width))
-    by0 = jnp.clip(bbox[:, 1], y0g, y0g + rl)
-    bx1 = jnp.clip(bbox[:, 2], 0.0, float(width))
-    by1 = jnp.clip(bbox[:, 3], y0g, y0g + rl)
-    pa, pb, pc = vis_planes[:, 9], vis_planes[:, 10], vis_planes[:, 11]
-    tri_near = jnp.maximum(
-        jnp.maximum(pa * bx0 + pb * by0 + pc, pa * bx1 + pb * by0 + pc),
-        jnp.maximum(pa * bx0 + pb * by1 + pc, pa * bx1 + pb * by1 + pc),
-    )
-    tri_near = jnp.where(alive > 0.5, tri_near, -jnp.inf)
+    tri_near = _tri_near_bound(vis_planes, bbox, alive, width, y0g, rl)
 
     # group-max over the MORTON order (one single-column gather), then the
     # composed permutation feeds the one full-table gather below
@@ -1068,6 +1065,20 @@ def morton_ftb_sort(vis_planes, bbox, alive, table, width: int, height: int,
         combined[:, nv + 4],
         combined[:, nv + 5 :],
         s_near,
+    )
+
+
+def light_spec_from(lights) -> tuple:
+    """Static (row, type) pairs of the VALID light rows, for mega_render's
+    `light_spec` argument — the kernel emits ONLY each listed light's own
+    attenuation path and never visits dead padding rows. ONE definition:
+    the predicate must stay in lock-step with pack_light_params' slot
+    layout and the kernel's type-code dispatch, and bench/profiling/dryrun
+    must measure the same specialization production renders."""
+    types = np.asarray(lights["type"])
+    valid = np.asarray(lights["valid"])
+    return tuple(
+        (i, int(t)) for i, t in enumerate(types) if float(valid[i]) > 0.5
     )
 
 
@@ -1225,16 +1236,9 @@ def mega_render(
         # invz for geometry below the first shard and let the early-out drop
         # it
         y0g = params[58]
-        bx0 = jnp.clip(bbox[:, 0], 0.0, float(width))
-        by0 = jnp.clip(bbox[:, 1], y0g, y0g + float(height))
-        bx1 = jnp.clip(bbox[:, 2], 0.0, float(width))
-        by1 = jnp.clip(bbox[:, 3], y0g, y0g + float(height))
-        pa, pb, pc = planes[:, 9], planes[:, 10], planes[:, 11]
-        tri_near = jnp.maximum(
-            jnp.maximum(pa * bx0 + pb * by0 + pc, pa * bx1 + pb * by0 + pc),
-            jnp.maximum(pa * bx0 + pb * by1 + pc, pa * bx1 + pb * by1 + pc),
+        tri_near = _tri_near_bound(
+            planes, bbox, alive, width, y0g, float(height)
         )
-        tri_near = jnp.where(alive > 0.5, tri_near, -jnp.inf)
         s_near = tri_near.reshape(ns_, group).max(axis=1)
         order = jnp.argsort(-s_near)
         row_perm = (

@@ -811,6 +811,7 @@ class Rasterizer:
         # the leaves pack into ONE uint32 arena and are bitcast-sliced back
         # out inside the jit (ops/arena.py).
         from .arena import pack_arena
+        from .megakernel import light_spec_from
 
         per_frame = (d3_dyn, d3_op_dyn, d2_dyn, lights_dev, uniforms)
         arena_np, arena_layout = pack_arena(per_frame)
@@ -880,21 +881,20 @@ class Rasterizer:
                 or (packed.d3.m1_slot >= 0).any()  # matmap implies material
             ),
             has_matmap=bool((packed.d3.m1_slot >= 0).any()),
-            # static per-light (row, type) of the VALID rows: the megakernel
-            # emits only each light's own attenuation path and never visits
-            # dead padding rows (types are host numpy here; the kernel can't
-            # inspect them at trace time)
-            light_spec=tuple(
-                (i, int(t))
-                for i, t in enumerate(np.asarray(lights["type"]))
-                if float(lights["valid"][i]) > 0.5
-            ),
+            # static per-light (row, type) of the VALID rows (types are
+            # host numpy here; the kernel can't inspect them at trace time)
+            light_spec=light_spec_from(lights),
             sun_off=not (self.sun_dir is not None and self.day_factor > 0),
         )
         #: exact args of the last frame — consumed by profiling's
         #: full-frame phase ablations (numpy leaves are fine there: the
-        #: breakdown jits its own chained loop around render_frame)
-        self._frame_args = frame_args
+        #: breakdown jits its own chained loop around render_frame). Only
+        #: stashed on request: unconditionally pinning every frame's
+        #: dynamic packs/uniforms (plus the scene-cache device tables) for
+        #: the rasterizer's lifetime is a retention cost the hot engine
+        #: loop shouldn't pay for a profiling convenience.
+        if getattr(self, "keep_frame_args", False):
+            self._frame_args = frame_args
         if arena_dev is not None:
             passthru = {
                 k: v

@@ -197,17 +197,13 @@ def visibility_pass_pallas(
     return z, idx, idx >= 0
 
 
-def morton_sort(vis_planes, bbox, alive, tri_id, width: int, height: int,
-                extra=None):
-    """Reorder candidate triangles along a Morton (Z-order) curve of their
-    screen-bbox centers so that group-merged bboxes stay tight and the tile
-    kernel's hierarchy skip actually skips.
-
-    Dead slots sort to the end (+inf key). Returns permuted
-    (vis_planes, bbox, alive, tri_id). Note: reordering changes z-tie
-    winners between EXACTLY co-planar triangles (the reference resolves
-    ties by draw order); exact ties are measure-zero in real scenes.
-    """
+def morton_perm(bbox, alive, width: int, height: int) -> jnp.ndarray:
+    """Permutation sorting candidates along the Morton (Z-order) curve of
+    their screen-bbox centers: dead slots to the end (+all-ones code), ties
+    break by slot index. ONE u32 code|slot sort instead of argsort's
+    variadic (key, iota) sort. This is the SINGLE definition of the curve —
+    morton_sort here and megakernel.morton_ftb_sort both build on it, which
+    is what keeps the fused and unfused pipelines' orders bit-identical."""
     cx = jnp.clip((bbox[:, 0] + bbox[:, 2]) * 0.5 / width, 0.0, 1.0)
     cy = jnp.clip((bbox[:, 1] + bbox[:, 3]) * 0.5 / height, 0.0, 1.0)
     xi = (cx * 1023).astype(jnp.uint32)
@@ -228,14 +224,25 @@ def morton_sort(vis_planes, bbox, alive, tri_id, width: int, height: int,
         # huge scenes: coarsen the curve so code|slot still fits u32 (the
         # curve is a locality heuristic — any deterministic order is valid)
         code = code >> (20 - code_bits)
-    # ONE u32 sort instead of argsort's variadic (key, iota) sort: the slot
-    # index rides the low bits (ties break by slot, same as stable argsort).
-    # Dead slots carry an all-ones code field -> sort to the end.
     code = jnp.where(alive > 0.5, code, jnp.uint32((1 << code_bits) - 1))
     packed_key = (code << slot_bits) | jnp.arange(t2, dtype=jnp.uint32)
-    perm = (jnp.sort(packed_key) & jnp.uint32((1 << slot_bits) - 1)).astype(
+    return (jnp.sort(packed_key) & jnp.uint32((1 << slot_bits) - 1)).astype(
         jnp.int32
     )
+
+
+def morton_sort(vis_planes, bbox, alive, tri_id, width: int, height: int,
+                extra=None):
+    """Reorder candidate triangles along a Morton (Z-order) curve of their
+    screen-bbox centers so that group-merged bboxes stay tight and the tile
+    kernel's hierarchy skip actually skips.
+
+    Dead slots sort to the end (+inf key). Returns permuted
+    (vis_planes, bbox, alive, tri_id). Note: reordering changes z-tie
+    winners between EXACTLY co-planar triangles (the reference resolves
+    ties by draw order); exact ties are measure-zero in real scenes.
+    """
+    perm = morton_perm(bbox, alive, width, height)
     # one fused row-gather over a combined matrix instead of five gathers
     cols = [vis_planes, bbox, alive[:, None], tri_id.astype(jnp.float32)[:, None]]
     n_extra = 0

@@ -52,7 +52,9 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
 
     from .ops.setup_pass import setup_pass
     # device-resident warmup (no D2H — the dev tunnel's download path can
-    # degrade to minutes per MB and must not gate profiling)
+    # degrade to minutes per MB and must not gate profiling); ask the
+    # rasterizer to stash its exact frame args for the ablations below
+    rast.keep_frame_args = True
     rast.rasterize(scene, width, height, 40, assets, readback=False)
     cache = rast._scene_cache
     packed = cache["packed"]
@@ -87,6 +89,7 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
     if rast.use_pallas and not packed.runtime_shaders:
         from .ops.megakernel import (
             atlas_rows_i32,
+            light_spec_from,
             mega_render,
             morton_ftb_sort,
             pack_background_u32,
@@ -114,11 +117,7 @@ def frame_breakdown(rast, scene, assets, width: int, height: int) -> dict:
         # mirror the production call's static light specialization — the
         # generic light loop is measurably slower than the per-type paths
         # and would overstate megakernel_ms vs the real frame
-        light_spec = tuple(
-            (i, int(t))
-            for i, t in enumerate(np.asarray(packed.lights["type"]))
-            if float(packed.lights["valid"][i]) > 0.5
-        )
+        light_spec = light_spec_from(packed.lights)
         sun_off = not (rast.sun_dir is not None and rast.day_factor > 0)
 
         def run_mega(v):

@@ -101,11 +101,19 @@ class _HostGlobals(HostCallGlobals):
 
 def exec_entity_class(source: str, ns: dict):
     """exec an .rxe script and return ``(class_name, class)`` — the first
-    class the script defines (the dialect's one-entity-class-per-file
-    convention). Returns ``("", None)`` when it defines no class."""
+    class the script DEFINES (the dialect's one-entity-class-per-file
+    convention). Classes the script merely imports (``from enum import
+    Enum``) are skipped by checking ``__module__`` against the exec
+    namespace's module name. Returns ``("", None)`` when it defines no
+    class."""
+    ns.setdefault("__name__", "<rxe>")
     exec(compile(source, "<rxe>", "exec"), ns)
     for k, v in ns.items():
-        if isinstance(v, type) and not k.startswith("_"):
+        if (
+            isinstance(v, type)
+            and not k.startswith("_")
+            and getattr(v, "__module__", None) == ns["__name__"]
+        ):
             return k, v
     return "", None
 

@@ -74,6 +74,7 @@ def test_arena_render_matches_per_leaf_render():
     proj = cam.projection_matrix(W, H)
     rast = Rasterizer.setup(None, view, proj)
     rast.ambient([0.3, 0.3, 0.3, 1.0])
+    rast.keep_frame_args = True  # stash is opt-in (profiling consumer)
     frame_arena = rast.rasterize(scene, W, H, 32, assets)
 
     args = rast._frame_args

@@ -122,3 +122,23 @@ def test_player_moves_with_input():
         rx.update_server()
     assert not np.allclose(player.position, start)
     rx.server.stop()
+
+
+def test_rxe_imported_classes_are_not_the_entity_class():
+    """exec_entity_class must return the class the script DEFINES, not the
+    first class object in its namespace — a script importing a class
+    (``from enum import Enum``) before defining its entity class would
+    otherwise register Enum and silently dead-end every event."""
+    from rusterix_tpu.server.pyscript import exec_entity_class
+
+    src = (
+        "from enum import Enum\n"
+        "import collections\n"
+        "class Player:\n"
+        "    def event(self, name, value):\n"
+        "        return name\n"
+    )
+    name, cls = exec_entity_class(src, {})
+    assert name == "Player"
+    assert cls.__name__ == "Player"
+    assert hasattr(cls, "event")
