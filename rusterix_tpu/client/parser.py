@@ -27,6 +27,45 @@ class Tok:
 
 _BRACE_RE = re.compile(r"\{([^{}]+)\}")
 
+#: EnLocale article tables (resolver.rs:20-60)
+_AN_EXCEPTIONS = ("honest", "honor", "honour", "hour", "heir")
+_A_EXCEPTIONS = ("uni", "use", "euro", "one")  # unicorn, user, euro, one-off
+_PAIR_ITEMS = ("trousers", "pants", "gloves", "boots", "scissors", "goggles")
+_MASS_ITEMS = (
+    "armor", "cloth", "water", "meat", "sand", "rice", "bread", "equipment",
+)
+
+
+def _indefinite_article(word: str) -> str:
+    """EnLocale::indefinite_article (resolver.rs:21-41)."""
+    if not word:
+        return "a"
+    if word.startswith(_AN_EXCEPTIONS):
+        return "an"
+    if word.startswith(_A_EXCEPTIONS):
+        return "a"
+    return "an" if word[:1].lower() in "aeiou" else "a"
+
+
+def _with_article(name: str, opts: Dict[str, str]) -> str:
+    """EnLocale::with_article_item/_entity (resolver.rs:62-90): definite ->
+    'the X'; indefinite -> 'a pair of X' for pair items, 'some X' for mass
+    nouns, else 'a/an X' with the exception tables above."""
+    article = opts.get("article")
+    if article is None:
+        return name
+    article = article.lower()
+    if article in ("def", "definite"):
+        return f"the {name}"
+    if article in ("indef", "indefinite", "undef"):
+        lower = name.lower()
+        if any(p in lower for p in _PAIR_ITEMS):
+            return f"a pair of {name}"
+        if any(m in lower for m in _MASS_ITEMS):
+            return f"some {name}"
+        return f"{_indefinite_article(lower)} {name}"
+    return name
+
 
 class MsgParser:
     def parse(self, input_str: str) -> List[Tok]:
@@ -106,12 +145,7 @@ class MsgParser:
                     if e.id == tok.id:
                         name = e.attributes.get_str_default(tok.attr, "")
                         break
-                article = tok.opts.get("article")
-                if article == "def":
-                    name = f"the {name}"
-                elif article == "indef":
-                    name = f"an {name}" if name[:1].lower() in "aeiou" else f"a {name}"
-                out.append(apply_case(name, tok.opts))
+                out.append(apply_case(_with_article(name, tok.opts), tok.opts))
             elif tok.kind == "item":
                 # world items first, then entity inventories
                 # (resolver.rs:156-186)
@@ -130,12 +164,7 @@ class MsgParser:
                                 break
                         if name:
                             break
-                article = tok.opts.get("article")
-                if article == "def":
-                    name = f"the {name}"
-                elif article == "indef":
-                    name = f"an {name}" if name[:1].lower() in "aeiou" else f"a {name}"
-                out.append(apply_case(name, tok.opts))
+                out.append(apply_case(_with_article(name, tok.opts), tok.opts))
             elif tok.kind == "num":
                 text = f"{int(tok.val)}"
                 if "unit" in tok.opts:

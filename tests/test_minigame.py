@@ -212,6 +212,39 @@ def test_msg_parser():
     assert p.render("{F:3.14159,precision=2}") == "3.14"
 
 
+def test_msg_parser_en_locale_articles():
+    """EnLocale article rules (resolver.rs:20-90): a/an with exception
+    prefixes, 'a pair of' for pair items, 'some' for mass nouns, and the
+    long article option spellings."""
+    p = MsgParser()
+
+    def ent(name):
+        class E:
+            id = 7
+
+            class attributes:
+                @staticmethod
+                def get_str_default(k, d, _n=name):
+                    return _n
+
+        return E()
+
+    def indef(name):
+        return p.render("{E:7.name,article=indef}", entities=[ent(name)])
+
+    assert indef("orc") == "an orc"
+    assert indef("sword") == "a sword"
+    assert indef("hourglass") == "an hourglass"  # 'hour' exception
+    assert indef("unicorn") == "a unicorn"  # 'uni' exception
+    assert indef("boots") == "a pair of boots"
+    assert indef("armor") == "some armor"
+    # long spellings + definite (resolver.rs:67-73)
+    e = ent("orc")
+    assert p.render("{E:7.name,article=definite}", entities=[e]) == "the orc"
+    assert p.render("{E:7.name,article=indefinite}", entities=[e]) == "an orc"
+    assert p.render("{E:7.name,article=none}", entities=[e]) == "orc"
+
+
 def test_draw2d_primitives():
     d = Draw2D()
     buf = np.zeros((64, 64, 4), np.uint8)
