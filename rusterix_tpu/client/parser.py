@@ -67,6 +67,38 @@ def _with_article(name: str, opts: Dict[str, str]) -> str:
     return name
 
 
+def _ucfirst(s: str) -> str:
+    return s[:1].upper() + s[1:] if s else s
+
+
+def _title(s: str) -> str:
+    return " ".join(_ucfirst(w) for w in s.split())
+
+
+def _apply_case(text: str, opts: Dict[str, str]) -> str:
+    """MsgResolver::apply_case (resolver.rs:207-272): `case=` spellings
+    upper/uppercase, lower/lowercase, ucfirst/first/first_upper, title —
+    plus the same names as bare boolean-style option keys."""
+    case = (opts.get("case") or "").lower()
+    if case in ("upper", "uppercase"):
+        return text.upper()
+    if case in ("lower", "lowercase"):
+        return text.lower()
+    if case in ("ucfirst", "first", "first_upper"):
+        return _ucfirst(text)
+    if case == "title":
+        return _title(text)
+    if "upper" in opts:
+        return text.upper()
+    if "lower" in opts:
+        return text.lower()
+    if "ucfirst" in opts or "first" in opts or "first_upper" in opts:
+        return _ucfirst(text)
+    if "title" in opts:
+        return _title(text)
+    return text
+
+
 class MsgParser:
     def parse(self, input_str: str) -> List[Tok]:
         toks: List[Tok] = []
@@ -81,37 +113,54 @@ class MsgParser:
         return toks
 
     def _parse_token(self, body: str) -> Tok:
-        parts = body.split(",")
+        parts = body.strip().split(",")
         head = parts[0].strip()
+        # k=v pairs; values may be 'quoted' or "quoted" (parser.rs:164-180);
+        # flag-only segments are dropped, as in the reference
         opts = {}
         for p in parts[1:]:
             if "=" in p:
                 k, v = p.split("=", 1)
-                opts[k.strip()] = v.strip()
+                v = v.strip()
+                if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+                    v = v[1:-1]
+                opts[k.strip()] = v
         lower = head.lower()
-        if lower.startswith("e:"):
-            id_attr = head[2:].split(".", 1)
+
+        def ref(kind, rest):
+            # malformed id -> TextKey with the full body (parser.rs:125-136)
+            id_attr = rest.split(".", 1)
+            try:
+                rid = int(id_attr[0])
+                if rid < 0:
+                    raise ValueError(rid)
+            except ValueError:
+                return Tok("text", text=head, opts={})
             return Tok(
-                "entity",
-                id=int(id_attr[0]),
+                kind,
+                id=rid,
                 attr=id_attr[1] if len(id_attr) > 1 else "name",
                 opts=opts,
             )
+
+        if lower.startswith("e:"):
+            return ref("entity", head[2:])
         # item refs: I: / It: / Item:, case-insensitive (parser.rs:76-84) —
         # region.rs:1323 emits the short {I:<id>.name} form on purchases
         for prefix in ("item:", "it:", "i:"):
             if lower.startswith(prefix):
-                id_attr = head[len(prefix):].split(".", 1)
-                return Tok(
-                    "item",
-                    id=int(id_attr[0]),
-                    attr=id_attr[1] if len(id_attr) > 1 else "name",
-                    opts=opts,
-                )
-        if head.startswith("N:"):
-            return Tok("num", val=float(int(head[2:])), opts=opts)
-        if head.startswith("F:"):
-            return Tok("float", val=float(head[2:]), opts=opts)
+                return ref("item", head[len(prefix):])
+        # non-numeric N:/F: payloads degrade to text keys (parser.rs:85-102)
+        if lower.startswith("n:"):
+            try:
+                return Tok("num", val=float(int(head[2:])), opts=opts)
+            except ValueError:
+                return Tok("text", text=head, opts=opts)
+        if lower.startswith("f:"):
+            try:
+                return Tok("float", val=float(head[2:]), opts=opts)
+            except ValueError:
+                return Tok("text", text=head, opts=opts)
         return Tok("text", text=head, opts=opts)
 
     def render(
@@ -122,22 +171,13 @@ class MsgParser:
         locale: Optional[Dict[str, str]] = None,
     ) -> str:
         """Expand tokens to display text."""
-
-        def apply_case(text: str, opts: Dict[str, str]) -> str:
-            case = (opts.get("case") or "").lower()
-            if case == "upper":
-                return text.upper()
-            if case == "lower":
-                return text.lower()
-            return text
-
-        out = []
+        pieces = []
         for tok in self.parse(input_str):
             if tok.kind == "plain":
-                out.append(tok.text)
+                pieces.append(tok.text)
             elif tok.kind == "text":
-                out.append(
-                    apply_case((locale or {}).get(tok.text, tok.text), tok.opts)
+                pieces.append(
+                    _apply_case((locale or {}).get(tok.text, tok.text), tok.opts)
                 )
             elif tok.kind == "entity":
                 name = ""
@@ -145,7 +185,9 @@ class MsgParser:
                     if e.id == tok.id:
                         name = e.attributes.get_str_default(tok.attr, "")
                         break
-                out.append(apply_case(_with_article(name, tok.opts), tok.opts))
+                pieces.append(
+                    _apply_case(_with_article(name, tok.opts), tok.opts)
+                )
             elif tok.kind == "item":
                 # world items first, then entity inventories
                 # (resolver.rs:156-186)
@@ -164,13 +206,42 @@ class MsgParser:
                                 break
                         if name:
                             break
-                out.append(apply_case(_with_article(name, tok.opts), tok.opts))
+                pieces.append(
+                    _apply_case(_with_article(name, tok.opts), tok.opts)
+                )
             elif tok.kind == "num":
                 text = f"{int(tok.val)}"
                 if "unit" in tok.opts:
                     text += f" {tok.opts['unit']}"
-                out.append(text)
+                pieces.append(text)
             elif tok.kind == "float":
-                prec = int(tok.opts.get("precision", 2))
-                out.append(f"{tok.val:.{prec}f}")
-        return "".join(out)
+                try:
+                    prec = int(tok.opts.get("precision", 2))
+                except ValueError:
+                    prec = 2
+                text = f"{tok.val:.{prec}f}"
+                if "unit" in tok.opts:
+                    text += f" {tok.opts['unit']}"
+                pieces.append(text)
+
+        # auto-space between consecutive WORDY tokens (resolver.rs:192-200:
+        # templates like "{You}{E:7.name,article=def}" need no literal
+        # spaces). Documented-intent divergence: the reference inserts the
+        # space even when the boundary already has one (a plain chunk ending
+        # " " is wordy, so "You see {E:..}" would double-space); we skip the
+        # insertion when either side already touches whitespace.
+        out = ""
+        prev_wordy = False
+        for rendered in pieces:
+            curr_wordy = any(c.isalnum() for c in rendered)
+            if (
+                prev_wordy
+                and curr_wordy
+                and out
+                and not out[-1].isspace()
+                and not (rendered[:1].isspace())
+            ):
+                out += " "
+            out += rendered
+            prev_wordy = curr_wordy
+        return out

@@ -245,6 +245,30 @@ def test_msg_parser_en_locale_articles():
     assert p.render("{E:7.name,article=none}", entities=[e]) == "orc"
 
 
+def test_msg_parser_case_space_and_degrade():
+    """apply_case spellings (resolver.rs:207-272), wordy auto-spacing
+    (:192-200 — templates need no literal spaces between tokens), quoted
+    option values, and malformed N:/F:/refs degrading to text keys
+    (parser.rs:85-136)."""
+    p = MsgParser()
+    loc = {"hello world": "hello world"}
+    assert p.render("{hello world,case=title}", locale=loc) == "Hello World"
+    assert p.render("{hello world,case=ucfirst}", locale=loc) == "Hello world"
+    assert (
+        p.render("{hello world,case=uppercase}", locale=loc) == "HELLO WORLD"
+    )
+    # quoted option values (parser.rs:171-176)
+    assert p.render('{N:3,unit="hp"}') == "3 hp"
+    # float unit (resolver.rs:289-299)
+    assert p.render("{F:2.5,precision=1,unit=kg}") == "2.5 kg"
+    # auto-space between adjacent wordy tokens; none next to punctuation
+    assert p.render("{you,case=ucfirst}{win}!", locale={}) == "You win!"
+    # malformed payloads degrade to text keys instead of raising
+    assert p.render("{N:abc}") == "N:abc"
+    assert p.render("{F:xyz}") == "F:xyz"
+    assert p.render("{E:notanid.name}") == "E:notanid.name"
+
+
 def test_draw2d_primitives():
     d = Draw2D()
     buf = np.zeros((64, 64, 4), np.uint8)
