@@ -13,6 +13,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from .batch import _cross3
+
 from ..ops.matrices import look_at_rh, perspective_fov_rh_zo
 
 
@@ -73,11 +75,11 @@ def _perspective_ray(position, forward, up_hint, fov_deg, uv, screen, offset) ->
     u, v = uv[0], 1.0 - uv[1]
 
     forward = np.asarray(forward, np.float32)
-    right = np.cross(forward, up_hint)
+    right = _cross3(forward, up_hint)
     if float(np.dot(right, right)) < 1e-12:
         right = np.array([1.0, 0.0, 0.0], np.float32)
     right = right / np.linalg.norm(right)
-    up = np.cross(right, forward)
+    up = _cross3(right, forward)
     up = up / np.linalg.norm(up)
 
     half_height = math.tan(math.radians(fov_deg) * 0.5)
@@ -128,11 +130,11 @@ class D3OrbitCamera(D3Camera):
         position = self.eye_position()
         forward = self.center - position
         forward = forward / np.linalg.norm(forward)
-        right = np.cross(forward, self.up)
+        right = _cross3(forward, self.up)
         if float(np.dot(right, right)) < 1e-12:
             right = np.array([1.0, 0.0, 0.0], np.float32)
         right = right / np.linalg.norm(right)
-        up = np.cross(right, forward)
+        up = _cross3(right, forward)
         return forward, right, up / np.linalg.norm(up)
 
     def set_parameter_f32(self, key: str, value: float) -> None:
@@ -199,11 +201,11 @@ class D3FirstPCamera(D3Camera):
         n = np.linalg.norm(forward)
         forward = forward / n if n > 0 else np.array([0, 0, -1], np.float32)
         up_hint = np.array([0, 1, 0], np.float32)
-        right = np.cross(forward, up_hint)
+        right = _cross3(forward, up_hint)
         if float(np.dot(right, right)) < 1e-12:
             right = np.array([1.0, 0.0, 0.0], np.float32)
         right = right / np.linalg.norm(right)
-        up = np.cross(right, forward)
+        up = _cross3(right, forward)
         return forward, right, up / np.linalg.norm(up)
 
     def set_parameter_f32(self, key: str, value: float) -> None:
@@ -279,9 +281,9 @@ class D3IsoCamera(D3Camera):
         position = self.eye_position()
         forward = self.center - position
         forward = forward / np.linalg.norm(forward)
-        right = np.cross(forward, np.array([0, 1, 0], np.float32))
+        right = _cross3(forward, np.array([0, 1, 0], np.float32))
         right = right / np.linalg.norm(right)
-        up = np.cross(right, forward)
+        up = _cross3(right, forward)
         return forward, right, up / np.linalg.norm(up)
 
     def set_parameter_f32(self, key: str, value: float) -> None:

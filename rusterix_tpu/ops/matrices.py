@@ -14,6 +14,19 @@ from __future__ import annotations
 import numpy as np
 
 
+def _cross3(a, b):
+    """3-vector cross without np.cross's moveaxis machinery (camera
+    matrices rebuild per frame in the engine loop)."""
+    return np.array(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ],
+        a.dtype if hasattr(a, "dtype") else np.float32,
+    )
+
+
 def look_at_rh(eye, target, up) -> np.ndarray:
     """Right-handed look-at view matrix (vek Mat4::look_at_rh semantics)."""
     eye = np.asarray(eye, dtype=np.float32)
@@ -26,10 +39,10 @@ def look_at_rh(eye, target, up) -> np.ndarray:
     # emitting NaN rows (vek normalizes 0/0 to NaN too, but a NaN view matrix
     # poisons the whole frame; the reference never renders such a camera)
     f = f / fn if fn > 1e-12 else np.array([0.0, 0.0, -1.0], np.float32)
-    s = np.cross(f, up)
+    s = _cross3(f, up)
     sn = np.linalg.norm(s)
     s = s / sn if sn > 1e-12 else np.array([1.0, 0.0, 0.0], np.float32)
-    u = np.cross(s, f)
+    u = _cross3(s, f)
 
     m = np.eye(4, dtype=np.float32)
     m[0, :3] = s
