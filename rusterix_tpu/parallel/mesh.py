@@ -68,25 +68,31 @@ def render_frame_sharded(
     lights host-side (tests, the driver dryrun, an engine host loop)
     can pass them; None keeps the generic runtime one-hot loop.
 
-    Requirements: height % n_devices == 0 and d3 capacity % n_devices == 0
-    (both are padded powers of two in practice).
+    Heights / triangle capacities that don't divide the mesh size are
+    auto-padded: each device owns ceil(height/n) rows (the overhang renders
+    sky and is cropped), and the candidate table pads with dead slots.
     """
     n = mesh.devices.size
-    if height % n != 0:
-        raise ValueError(
-            f"sharded render requires height divisible by the mesh size: "
-            f"height={height}, n_devices={n}"
-        )
+    rows_per_dev = -(-height // n)
+    hp = rows_per_dev * n
     cap = int(d3["valid"].shape[0])
-    if cap % n != 0:
-        raise ValueError(
-            f"sharded render requires triangle capacity divisible by the "
-            f"mesh size: capacity={cap}, n_devices={n}"
+    cap_pad = (-cap) % n
+    if cap_pad:
+        d3 = {
+            k: jnp.pad(
+                jnp.asarray(v),
+                ((0, cap_pad),) + ((0, 0),) * (jnp.asarray(v).ndim - 1),
+            )
+            for k, v in d3.items()
+        }
+    if hp != height:
+        background = jnp.pad(
+            jnp.asarray(background), ((0, hp - height), (0, 0), (0, 0))
         )
 
     def shard_fn(d3_l, d2_r, lights_r, atlas_r, uniforms_r, background_l):
         row = jax.lax.axis_index(AXIS)
-        rows_local = height // n
+        rows_local = rows_per_dev
         y0 = row * rows_local
 
         # --- setup on the local triangle shard, then all_gather planes ---
@@ -180,7 +186,7 @@ def render_frame_sharded(
         out_specs=P(AXIS),
         check_vma=False,
     )
-    return fn(d3, d2, lights, atlas, uniforms, background)
+    return fn(d3, d2, lights, atlas, uniforms, background)[:height]
 
 
 def render_sharded_jit(mesh, width, height, sample_mode, has_ambient,

@@ -136,17 +136,19 @@ def test_map_sharded_matches_single(mesh8):
     np.testing.assert_array_equal(sharded, frame)
 
 
-def test_sharded_nondivisible_rows_rejected(mesh8):
-    """height % n != 0 is a hard precondition — make sure it fails loudly,
-    not silently wrong."""
-    width, height = 64, 44
+def test_sharded_nondivisible_rows_autopad(mesh8):
+    """height % n != 0 auto-pads: each device owns ceil(h/n) rows, the sky
+    overhang is cropped, and the frame matches the single-device render
+    byte-for-byte."""
+    width, height = 64, 44  # 8 devices -> 6-row slabs, 4 cropped pad rows
     rast, scene, assets, packed = _cube_scene(width, height, tris=16)
     frame, cache, ld, uni, packed = _single_frame(rast, scene, assets, width, height)
-    with pytest.raises(ValueError, match="height divisible by the mesh size"):
-        _sharded_frame(
-            mesh8, cache, ld, uni, width, height,
-            sample_mode=0, has_ambient=True, has_lights=True, has_d2=False,
-        )
+    sharded = _sharded_frame(
+        mesh8, cache, ld, uni, width, height,
+        sample_mode=0, has_ambient=True, has_lights=True, has_d2=True,
+    )
+    assert sharded.shape == frame.shape
+    np.testing.assert_array_equal(np.asarray(sharded), frame)
 
 
 def test_cube_sharded_megakernel_matches_single(mesh8):
