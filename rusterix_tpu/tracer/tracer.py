@@ -180,6 +180,19 @@ class Tracer:
         self._cache = None
         self.sample_mode = 0
         self.background = None
+        #: ShapeFX render graph (trace.rs:41-48,120-143 set_render_graph):
+        #: when a Sky node sits on the graph's MISS terminal, missed rays
+        #: shade through the same render_miss_d3 sky the rasterizer uses
+        #: instead of the built-in debug gradient. (Reference divergence,
+        #: documented: with NO miss nodes the reference contributes nothing
+        #: — black sky; we keep the debug gradient as the default so the
+        #: standalone tracer example stays legible.)
+        self.render_graph = None
+
+    def set_render_graph(self, graph) -> "Tracer":
+        """trace.rs set_render_graph builder."""
+        self.render_graph = graph
+        return self
 
     def set_sample_mode(self, mode: int) -> "Tracer":
         """trace.rs sample_mode builder."""
@@ -226,6 +239,19 @@ class Tracer:
         lights["flicker_factor"] = np.ones_like(lights["valid"])
         lights_dev = {k: jnp.asarray(v) for k, v in lights.items()}
 
+        # sky node on the miss terminal -> render_miss_d3 sky for miss rays
+        sky_pre = None
+        if self.render_graph is not None:
+            from ..shapefx import ShapeFXRole
+            from ..shapefx.render import sky_device_params
+
+            for ni in self.render_graph.collect_nodes_from(0, 1):
+                node = self.render_graph.nodes[ni]
+                node.render_setup(self.hour)
+                if node.role == ShapeFXRole.Sky:
+                    sky_pre = sky_device_params(node)
+                    break
+
         pos, forward, right, up = self._camera_basis(camera)
         linear = _trace_frame(
             c["d3"],
@@ -246,6 +272,7 @@ class Tracer:
             buffer.height,
             self.bounces,
             self.use_aabb_skip,
+            sky_pre=sky_pre,
         )
         buffer.accumulate(linear)
 
@@ -371,6 +398,7 @@ def _trace_frame(
     height: int,
     bounces: int,
     use_aabb_skip: bool = False,
+    sky_pre=None,
 ):
     """One progressive sample — SoA formulation.
 
@@ -692,13 +720,30 @@ def _trace_frame(
         new_tp_g = jnp.where(choose_spec, tp_g * tp_spec, tp_g * alb_g * tp_diff)
         new_tp_b = jnp.where(choose_spec, tp_b * tp_spec, tp_b * alb_b * tp_diff)
 
-        # miss -> sky gradient (debug sky, rasterizer.rs:1824-1842 analogue)
-        sky_t = (jnp.clip(dy, -1.0, 1.0) + 1.0) * 0.5
         miss_f = ((~(tri >= 0)) & active).astype(jnp.float32)
-        def sky_lin(c):
-            return srgb_to_linear_fast(
-                sky_horizon[c] + (sky_zenith[c] - sky_horizon[c]) * sky_t
-            )
+        if sky_pre is not None:
+            # ShapeFX Sky node on the miss terminal: the same render_miss_d3
+            # sky the rasterizer draws (trace.rs:332-346 — color evaluated
+            # in sRGB then converted to linear before accumulating). The
+            # (P,3)/(P,4) AoS shapes inside sky_miss only touch miss lanes'
+            # worth of work once per bounce.
+            from ..shapefx.render import sky_miss
+
+            rd = jnp.stack([dx, dy, dz], axis=-1)
+            col = sky_miss(sky_pre, rd, cam_pos)
+
+            def sky_lin(c):
+                return srgb_to_linear_fast(jnp.clip(col[..., c], 0.0, 1.0))
+        else:
+            # miss -> sky gradient (debug sky, rasterizer.rs:1824-1842
+            # analogue). Reference divergence (documented on Tracer): with
+            # no miss nodes the reference adds NOTHING (black).
+            sky_t = (jnp.clip(dy, -1.0, 1.0) + 1.0) * 0.5
+
+            def sky_lin(c):
+                return srgb_to_linear_fast(
+                    sky_horizon[c] + (sky_zenith[c] - sky_horizon[c]) * sky_t
+                )
 
         ret_r = ret_r + miss_f * sky_lin(0) * tp_r
         ret_g = ret_g + miss_f * sky_lin(1) * tp_g

@@ -147,3 +147,32 @@ def test_material_modifier_per_hit():
         )
     )
     assert not np.allclose(base, glossy, atol=1e-3)
+
+
+def test_trace_render_graph_sky_miss():
+    """A ShapeFX Sky node on the graph's miss terminal routes missed rays
+    through the same render_miss_d3 sky the rasterizer draws
+    (trace.rs:332-346) instead of the built-in debug gradient."""
+    from rusterix_tpu.shapefx import ShapeFXGraph
+
+    scene = Scene.from_static([], [])
+    cam = D3OrbitCamera()
+    cam.set_parameter_f32("distance", 2.0)
+
+    buf_default = AccumBuffer(32, 24)
+    Tracer().trace(cam, scene, buf_default, 64, Assets.default())
+
+    buf_sky = AccumBuffer(32, 24)
+    tracer = Tracer().set_render_graph(
+        ShapeFXGraph.default_render_graph(with_sky=True)
+    )
+    tracer.hour = 12.0
+    tracer.trace(cam, scene, buf_sky, 64, Assets.default())
+
+    a, b = buf_default.pixels, buf_sky.pixels
+    assert np.isfinite(b).all()
+    # noon day sky: bluer at the zenith than the debug gradient's fixed ramp
+    assert not np.allclose(a, b, atol=1e-3)
+    # sky colors are lit, not black (reference with no miss nodes adds
+    # nothing; with the node it must contribute)
+    assert float(b[..., :3].mean()) > 0.05
