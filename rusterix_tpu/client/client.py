@@ -82,6 +82,9 @@ class Client:
         #: optional RenderSettings applied to every 3D draw
         #: (reference SceneHandler.settings, scene_handler.rs:70)
         self.render_settings = None
+        #: supersampled antialiasing factor for 3D draws
+        #: (Rasterizer.set_supersample; 1 = off)
+        self.supersample = 1
         self.hour = 12.0
         self.msg_parser = MsgParser()
         self.messages: List[Tuple[float, str]] = []
@@ -351,6 +354,8 @@ class Client:
             rast.apply_render_settings(self.render_settings, hour=self.hour)
         if ambient is not None:
             rast.ambient(ambient)
+        if self.supersample > 1:
+            rast.set_supersample(self.supersample)
         return rast.rasterize(
             self.scene, width, height, 128, assets, readback=readback
         )
