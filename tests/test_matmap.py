@@ -175,3 +175,48 @@ def test_normal_writer_mega_vs_xla_parity():
             ).astype(int)
         )
     assert np.abs(frames[0] - frames[1]).max() <= 4
+
+
+def test_matmap_with_vertex_blend_parity():
+    """A scene mixing a vertex-BLENDED batch with a matmap-baked shader
+    batch exercises the kernel's widest column layout (blend extension at
+    column 45 when has_matmap; module-header layout in ops/megakernel.py).
+    Both backends must agree."""
+    verts = np.array(
+        [[-1.6, -0.6, -0.9, 1], [-0.4, -0.6, -0.9, 1],
+         [-0.4, 0.6, -0.9, 1], [-1.6, 0.6, -0.9, 1]],
+        np.float32,
+    )
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uvs = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    from rusterix_tpu import Batch3D, PixelSource
+
+    blended = Batch3D.new(verts, tris, uvs)
+    blended.source = PixelSource.pixel((255, 0, 0, 255))
+    blended.source2 = PixelSource.pixel((0, 255, 0, 255))
+    blended.blend_weights = np.asarray([0.0, 0.0, 1.0, 1.0], np.float32)
+
+    shaded = (
+        Batch3D.from_box(0.1, -0.6, -0.6, 1.2, 1.2, 1.2)
+        .set_cull_mode(CullMode.Off)
+        .with_computed_normals()
+        .set_shader(0)
+    )
+    scene = Scene.from_static([], [blended, shaded])
+    scene.add_shader(EMISSIVE_VARYING)
+    scene.set_lights([_light()])
+
+    frames = []
+    for use in (False, True):
+        rast = _rast()
+        rast.use_pallas = use
+        frames.append(
+            rast.rasterize(scene, W, H, 32, Assets.default()).astype(int)
+        )
+    diff = np.abs(frames[0] - frames[1])
+    assert diff.max() <= 4, diff.max()
+    # both batches actually rendered (the blended quad is unlit-normal dim;
+    # the point here is layout coverage, not appearance)
+    f = frames[1]
+    hit = f[..., 3] > 0
+    assert hit[:, : W // 2].any() and hit[:, W // 2 :].any()
