@@ -220,3 +220,47 @@ def test_matmap_with_vertex_blend_parity():
     f = frames[1]
     hit = f[..., 3] > 0
     assert hit[:, : W // 2].any() and hit[:, W // 2 :].any()
+
+
+def test_constant_material_with_vertex_blend_parity():
+    """Same combined-layout pin for the CONSTANT-material case (no matmap:
+    blend extension starts at column 34)."""
+    from rusterix_tpu import Batch3D, PixelSource
+    from rusterix_tpu.ops.scene_pack import PackedScene
+
+    verts = np.array(
+        [[-1.6, -0.6, -0.9, 1], [-0.4, -0.6, -0.9, 1],
+         [-0.4, 0.6, -0.9, 1], [-1.6, 0.6, -0.9, 1]],
+        np.float32,
+    )
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uvs = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    blended = Batch3D.new(verts, tris, uvs)
+    blended.source = PixelSource.pixel((255, 0, 0, 255))
+    blended.source2 = PixelSource.pixel((0, 255, 0, 255))
+    blended.blend_weights = np.asarray([0.0, 0.0, 1.0, 1.0], np.float32)
+
+    shaded = (
+        Batch3D.from_box(0.1, -0.6, -0.6, 1.2, 1.2, 1.2)
+        .set_cull_mode(CullMode.Off)
+        .with_computed_normals()
+        .set_shader(0)
+    )
+    scene = Scene.from_static([], [blended, shaded])
+    scene.add_shader(
+        "fn shade() { color = vec3(0.5, 0.4, 0.3); roughness = 0.2;"
+        " metallic = 0.7; }"
+    )
+    scene.set_lights([_light()])
+    packed = PackedScene.from_scene(scene, Assets.default())
+    assert 0 in packed.atlas_index.shader_slots
+    assert 0 not in (packed.atlas_index.shader_mat_slots or {})
+
+    frames = []
+    for use in (False, True):
+        rast = _rast()
+        rast.use_pallas = use
+        frames.append(
+            rast.rasterize(scene, W, H, 32, Assets.default()).astype(int)
+        )
+    assert np.abs(frames[0] - frames[1]).max() <= 4
