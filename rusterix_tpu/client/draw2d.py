@@ -129,45 +129,59 @@ class Draw2D:
 
     _font_cache = {}
 
-    def _font(self, size: int):
+    #: system fallback when no game font is supplied (the reference's text
+    #: fns always receive a `&Font`; its editor populates Assets.fonts)
+    DEFAULT_FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+
+    def _font(self, size: int, font=None):
+        """Resolve a font for `size`. `font` is a .ttf/.otf path (e.g. from
+        `Assets.fonts[name]`, mirroring draw2d.rs:617+ `&Font` params) or
+        None for the system default."""
         from PIL import ImageFont
 
-        f = self._font_cache.get(size)
+        path = font if isinstance(font, str) else self.DEFAULT_FONT
+        f = self._font_cache.get((path, size))
         if f is None:
             try:
-                f = ImageFont.truetype(
-                    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", size
-                )
+                f = ImageFont.truetype(path, size)
             except OSError:
-                f = ImageFont.load_default()
-            self._font_cache[size] = f
+                try:
+                    f = ImageFont.truetype(self.DEFAULT_FONT, size)
+                except OSError:
+                    f = ImageFont.load_default()
+            self._font_cache[(path, size)] = f
         return f
 
-    def text_size(self, text: str, size: int = 12) -> Tuple[int, int]:
+    def text_size(self, text: str, size: int = 12, font=None) -> Tuple[int, int]:
         from PIL import Image, ImageDraw
 
         img = Image.new("RGBA", (1, 1))
         d = ImageDraw.Draw(img)
-        box = d.textbbox((0, 0), text, font=self._font(size))
+        box = d.textbbox((0, 0), text, font=self._font(size, font))
         return box[2] - box[0], box[3] - box[1]
 
-    def text(self, buf, x, y, text: str, color, size: int = 12) -> None:
+    def text(self, buf, x, y, text: str, color, size: int = 12, font=None) -> None:
         from PIL import Image, ImageDraw
 
         if not text:
             return
-        w, h = self.text_size(text, size)
+        w, h = self.text_size(text, size, font)
         if w <= 0 or h <= 0:
             return
         img = Image.new("RGBA", (w + 2, h + size // 2 + 2), (0, 0, 0, 0))
         d = ImageDraw.Draw(img)
-        d.text((0, 0), text, font=self._font(size), fill=tuple(int(c) for c in color))
+        d.text(
+            (0, 0), text, font=self._font(size, font),
+            fill=tuple(int(c) for c in color),
+        )
         self.blend_blit(buf, np.asarray(img, np.uint8), x, y)
 
-    def text_centered(self, buf, rect, text: str, color, size: int = 12) -> None:
+    def text_centered(
+        self, buf, rect, text: str, color, size: int = 12, font=None
+    ) -> None:
         x, y, w, h = rect
-        tw, th = self.text_size(text, size)
-        self.text(buf, x + (w - tw) // 2, y + (h - th) // 2, text, color, size)
+        tw, th = self.text_size(text, size, font)
+        self.text(buf, x + (w - tw) // 2, y + (h - th) // 2, text, color, size, font)
 
     # -- SDF shape primitives (reference draw2d.rs:337-586) --
 

@@ -128,14 +128,15 @@ class MsgParser:
         lower = head.lower()
 
         def ref(kind, rest):
-            # malformed id -> TextKey with the full body (parser.rs:125-136)
+            # malformed id -> TextKey with the FULL body including option
+            # segments (parser.rs:131-136)
             id_attr = rest.split(".", 1)
             try:
                 rid = int(id_attr[0])
                 if rid < 0:
                     raise ValueError(rid)
             except ValueError:
-                return Tok("text", text=head, opts={})
+                return Tok("text", text=body.strip(), opts={})
             return Tok(
                 kind,
                 id=rid,
@@ -180,7 +181,9 @@ class MsgParser:
                     _apply_case((locale or {}).get(tok.text, tok.text), tok.opts)
                 )
             elif tok.kind == "entity":
-                name = ""
+                # unresolved refs degrade to the reference's placeholder
+                # (resolver.rs:144) before the article is applied
+                name = f"Entity#{tok.id}:{tok.attr}"
                 for e in entities or []:
                     if e.id == tok.id:
                         name = e.attributes.get_str_default(tok.attr, "")
@@ -190,7 +193,8 @@ class MsgParser:
                 )
             elif tok.kind == "item":
                 # world items first, then entity inventories
-                # (resolver.rs:156-186)
+                # (resolver.rs:156-186); unresolved -> the reference's
+                # placeholder degrade path (resolver.rs:158)
                 name = ""
                 for i in items or []:
                     if i.id == tok.id:
@@ -206,6 +210,8 @@ class MsgParser:
                                 break
                         if name:
                             break
+                if not name:
+                    name = f"Item#{tok.id}:{tok.attr}"
                 pieces.append(
                     _apply_case(_with_article(name, tok.opts), tok.opts)
                 )

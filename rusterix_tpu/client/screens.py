@@ -126,15 +126,21 @@ def init_screen(client, screen_name: str, assets) -> None:
                 if btn.hide:
                     client.widgets_to_hide = list(btn.hide)
         elif role == "text":
+            # `font = "name"` resolves through game-supplied Assets.fonts
+            # (collect_from_directory .ttf/.otf); unknown names fall back to
+            # the system font inside Draw2D
             client.text_widgets[sector.id] = TextWidget(
                 rect=rect,
                 text=str(ui.get("text", "")),
                 size=int(ui.get("size", 12)),
+                font=assets.fonts.get(str(ui.get("font", ""))),
             )
         elif role == "deco":
             client.deco_widgets[sector.id] = DecoWidget(rect=rect)
         elif role == "messages":
-            client.messages_widget = MessagesWidget(rect=rect)
+            client.messages_widget = MessagesWidget(
+                rect=rect, font=assets.fonts.get(str(ui.get("font", "")))
+            )
 
 
 def touch_screen(client, x: float, y: float, map_=None):

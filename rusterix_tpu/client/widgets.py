@@ -34,6 +34,9 @@ class TextWidget(Widget):
     color: Tuple[int, int, int, int] = (255, 255, 255, 255)
     size: int = 12
     centered: bool = True
+    #: game-supplied font path (resolved through Assets.fonts by
+    #: init_screen), None = system default — draw2d.rs:617+ `&Font` parity
+    font: Optional[str] = None
 
     def draw(self, buf: np.ndarray, ctx=None) -> None:
         if not self.visible or not self.text:
@@ -46,9 +49,13 @@ class TextWidget(Widget):
                 self.text,
                 self.color,
                 self.size,
+                font=self.font,
             )
         else:
-            d.text(buf, int(self.rect.x), int(self.rect.y), self.text, self.color, self.size)
+            d.text(
+                buf, int(self.rect.x), int(self.rect.y), self.text,
+                self.color, self.size, font=self.font,
+            )
 
 
 @dataclass
@@ -97,6 +104,8 @@ class MessagesWidget(Widget):
     column_width: int = 20  # item-name padding (messages.rs:135)
     size: int = 11
     line_height: int = 14
+    #: game-supplied font path (see TextWidget.font)
+    font: Optional[str] = None
 
     #: uid of the multiple-choice entry under the pointer (messages.rs)
     clicked: int = 0
@@ -180,7 +189,7 @@ class MessagesWidget(Widget):
         for i, e in enumerate(shown):
             ey = y + i * self.line_height
             e.rect = Rect(x, ey, self.rect.width, self.line_height)
-            d.text(buf, x, ey, e.text, e.color, self.size)
+            d.text(buf, x, ey, e.text, e.color, self.size, font=self.font)
 
 
 @dataclass

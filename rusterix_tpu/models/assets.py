@@ -184,6 +184,12 @@ class Assets:
                 elif ext == ".toml" and stem == "config":
                     with open(full, "r") as f:
                         self.config = f.read()
+                elif ext in (".ttf", ".otf"):
+                    # game-supplied fonts by stem name; Draw2D text fns take
+                    # the resolved path (reference assets.rs:8-47 `fonts:
+                    # FxHashMap<String, Font>` via fontdue, consumed by
+                    # draw2d.rs:617+ `&Font` params)
+                    self.fonts[stem] = full
 
     def get_map(self, name: str):
         """Compiled map by name, compiling its MapScript source on first use

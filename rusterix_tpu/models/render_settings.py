@@ -56,6 +56,62 @@ class RenderSettings:
     reflection_samples: float = 0.0
     frame_time_ms: float = 33.3
     simulation: DaylightSimulation = field(default_factory=DaylightSimulation)
+    #: in-flight timed setting changes: key -> (start, target, duration,
+    #: elapsed) (reference render_settings.rs:65,149-198 `Transition`)
+    transitions: dict = field(default_factory=dict)
+
+    #: color-valued keys interpolate componentwise (Vec3 transitions)
+    _COLOR_KEYS = frozenset(
+        ("sky_color", "sun_color", "sun_direction", "ambient_color", "fog_color")
+    )
+
+    def set(self, name: str, value, time: float = 0.0) -> None:
+        """Schedule a timed setting change: interpolate `name` from its
+        current value to `value` over `time` seconds, advanced by
+        update_transitions() at frame_time_ms per frame (reference
+        render_settings.rs:222-277 `set`). time=0 applies immediately.
+        Raises KeyError for unknown setting names."""
+        if name == "frame_time_ms":
+            self.frame_time_ms = max(float(value), 0.0)
+            return
+        if name == "sun_enabled":
+            self.sun_enabled = bool(value)
+            self.transitions.pop(name, None)
+            return
+        if not hasattr(self, name) or name in ("simulation", "transitions"):
+            raise KeyError(f"Unknown render setting '{name}'")
+        if name in self._COLOR_KEYS:
+            target = tuple(float(c) for c in value)
+        else:
+            target = float(value)
+        duration = max(float(time), 0.0)
+        if duration == 0.0:
+            setattr(self, name, target)
+            self.transitions.pop(name, None)
+            return
+        self.transitions[name] = (getattr(self, name), target, duration, 0.0)
+
+    def update_transitions(self) -> None:
+        """Advance every in-flight transition by one frame
+        (dt = frame_time_ms/1000 — reference render_settings.rs:433-505;
+        this is what frame_time_ms exists for)."""
+        if not self.transitions:
+            return
+        dt = max(self.frame_time_ms / 1000.0, 0.0001)
+        done = []
+        for key, (start, target, duration, elapsed) in self.transitions.items():
+            elapsed = elapsed + dt
+            t = min(elapsed / duration, 1.0)
+            if isinstance(target, tuple):
+                setattr(self, key, tuple(_lerp3(start, target, t)))
+            else:
+                setattr(self, key, start + (target - start) * t)
+            if t >= 1.0:
+                done.append(key)
+            else:
+                self.transitions[key] = (start, target, duration, elapsed)
+        for key in done:
+            del self.transitions[key]
 
     @staticmethod
     def from_toml(text: str) -> "RenderSettings":

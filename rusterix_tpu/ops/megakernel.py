@@ -74,8 +74,8 @@ from .visibility_pallas import (
 # blend extension (starts at mb = 45 if has_matmap else 34 if has_material
 # else 32):
 #   mb+0..2 bw plane | mb+3 kind2 | mb+4..7 rgba2 | mb+8..11 rect2 | pad
-N_ATTR_PLAIN = 32
-N_ATTR_BLEND = 48
+# (column counts come from pack_mega_table's concatenation; the kernel reads
+# n_attr = attr.shape[1] — there is no fixed-width constant)
 
 _BIG = 1 << 30  # python int: jnp constants would be captured as kernel consts
 

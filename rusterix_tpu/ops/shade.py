@@ -363,6 +363,11 @@ def shade_pass(
     `wrote` is hit AND final alpha == 255 — the reference's opaque-pass write
     condition (rasterizer.rs:1404-1409). `y0`/`full_height` support
     row-sharded framebuffers (height = local rows, full_height = screen)."""
+    assert not has_matmap or has_material, (
+        "has_matmap implies has_material (the matmap gather offsets at "
+        "n_planes+14.. assume the material columns precede them — same "
+        "layout contract as pack_mega_table)"
+    )
     if full_height is None:
         full_height = height
     slot = jnp.maximum(idx, 0)

@@ -760,17 +760,20 @@ def _trace_frame(
         new_tp_g = new_tp_g * inv_pmax
         new_tp_b = new_tp_b * inv_pmax
 
+        # carry updates select with where(), NOT arithmetic masking: missed
+        # rays have t=inf, so wx=inf and 0*inf would NaN the carried origin —
+        # today's accumulations all re-mask, but any future float-mask
+        # contribution would silently NaN the frame
         new_active = hit & ~is_emissive & survive
-        na = new_active.astype(jnp.float32)
-        ox = na * (wx + nx * 0.01) + (1.0 - na) * ox
-        oy = na * (wy + ny * 0.01) + (1.0 - na) * oy
-        oz = na * (wz + nz * 0.01) + (1.0 - na) * oz
-        dx = na * new_dx + (1.0 - na) * dx
-        dy = na * new_dy + (1.0 - na) * dy
-        dz = na * new_dz + (1.0 - na) * dz
-        tp_r = na * new_tp_r + (1.0 - na) * tp_r
-        tp_g = na * new_tp_g + (1.0 - na) * tp_g
-        tp_b = na * new_tp_b + (1.0 - na) * tp_b
+        ox = jnp.where(new_active, wx + nx * 0.01, ox)
+        oy = jnp.where(new_active, wy + ny * 0.01, oy)
+        oz = jnp.where(new_active, wz + nz * 0.01, oz)
+        dx = jnp.where(new_active, new_dx, dx)
+        dy = jnp.where(new_active, new_dy, dy)
+        dz = jnp.where(new_active, new_dz, dz)
+        tp_r = jnp.where(new_active, new_tp_r, tp_r)
+        tp_g = jnp.where(new_active, new_tp_g, tp_g)
+        tp_b = jnp.where(new_active, new_tp_b, tp_b)
         return (
             ox, oy, oz, dx, dy, dz, ret_r, ret_g, ret_b, tp_r, tp_g, tp_b,
             new_active,

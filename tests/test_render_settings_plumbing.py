@@ -107,3 +107,34 @@ def test_reference_example_toml_drives_renderer():
     # example file: sky #87CEEB
     corner = frame[2, 2].astype(int)
     assert np.abs(corner[:3] - [0x87, 0xCE, 0xEB]).max() <= 1
+
+
+def test_timed_transitions_consume_frame_time_ms():
+    """set(name, value, time) interpolates at frame_time_ms per tick
+    (reference render_settings.rs:222-277 set, :433-505 update_transitions;
+    frame_time_ms exists to drive this dt)."""
+    rs = RenderSettings()
+    rs.frame_time_ms = 100.0  # 10 ticks per second
+    rs.fog_density = 0.0
+    rs.set("fog_density", 1.0, time=1.0)
+    for i in range(5):
+        rs.update_transitions()
+    assert rs.fog_density == pytest.approx(0.5, abs=1e-5)
+    for i in range(6):  # one extra tick absorbs float dt accumulation
+        rs.update_transitions()
+    assert rs.fog_density == pytest.approx(1.0)
+    assert not rs.transitions  # finished transitions clear
+
+    # Vec3 keys interpolate componentwise
+    rs.set("sky_color", (1.0, 0.0, 0.0), time=1.0)
+    for _ in range(5):
+        rs.update_transitions()
+    assert rs.sky_color[0] == pytest.approx(0.75, abs=1e-5)
+
+    # time=0 applies immediately; frame_time_ms sets directly
+    rs.set("sun_intensity", 0.25)
+    assert rs.sun_intensity == 0.25
+    rs.set("frame_time_ms", 50.0)
+    assert rs.frame_time_ms == 50.0
+    with pytest.raises(KeyError):
+        rs.set("no_such_setting", 1.0)

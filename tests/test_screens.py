@@ -129,3 +129,43 @@ def test_draw_game_composes_screen():
     ys = int(btn.rect.y)
     xs = int(btn.rect.x)
     assert frame[ys : ys + int(btn.rect.height), xs : xs + int(btn.rect.width)].any()
+
+
+def test_game_font_reaches_text_widget(tmp_path):
+    """collect_from_directory picks up .ttf files into Assets.fonts, the
+    screen's text widget resolves `font = "name"` through them, and the
+    rendered glyphs differ from the system default (draw2d.rs:617+ `&Font`
+    params; assets.rs fonts map)."""
+    import shutil
+
+    shutil.copy(
+        "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
+        tmp_path / "gamefont.ttf",
+    )
+    assets = Assets.default()
+    assets.collect_from_directory(str(tmp_path))
+    assert assets.fonts["gamefont"].endswith("gamefont.ttf")
+
+    screen = Map()
+    add_rect_sector(screen, -5, -3, 5, 3, '[ui]\nrole = "game"\n')
+    add_rect_sector(
+        screen, -4.8, 2.1, -0.2, 2.9,
+        '[ui]\nrole = "text"\ntext = "Hello"\nfont = "gamefont"\n',
+    )
+    assets.screens["hud"] = screen
+    assets.config = (
+        f"[viewport]\nwidth = {VW}\nheight = {VH}\ngrid_size = {GRID}\n"
+        '[game]\nstart_screen = "hud"\nauto_create_player = false\n'
+    )
+    client = Client()
+    client.setup(assets)
+    (widget,) = client.text_widgets.values()
+    assert widget.font == assets.fonts["gamefont"]
+
+    buf_game = np.zeros((VH, VW, 4), np.uint8)
+    widget.draw(buf_game)
+    assert buf_game.any()
+    widget.font = None  # system default renders different glyph shapes
+    buf_sys = np.zeros((VH, VW, 4), np.uint8)
+    widget.draw(buf_sys)
+    assert (buf_game != buf_sys).any()
