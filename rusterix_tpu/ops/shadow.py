@@ -1,0 +1,424 @@
+"""Shadow maps for the 3D pass — per-light geometry shadows.
+
+TPU realization of the reference's SceneVM ray-traced shadows
+(reference embedded/shader/3d_shader.wgsl:436-517 `trace_shadow` /
+`trace_shadow_unified`, uniforms packed at src/render_settings.rs:423-429).
+Instead of per-pixel shadow rays against a triangle grid (divergent scalar
+loops the TPU hates), each shadow-casting light renders a small depth map
+with the SAME setup + visibility passes the main pipeline uses — a
+rasterizer owns a rasterizer-shaped shadow solution — and the shading side
+does one depth-compare lookup per pixel per shadow light, the same
+lane-gather access pattern as the in-kernel texel fetch.
+
+Layout:
+- Point/spot lights get 6-face cube maps storing LINEAR distance along each
+  face's major axis; the lookup needs no per-face matrices, just the
+  analytic cube mapping (`FACE_BASES` below is its exact inverse).
+- The sun gets one pseudo-directional map: a perspective camera placed
+  behind the scene along sun_dir at ~2.2x the scene radius (ray divergence
+  inside the scene stays under a texel at the default resolution).
+- `max_shadow_distance` caps the occluder distance from the shaded point —
+  exactly trace_shadow's ray-length cap (3d_shader.wgsl:463-476).
+- `max_shadow_steps > 0` switches binary shadows to transparency-aware
+  ones via a multiplicative transmittance map baked from the opacity
+  batches (3d_shader.wgsl:479-515 loops over transparent layers bounded by
+  the step count; the map composes ALL layers in one order-independent
+  product — a documented superset).
+
+Depth is stored as f32 view-space distance; empty texels carry NO_OCCLUDER.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .matrices import perspective_fov_rh_zo
+from .setup_pass import setup_pass
+from .visibility import visibility_pass
+
+#: depth value meaning "no occluder along this texel"
+NO_OCCLUDER = 1e30
+
+#: near plane of every shadow camera — must match setup_pass.NEAR_PLANE
+#: (the Sutherland-Hodgman clip is hard-coded to it)
+SHADOW_NEAR = 0.1
+
+#: (fwd, right, up) per cube face. The kernel's analytic face/uv selection
+#: (`cube_face_uv` here; megakernel._cube_shadow mirrors it) is the exact
+#: inverse of the view matrices these produce.
+FACE_BASES = (
+    ((1, 0, 0), (0, 0, -1), (0, 1, 0)),   # +X
+    ((-1, 0, 0), (0, 0, 1), (0, 1, 0)),   # -X
+    ((0, 1, 0), (1, 0, 0), (0, 0, -1)),   # +Y
+    ((0, -1, 0), (1, 0, 0), (0, 0, 1)),   # -Y
+    ((0, 0, 1), (-1, 0, 0), (0, 1, 0)),   # +Z
+    ((0, 0, -1), (1, 0, 0), (0, 1, 0)),   # -Z
+)
+
+
+def face_view_matrix(light_pos, face: int) -> np.ndarray:
+    """View matrix of cube `face` at `light_pos` (rows [right; up; -fwd],
+    standard RH camera: view z is negative in front)."""
+    fwd, right, up = (np.asarray(v, np.float32) for v in FACE_BASES[face])
+    eye = np.asarray(light_pos, np.float32)
+    m = np.eye(4, dtype=np.float32)
+    m[0, :3] = right
+    m[1, :3] = up
+    m[2, :3] = -fwd
+    m[0, 3] = -np.dot(right, eye)
+    m[1, 3] = -np.dot(up, eye)
+    m[2, 3] = np.dot(fwd, eye)
+    return m
+
+
+def depth_const(near: float, far: float):
+    """(A, B) of the zo depth mapping: view distance d = B / (z_ndc + A)
+    (perspective_fov_rh_zo rows m[2,2], m[2,3] with w = d)."""
+    a = far / (near - far)
+    b = -(far * near) / (far - near)
+    return float(a), float(b)
+
+
+@partial(jax.jit, static_argnames=("res",))
+def _depth_face(pos, uv, nrm, valid, view, proj, a, b, res: int):
+    """One shadow-camera depth render -> (res, res) linear view distance.
+
+    Culling is forced OFF: one-sided walls must occlude from either side
+    (the reference's shadow trace tests geometry regardless of facing,
+    3d_shader.wgsl:436-460)."""
+    cull = jnp.zeros(pos.shape[0], jnp.int32)
+    vis, _attr, _bbox, alive, _tid = setup_pass(
+        pos, uv, nrm, valid, cull, view, proj, res, res
+    )
+    z, _idx, hit = visibility_pass(vis, alive.astype(jnp.float32), res, res)
+    return jnp.where(hit, b / (z + a), NO_OCCLUDER)
+
+
+@partial(jax.jit, static_argnames=("res",))
+def _trans_face(pos, uv, nrm, valid, opac_cols, view, proj, res: int):
+    """Transmittance render of the opacity batches -> (res, res) f32 in
+    [0,1]: the product of (1 - alpha) over every transparent surface a
+    texel's light ray crosses (order-independent, so no sorting). alpha is
+    the batch-constant opacity column; per-texel texture alpha refines it
+    where the batch samples a texture."""
+    cull = jnp.zeros(pos.shape[0], jnp.int32)
+    vis, attr, _bbox, alive, tri_id = setup_pass(
+        pos, uv, nrm, valid, cull, view, proj, res, res
+    )
+    xs = jnp.arange(res, dtype=jnp.float32) + 0.5
+    ys = (jnp.arange(res, dtype=jnp.float32) + 0.5)[:, None]
+    alpha_tri = jnp.take(opac_cols, tri_id)  # (T2,)
+
+    def step(trans, cand):
+        pl, al, a_c = cand
+        e0 = (pl[0] * xs + pl[2]) + pl[1] * ys
+        e1 = (pl[3] * xs + pl[5]) + pl[4] * ys
+        e2 = (pl[6] * xs + pl[8]) + pl[7] * ys
+        cov = (jnp.minimum(jnp.minimum(e0, e1), e2) >= 0) & (al > 0.5)
+        return trans * jnp.where(cov, 1.0 - a_c, 1.0), None
+
+    trans0 = jnp.ones((res, res), jnp.float32)
+    trans, _ = jax.lax.scan(
+        step, trans0, (vis, alive.astype(jnp.float32), alpha_tri)
+    )
+    return trans
+
+
+def scene_bounds(pos: np.ndarray, valid: np.ndarray):
+    """(center (3,), radius) of the valid packed triangles (host numpy)."""
+    v = valid > 0.5
+    if not v.any():
+        return np.zeros(3, np.float32), 1.0
+    p = pos[v][:, :, :3].reshape(-1, 3)
+    lo = p.min(axis=0)
+    hi = p.max(axis=0)
+    center = (lo + hi) * 0.5
+    radius = float(np.linalg.norm(hi - center))
+    return center.astype(np.float32), max(radius, 1e-3)
+
+
+def sun_camera(sun_dir, center, radius):
+    """Pseudo-directional sun camera: perspective from 2.2*radius behind the
+    scene along sun_dir. Returns (view, proj, params) with params =
+    dict(pos, right, up, fwd, f, near, far)."""
+    d = np.asarray(sun_dir, np.float32)
+    d = d / max(np.linalg.norm(d), 1e-20)
+    dist = 2.2 * radius
+    eye = np.asarray(center, np.float32) - d * dist
+    # basis around fwd = d
+    up_pick = (
+        np.array([0, 0, 1], np.float32)
+        if abs(d[1]) > 0.999
+        else np.array([0, 1, 0], np.float32)
+    )
+    right = np.cross(d, up_pick)
+    right = right / max(np.linalg.norm(right), 1e-20)
+    up = np.cross(right, d)
+    near = max(0.25 * radius, SHADOW_NEAR)
+    far = dist + 1.5 * radius
+    # cover the bounding sphere from the eye, 5% margin
+    half = np.arctan2(radius, max(dist - radius, 1e-3)) * 1.05
+    fov = 2.0 * half
+    view = np.eye(4, dtype=np.float32)
+    view[0, :3] = right
+    view[1, :3] = up
+    view[2, :3] = -d
+    view[0, 3] = -np.dot(right, eye)
+    view[1, 3] = -np.dot(up, eye)
+    view[2, 3] = np.dot(d, eye)
+    proj = perspective_fov_rh_zo(fov, 1.0, 1.0, near, far)
+    f = float(1.0 / np.tan(half))
+    return view, proj, dict(
+        pos=eye.astype(np.float32),
+        right=right.astype(np.float32),
+        up=up.astype(np.float32),
+        fwd=d.astype(np.float32),
+        f=f,
+        near=float(near),
+        far=float(far),
+    )
+
+
+def bake_shadow_pack(
+    d3,
+    d3_op,
+    lights: dict,
+    cast_rows,
+    sun_dir=None,
+    *,
+    res: int = 128,
+    sun_res: int = 256,
+    with_trans: bool = False,
+    max_shadow_distance: float = 50.0,
+    bias: float = 0.05,
+    bounds=None,
+):
+    """Render every shadow map and pack them into one lane-aligned table.
+
+    d3 / d3_op: packed static batch dicts (device or numpy arrays with
+    pos/uv/nrm/valid keys). lights: the SoA dict from pack_lights (numpy).
+    cast_rows: light rows that get cube maps (point/spot). sun_dir: world
+    sun direction (None = no sun map).
+
+    Returns (rows (S,128) f32 jnp array, params (40,) np.float32,
+    spec) where spec is the STATIC layout tuple
+    (sun_entry, cube_entries):
+      sun_entry    = (base_texel, sun_res, trans_base|-1) or None
+      cube_entries = ((light_row, base_texel, res, trans_base|-1), ...)
+    Base offsets are flat texel indices, multiples of 128.
+    """
+    pos, uv, nrm, valid = d3["pos"], d3["uv"], d3["nrm"], d3["valid"]
+    has_op = with_trans and d3_op is not None and bool(
+        np.asarray(d3_op["valid"]).any()
+    )
+
+    if bounds is None:
+        bounds = scene_bounds(np.asarray(pos), np.asarray(valid))
+    center, radius = bounds
+
+    maps = []  # list of (res*res,)-multiple flat f32 jnp arrays
+    offset = 0
+
+    def push(flat):
+        nonlocal offset
+        base = offset
+        maps.append(flat)
+        offset += flat.shape[0]
+        return base
+
+    positions = np.asarray(lights["position"])
+    ends = np.asarray(lights["end"])
+
+    sun_entry = None
+    params = np.zeros(40, np.float32)
+    params[0] = max_shadow_distance
+    params[1] = bias
+    if sun_dir is not None:
+        view, proj, sp = sun_camera(sun_dir, center, radius)
+        a, b = depth_const(sp["near"], sp["far"])
+        depth = _depth_face(pos, uv, nrm, valid, view, proj, a, b, sun_res)
+        sun_base = push(depth.reshape(-1))
+        sun_trans_base = -1
+        if has_op:
+            trans = _trans_face(
+                d3_op["pos"], d3_op["uv"], d3_op["nrm"], d3_op["valid"],
+                jnp.asarray(d3_op["opacity"], jnp.float32),
+                view, proj, sun_res,
+            )
+            sun_trans_base = push(trans.reshape(-1))
+        sun_entry = (sun_base, sun_res, sun_trans_base)
+        params[2:5] = sp["pos"]
+        params[5:8] = sp["right"]
+        params[8:11] = sp["up"]
+        params[11:14] = sp["fwd"]
+        params[14] = sp["f"]
+        params[15] = sp["near"]
+
+    cube_entries = []
+    for li in cast_rows:
+        far = float(max(ends[li], SHADOW_NEAR * 2.0))
+        a, b = depth_const(SHADOW_NEAR, far)
+        proj = perspective_fov_rh_zo(np.pi / 2.0, 1.0, 1.0, SHADOW_NEAR, far)
+        faces = []
+        tfaces = []
+        for face in range(6):
+            view = face_view_matrix(positions[li], face)
+            faces.append(
+                _depth_face(pos, uv, nrm, valid, view, proj, a, b, res)
+            )
+            if has_op:
+                tfaces.append(
+                    _trans_face(
+                        d3_op["pos"], d3_op["uv"], d3_op["nrm"],
+                        d3_op["valid"],
+                        jnp.asarray(d3_op["opacity"], jnp.float32),
+                        view, proj, res,
+                    )
+                )
+        base = push(jnp.stack(faces).reshape(-1))
+        tbase = push(jnp.stack(tfaces).reshape(-1)) if has_op else -1
+        cube_entries.append((int(li), base, res, tbase))
+
+    if not maps:
+        rows = jnp.full((1, 128), NO_OCCLUDER, jnp.float32)
+        return rows, params, (None, ())
+
+    flat = jnp.concatenate(maps)
+    pad = (-flat.shape[0]) % 128
+    if pad:
+        flat = jnp.pad(flat, (0, pad), constant_values=NO_OCCLUDER)
+    rows = flat.reshape(-1, 128)
+    return rows, params, (sun_entry, tuple(cube_entries))
+
+
+# ---------------------------------------------------------------------------
+# lookup side (XLA / numpy-oracle formulation; the megakernel mirrors this
+# with in-tile lane gathers — tests assert all three agree bit-for-bit)
+# ---------------------------------------------------------------------------
+
+
+def cube_face_uv(tpx, tpy, tpz, xp=jnp):
+    """Analytic cube mapping: (face, u_num, v_num, ma) for direction
+    tp = P - light_pos. Exact inverse of FACE_BASES (ties break x > y > z,
+    positive before negative — a seam texel reads the neighbouring face's
+    depth, which bounds the same occluders)."""
+    ax, ay, az = xp.abs(tpx), xp.abs(tpy), xp.abs(tpz)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    ma = xp.maximum(ax, xp.maximum(ay, az))
+    sgn_x = xp.where(tpx >= 0, 1.0, -1.0)
+    sgn_y = xp.where(tpy >= 0, 1.0, -1.0)
+    sgn_z = xp.where(tpz >= 0, 1.0, -1.0)
+    u_num = xp.where(
+        is_x, -sgn_x * tpz, xp.where(is_y, tpx, -sgn_z * tpx)
+    )
+    v_num = xp.where(is_x, tpy, xp.where(is_y, -sgn_y * tpz, tpy))
+    face = xp.where(
+        is_x,
+        xp.where(tpx < 0, 1, 0),
+        xp.where(is_y, xp.where(tpy < 0, 3, 2), xp.where(tpz < 0, 5, 4)),
+    )
+    return face, u_num, v_num, ma
+
+
+def cube_shadow_texel(tpx, tpy, tpz, base: int, res: int, xp=jnp):
+    """Flat texel index + compare distance for a cube lookup."""
+    face, u_num, v_num, ma = cube_face_uv(tpx, tpy, tpz, xp)
+    ma_safe = xp.maximum(ma, 1e-20)
+    half = res * 0.5
+    sx = xp.clip(xp.floor(u_num / ma_safe * half + half), 0, res - 1)
+    sy = xp.clip(xp.floor(-v_num / ma_safe * half + half), 0, res - 1)
+    flat = (
+        base
+        + face.astype(xp.int32) * (res * res)
+        + sy.astype(xp.int32) * res
+        + sx.astype(xp.int32)
+    )
+    return flat, ma
+
+
+def sun_shadow_texel(wx, wy, wz, params, base: int, res: int, xp=jnp):
+    """Flat texel index + compare distance + in-range mask for the sun map.
+
+    params: the (40,) array from bake_shadow_pack (slots 2..16)."""
+    dx = wx - params[2]
+    dy = wy - params[3]
+    dz = wz - params[4]
+    vx = dx * params[5] + dy * params[6] + dz * params[7]
+    vy = dx * params[8] + dy * params[9] + dz * params[10]
+    vz = dx * params[11] + dy * params[12] + dz * params[13]
+    f = params[14]
+    vz_safe = xp.maximum(vz, 1e-20)
+    half = res * 0.5
+    sx = xp.floor(f * vx / vz_safe * half + half)
+    sy = xp.floor(-f * vy / vz_safe * half + half)
+    in_range = (
+        (vz > params[15]) & (sx >= 0) & (sx < res) & (sy >= 0) & (sy < res)
+    )
+    sxc = xp.clip(sx, 0, res - 1)
+    syc = xp.clip(sy, 0, res - 1)
+    flat = base + syc.astype(xp.int32) * res + sxc.astype(xp.int32)
+    return flat, vz, in_range
+
+
+#: normal-offset strength in TEXELS of the shadow map — the receiver moves
+#: along its shading normal by K * projected-texel-footprint before the
+#: lookup, which kills self-shadow acne at grazing light angles (the
+#: reference's ray tracer starts its shadow ray at hit + normal*0.01,
+#: 3d_shader.wgsl:463 `ray_origin = hit_pos + normal * 0.01` — a fixed
+#: offset is enough for rays; a rasterized map needs the footprint term)
+NORMAL_OFFSET_TEXELS = 2.0
+
+
+def shadow_factor_xla(
+    rows_flat, params, spec_entry, wx, wy, wz, nx, ny, nz, lpos=None
+):
+    """Shadow factor in [0,1] for every pixel — XLA formulation.
+
+    rows_flat: the (S*128,) flattened table. spec_entry: a cube entry
+    (li, base, res, tbase) with lpos = light position (3,), or the sun
+    entry (base, res, tbase) with lpos=None. nx/ny/nz: the shading normal
+    (zeros allowed: no offset). The megakernel mirrors this expression
+    order exactly (tests/test_shadow.py asserts both agree)."""
+    msd = params[0]
+    bias = params[1]
+    if lpos is None:
+        base, res, tbase = spec_entry
+        # texel footprint at the receiver: depth * 2 / (f * res)
+        dx = wx - params[2]
+        dy = wy - params[3]
+        dz = wz - params[4]
+        vz0 = dx * params[11] + dy * params[12] + dz * params[13]
+        offs = bias + jnp.maximum(vz0, 0.0) * (
+            2.0 * NORMAL_OFFSET_TEXELS / (params[14] * res)
+        )
+        flat, d, in_range = sun_shadow_texel(
+            wx + nx * offs, wy + ny * offs, wz + nz * offs, params, base, res
+        )
+        stored = jnp.take(rows_flat, flat)
+        blocked = in_range & (stored < d - bias) & (d - stored <= msd)
+    else:
+        _li, base, res, tbase = spec_entry
+        tpx = wx - lpos[0]
+        tpy = wy - lpos[1]
+        tpz = wz - lpos[2]
+        # cube texel footprint: ma * 2 / res (f == 1 at 90° faces)
+        ma0 = jnp.maximum(
+            jnp.abs(tpx), jnp.maximum(jnp.abs(tpy), jnp.abs(tpz))
+        )
+        offs = bias + ma0 * (2.0 * NORMAL_OFFSET_TEXELS / res)
+        flat, d = cube_shadow_texel(
+            tpx + nx * offs, tpy + ny * offs, tpz + nz * offs, base, res
+        )
+        stored = jnp.take(rows_flat, flat)
+        blocked = (stored < d - bias) & (d - stored <= msd)
+    factor = jnp.where(blocked, 0.0, 1.0)
+    if tbase >= 0:
+        trans = jnp.take(rows_flat, flat - base + tbase)
+        factor = factor * trans
+    return factor
