@@ -214,12 +214,31 @@ def _texel_lookup(atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode,
     return out
 
 
+def _row_gather_f32(table_ref, row, lane):
+    """(H,W) element gather from a VMEM-resident (R,128) f32 table: loop the
+    tile's live row range, one 8x128 dynamic lane-gather + select per row —
+    the exact access pattern of _texel_lookup (atlas) applied to f32 rows.
+    Shadow-map lookups of one screen tile land in a small map region, so the
+    range is short in practice."""
+    rmin = jnp.min(row)
+    rmax = jnp.max(row)
+    acc = jnp.zeros(row.shape, jnp.float32)
+
+    def body(r, acc):
+        vec = table_ref[r, :]
+        vb = jnp.broadcast_to(vec[None, :], row.shape)
+        g = jnp.take_along_axis(vb, lane, axis=1)
+        return jnp.where(row == r, g, acc)
+
+    return jax.lax.fori_loop(rmin, rmax + 1, body, acc)
+
+
 def _mega_kernel(
     n_attr, sample_mode, has_blend, has_material, has_matmap, hbm_tables,
-    use_cbox, use_tmask, light_spec, sun_off, stage_cut,
+    use_cbox, use_tmask, light_spec, sun_off, stage_cut, shadow_spec,
     sbox_ref, cbox_ref, snear_ref, slist_ref, cmask_ref,
     params_ref, lights_ref, occ_ref,
-    planes_ref, attr_ref, atlas_ref, bg_ref,
+    planes_ref, attr_ref, atlas_ref, bg_ref, shadow_ref,
     rgba_ref, zeff_ref,
     a_scr, idx_scr, minb_scr, *dma_scratch,
 ):
@@ -671,6 +690,127 @@ def _mega_kernel(
             ka_r, ka_g, ka_b = kd_r, kd_g, kd_b
         hemi = 0.5 * (uy + 1.0)
 
+        # ---- per-light geometry shadows (ops/shadow.py lookup, in-tile;
+        # SceneVM trace_shadow family, 3d_shader.wgsl:436-517). Expression
+        # order mirrors shadow_factor_xla exactly; the map reads are
+        # _row_gather_f32 lane gathers — the same access pattern as the
+        # atlas texel fetch. ----
+        shadow_cube = {}
+        sun_shadow = None
+        if shadow_spec is not None:
+            from .shadow import NORMAL_OFFSET_TEXELS as _K
+
+            sun_entry, cube_entries = shadow_spec
+            msd_s = params_ref[59]
+            bias_s = params_ref[60]
+
+            def _cube_factor(lpx, lpy, lpz, base, res, tbase):
+                tpx0 = wx - lpx
+                tpy0 = wy - lpy
+                tpz0 = wz - lpz
+                ma0 = jnp.maximum(
+                    jnp.abs(tpx0), jnp.maximum(jnp.abs(tpy0), jnp.abs(tpz0))
+                )
+                offs = bias_s + ma0 * (2.0 * _K / res)
+                tpx = tpx0 + ux * offs
+                tpy = tpy0 + uy * offs
+                tpz = tpz0 + uz * offs
+                ax = jnp.abs(tpx)
+                ay = jnp.abs(tpy)
+                az = jnp.abs(tpz)
+                is_x = (ax >= ay) & (ax >= az)
+                is_y = (~is_x) & (ay >= az)
+                ma = jnp.maximum(ax, jnp.maximum(ay, az))
+                sgn_x = jnp.where(tpx >= 0, 1.0, -1.0)
+                sgn_z = jnp.where(tpz >= 0, 1.0, -1.0)
+                u_num = jnp.where(
+                    is_x, -sgn_x * tpz, jnp.where(is_y, tpx, -sgn_z * tpx)
+                )
+                sgn_y = jnp.where(tpy >= 0, 1.0, -1.0)
+                v_num = jnp.where(
+                    is_x, tpy, jnp.where(is_y, -sgn_y * tpz, tpy)
+                )
+                face = jnp.where(
+                    is_x,
+                    jnp.where(tpx < 0, 1, 0),
+                    jnp.where(
+                        is_y,
+                        jnp.where(tpy < 0, 3, 2),
+                        jnp.where(tpz < 0, 5, 4),
+                    ),
+                )
+                ma_safe = jnp.maximum(ma, 1e-20)
+                half = res * 0.5
+                sx = jnp.clip(jnp.floor(u_num / ma_safe * half + half), 0, res - 1)
+                sy = jnp.clip(jnp.floor(-v_num / ma_safe * half + half), 0, res - 1)
+                flat = (
+                    base
+                    + face.astype(jnp.int32) * (res * res)
+                    + sy.astype(jnp.int32) * res
+                    + sx.astype(jnp.int32)
+                )
+                stored = _row_gather_f32(shadow_ref, flat >> 7, flat & 127)
+                blocked = (stored < ma - bias_s) & (ma - stored <= msd_s)
+                factor = jnp.where(blocked, 0.0, 1.0)
+                if tbase >= 0:
+                    t_flat = flat - base + tbase
+                    factor = factor * _row_gather_f32(
+                        shadow_ref, t_flat >> 7, t_flat & 127
+                    )
+                return factor
+
+            for li_e, base_e, res_e, tbase_e in cube_entries:
+                shadow_cube[li_e] = _cube_factor(
+                    lights_ref[li_e, 0], lights_ref[li_e, 1],
+                    lights_ref[li_e, 2], base_e, res_e, tbase_e,
+                )
+
+            if sun_entry is not None and not sun_off:
+                base_e, res_e, tbase_e = sun_entry
+                dx0 = wx - params_ref[61]
+                dy0 = wy - params_ref[62]
+                dz0 = wz - params_ref[63]
+                f_s = params_ref[73]
+                vz0 = (
+                    dx0 * params_ref[70] + dy0 * params_ref[71]
+                    + dz0 * params_ref[72]
+                )
+                offs = bias_s + jnp.maximum(vz0, 0.0) * (
+                    2.0 * _K / (f_s * res_e)
+                )
+                dx = dx0 + ux * offs
+                dy = dy0 + uy * offs
+                dz = dz0 + uz * offs
+                vx = dx * params_ref[64] + dy * params_ref[65] + dz * params_ref[66]
+                vy = dx * params_ref[67] + dy * params_ref[68] + dz * params_ref[69]
+                vz = dx * params_ref[70] + dy * params_ref[71] + dz * params_ref[72]
+                vz_safe = jnp.maximum(vz, 1e-20)
+                half = res_e * 0.5
+                sxf = jnp.floor(f_s * vx / vz_safe * half + half)
+                syf = jnp.floor(-f_s * vy / vz_safe * half + half)
+                in_range = (
+                    (vz > params_ref[74])
+                    & (sxf >= 0) & (sxf < res_e)
+                    & (syf >= 0) & (syf < res_e)
+                )
+                sxc = jnp.clip(sxf, 0, res_e - 1)
+                syc = jnp.clip(syf, 0, res_e - 1)
+                flat = (
+                    base_e + syc.astype(jnp.int32) * res_e
+                    + sxc.astype(jnp.int32)
+                )
+                stored = _row_gather_f32(shadow_ref, flat >> 7, flat & 127)
+                blocked = (
+                    in_range & (stored < vz - bias_s)
+                    & (vz - stored <= msd_s)
+                )
+                sun_shadow = jnp.where(blocked, 0.0, 1.0)
+                if tbase_e >= 0:
+                    t_flat = flat - base_e + tbase_e
+                    sun_shadow = sun_shadow * _row_gather_f32(
+                        shadow_ref, t_flat >> 7, t_flat & 127
+                    )
+
         occlusion = jnp.ones_like(wx)
         for bi in range(occ_ref.shape[0]):
             inside = (
@@ -734,9 +874,16 @@ def _mega_kernel(
             slen = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
             inv_slen = 1.0 / jnp.maximum(slen, 1e-30)
             day = params_ref[47]
+            day_r = day * params_ref[55]
+            day_g = day * params_ref[56]
+            day_b = day * params_ref[57]
+            if sun_shadow is not None:
+                day_r = day_r * sun_shadow
+                day_g = day_g * sun_shadow
+                day_b = day_b * sun_shadow
             sr, sg, sb = brdf(
                 sdx * inv_slen, sdy * inv_slen, sdz * inv_slen,
-                day * params_ref[55], day * params_ref[56], day * params_ref[57],
+                day_r, day_g, day_b,
             )
             lit_r += has_sun * sr
             lit_g += has_sun * sg
@@ -871,6 +1018,8 @@ def _mega_kernel(
                 lam = 1.0
 
             rad = ok_f * scale * lam
+            if li in shadow_cube:
+                rad = rad * shadow_cube[li]
             rad_r = lights_ref[li, 7] * rad
             rad_g = lights_ref[li, 8] * rad
             rad_b = lights_ref[li, 9] * rad
@@ -1119,10 +1268,16 @@ def pack_occ_params(uniforms) -> jnp.ndarray:
 
 
 def pack_mega_params(uniforms, width: int, height: int, atlas_w,
-                     has_fog: bool = False, y0: int = 0) -> jnp.ndarray:
-    """inv_proj/inv_view/camera/ambient/sun scalars + fog at 48-53 and the
-    atlas row width at 54 -> (64,) SMEM array."""
-    p = jnp.zeros(64, jnp.float32)
+                     has_fog: bool = False, y0: int = 0,
+                     shadow_params=None) -> jnp.ndarray:
+    """inv_proj/inv_view/camera/ambient/sun scalars + fog at 48-53, the
+    atlas row width at 54, shadow params at 59-74 -> (80,) SMEM array.
+
+    shadow_params: the (40,) array from ops.shadow.bake_shadow_pack; its
+    first 16 slots (msd, bias, sun camera) copy to params[59:75]."""
+    p = jnp.zeros(80, jnp.float32)
+    if shadow_params is not None:
+        p = p.at[59:75].set(jnp.asarray(shadow_params, jnp.float32)[:16])
     p = p.at[0:16].set(uniforms["inv_proj"].reshape(-1))
     p = p.at[16:32].set(uniforms["inv_view"].reshape(-1))
     p = p.at[32:35].set(uniforms["camera_pos"])
@@ -1167,7 +1322,7 @@ def unpack_frame_u32(rgba_u32) -> jnp.ndarray:
     static_argnames=(
         "width", "height", "sample_mode", "has_blend", "has_material",
         "has_matmap", "interpret", "force_hbm", "full_height", "light_spec",
-        "sun_off", "stage_cut",
+        "sun_off", "stage_cut", "shadow_spec",
     ),
 )
 def mega_render(
@@ -1178,6 +1333,7 @@ def mega_render(
     interpret: bool = False,
     force_hbm: bool = False, full_height: int = None, light_spec: tuple = None,
     sun_off: bool = False, s_near=None, stage_cut: int = 0,
+    shadow_rows=None, shadow_spec: tuple = None,
 ):
     """One composed opaque frame -> (rgba_u32 (H,W) i32, z_eff (H,W) f32).
 
@@ -1383,6 +1539,8 @@ def mega_render(
             pltpu.SemaphoreType.DMA((2, 1)),
         ]
 
+    if shadow_rows is None:
+        shadow_rows = jnp.zeros((8, 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=grid,
@@ -1394,6 +1552,10 @@ def mega_render(
                 memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
+            pl.BlockSpec(
+                shadow_rows.shape, lambda i, j, *_: (0, 0),
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
@@ -1406,7 +1568,7 @@ def mega_render(
         functools.partial(
             _mega_kernel, n_attr, sample_mode, has_blend, has_material,
             has_matmap, hbm_tables, use_cbox, use_tmask, light_spec, sun_off,
-            stage_cut,
+            stage_cut, shadow_spec,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -1415,6 +1577,6 @@ def mega_render(
         ],
         interpret=interpret,
     )(sboxes, cboxes, s_near, slist_in, cmask_in, params, lights_packed,
-      occ_packed, planes_in, attr_in, atlas_rows, bg_u32)
+      occ_packed, planes_in, attr_in, atlas_rows, bg_u32, shadow_rows)
 
     return rgba[:height, :width], zeff[:height, :width]

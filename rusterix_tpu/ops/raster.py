@@ -132,6 +132,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "has_matmap",
         "light_spec",
         "sun_off",
+        "shadow_spec",
     ),
 )
 def render_frame(
@@ -165,8 +166,15 @@ def render_frame(
     has_matmap: bool = False,
     light_spec: tuple = None,
     sun_off: bool = False,
+    shadow_rows=None,
+    shadow_params=None,
+    shadow_spec: tuple = None,
 ):
-    """One full frame on device -> (H, W, 4) uint8."""
+    """One full frame on device -> (H, W, 4) uint8.
+
+    shadow_rows/shadow_params/shadow_spec: baked shadow maps from
+    ops.shadow.bake_shadow_pack (None = shadows off) — per-light geometry
+    shadows in both the megakernel and the XLA shade path."""
     view = uniforms["view"]
     proj = uniforms["proj"]
 
@@ -213,13 +221,22 @@ def render_frame(
             vis_s, alive_s, bbox_s, table_s,
             atlas_rows_i32(atlas["flat_u32"]),
             pack_background_u32(background),
-            pack_mega_params(uniforms, width, height, atlas["w"], has_fog),
+            pack_mega_params(
+                uniforms, width, height, atlas["w"], has_fog,
+                shadow_params=shadow_params,
+            ),
             pack_light_params(lights),
             pack_occ_params(uniforms),
             width, height, sample_mode, has_blend, has_material,
             has_matmap=has_matmap,
             interpret=interpret, light_spec=light_spec, sun_off=sun_off,
             s_near=s_near,
+            # the bake is cached flat (the XLA lookup wants (N,)); the
+            # kernel's lane gathers want (S, 128) rows — reshape is free
+            shadow_rows=(
+                shadow_rows.reshape(-1, 128) if shadow_rows is not None else None
+            ),
+            shadow_spec=shadow_spec,
         )
         if not (has_sky or has_opacity or has_d2 or has_brush):
             return unpack_frame_u32(rgba_u32)
@@ -249,6 +266,11 @@ def render_frame(
             z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height,
             sample_mode, shaders=shaders, has_fog=has_fog, has_blend=has_blend,
             has_material=has_material, has_matmap=has_matmap,
+            shadow=(
+                (shadow_rows, shadow_params, shadow_spec)
+                if shadow_spec is not None
+                else None
+            ),
         )
         frame, z_eff = compose_opaque(shaded, wrote, z, background)
 
@@ -316,6 +338,7 @@ def render_frame(
         "has_matmap",
         "light_spec",
         "sun_off",
+        "shadow_spec",
     ),
 )
 def render_frame_arena(
@@ -346,6 +369,9 @@ def render_frame_arena(
     has_matmap: bool = False,
     light_spec: tuple = None,
     sun_off: bool = False,
+    shadow_rows=None,
+    shadow_params=None,
+    shadow_spec: tuple = None,
 ):
     """render_frame behind ONE per-frame upload: the dynamic packs, lights
     and uniforms arrive as a single uint32 arena (see ops/arena.py) and are
@@ -363,6 +389,7 @@ def render_frame_arena(
         has_opacity, has_d2, shaders, use_pallas, has_sky, has_fog, sky_pre,
         has_blend, has_brush, has_dyn, d3_dyn, d3_op_dyn, d2_dyn,
         has_material, has_matmap, light_spec, sun_off,
+        shadow_rows, shadow_params, shadow_spec,
     )
 
 
@@ -413,6 +440,11 @@ _BG_DEV_CACHE: dict = {}
 # (id(sky node), hour) -> device sky params; sky_device_params uploads 7
 # arrays, which over the tunnel would otherwise cost per-frame latency
 _SKY_DEV_CACHE: dict = {}
+# shadow-map bakes: (scene uid, revision, assets uid, config, cast-light
+# snapshot, sun snapshot) -> (rows_dev, params_dev, params_np, spec).
+# Static scenes with static lights bake once; a moving shadow light re-bakes
+# only when its rounded position/range changes.
+_SHADOW_CACHE: dict = {}
 
 
 class Rasterizer:
@@ -449,6 +481,10 @@ class Rasterizer:
         self.sun_color: Optional[np.ndarray] = None
         self.day_factor = 0.0
         self._rs_has_fog = False
+        self._rs_shadow_distance = 50.0
+        self._rs_shadow_steps = 16.0
+        #: per-light geometry shadows (None = off) — see set_shadows()
+        self.shadow_settings = None
         self.hash_anim = 0
         self.render_graph = None
         self.mapmini = None
@@ -479,6 +515,38 @@ class Rasterizer:
     def set_supersample(self, n: int) -> "Rasterizer":
         """Render at n x n samples per pixel (box filter). n=1 disables."""
         self.supersample = max(1, int(n))
+        return self
+
+    def set_shadows(
+        self,
+        enabled: bool = True,
+        *,
+        res: int = 128,
+        sun_res: int = 256,
+        max_lights: int = 4,
+        bias: float = 0.05,
+    ) -> "Rasterizer":
+        """Per-light geometry shadows for the 3D pass (the reference's
+        SceneVM trace_shadow family, embedded/shader/3d_shader.wgsl:436-517).
+
+        Point/spot lights render 6-face cube depth maps at `res`^2, the sun
+        one `sun_res`^2 pseudo-directional map (ops/shadow.py); up to
+        `max_lights` brightest point/spot lights cast. Maps bake from the
+        STATIC scene geometry and cache until the scene revision or a
+        casting light's position changes; dynamic entity billboards receive
+        but do not cast (documented divergence — the reference traces
+        against its full BVH). `max_shadow_distance` / `max_shadow_steps`
+        from apply_render_settings control the occluder range cap and
+        transparency-aware shadows (steps > 0 + opacity batches present)."""
+        if enabled:
+            self.shadow_settings = {
+                "res": int(res),
+                "sun_res": int(sun_res),
+                "max_lights": int(max_lights),
+                "bias": float(bias),
+            }
+        else:
+            self.shadow_settings = None
         return self
 
     # builder-style setters (rasterizer.rs:155-182)
@@ -525,6 +593,8 @@ class Rasterizer:
             self.day_factor = 0.0
         amb = np.asarray(rs.ambient_color, np.float32) * float(rs.ambient_strength)
         self.ambient_color = np.concatenate([amb, [1.0]]).astype(np.float32)
+        self._rs_shadow_distance = float(rs.max_shadow_distance)
+        self._rs_shadow_steps = float(rs.max_shadow_steps)
         if rs.fog_density > 0.0:
             self._rs_has_fog = True
             self._fog_color = np.asarray(
@@ -623,6 +693,79 @@ class Rasterizer:
             "fog_end": np.float32(self._fog_end),
             "fog_fade": np.float32(self._fog_fade),
         }
+
+    def _shadow_pack(self, cache, packed, lights, scene_key):
+        """Bake (or fetch cached) shadow maps for this frame's casting
+        lights -> (rows_dev, params_dev, params_np, spec) or Nones."""
+        cfg = self.shadow_settings
+        types = np.asarray(lights["type"])
+        valid = np.asarray(lights["valid"])
+        inten = np.asarray(lights["intensity"])
+        rows_idx = [
+            i
+            for i in range(len(types))
+            if valid[i] > 0.5 and int(types[i]) in (0, 3)  # point / spot
+        ]
+        rows_idx.sort(key=lambda i: -float(inten[i]))
+        cast = sorted(rows_idx[: cfg["max_lights"]])
+        sun_dir = (
+            self.sun_dir
+            if (self.sun_dir is not None and self.day_factor > 0)
+            else None
+        )
+        if not cast and sun_dir is None:
+            return None, None, None, None
+        with_trans = self._rs_shadow_steps > 0 and bool(
+            packed.d3_opacity.valid.any()
+        )
+        light_key = tuple(
+            (
+                i,
+                tuple(np.round(lights["position"][i], 4).tolist()),
+                round(float(lights["end"][i]), 4),
+            )
+            for i in cast
+        )
+        sun_key = (
+            tuple(np.round(sun_dir, 4).tolist()) if sun_dir is not None else None
+        )
+        key = (
+            scene_key,
+            tuple(sorted(cfg.items())),
+            light_key,
+            sun_key,
+            round(self._rs_shadow_distance, 4),
+            with_trans,
+        )
+        hit = _SHADOW_CACHE.get(key)
+        if hit is not None:
+            return hit
+        from .shadow import bake_shadow_pack, scene_bounds
+
+        bounds = scene_bounds(packed.d3.pos, packed.d3.valid)
+        rows, params_np, spec = bake_shadow_pack(
+            cache["d3"],
+            cache["d3_op"] if with_trans else None,
+            lights,
+            cast,
+            sun_dir,
+            res=cfg["res"],
+            sun_res=cfg["sun_res"],
+            with_trans=with_trans,
+            max_shadow_distance=self._rs_shadow_distance,
+            bias=cfg["bias"],
+            bounds=bounds,
+        )
+        entry = (
+            rows.reshape(-1),
+            jax.device_put(params_np),
+            params_np,
+            spec,
+        )
+        if len(_SHADOW_CACHE) > 8:
+            _SHADOW_CACHE.clear()
+        _SHADOW_CACHE[key] = entry
+        return entry
 
     def screen_to_world(self, x: float, y: float, z_ndc: float) -> np.ndarray:
         """reference rasterizer.rs:1707-1728 (host-side picking)."""
@@ -813,6 +956,12 @@ class Rasterizer:
         lights_dev = lights  # numpy until the batched device_put below
         light_count = len(live_lights)
 
+        shadow_rows = shadow_params_dev = shadow_spec = None
+        if self.shadow_settings is not None and self.render_mode.d3_active:
+            shadow_rows, shadow_params_dev, _sp_np, shadow_spec = (
+                self._shadow_pack(cache, packed, lights, key)
+            )
+
         uniforms = self._uniforms(scene)
         if ss > 1:
             # 2D geometry lives in OUTPUT pixel coordinates; at the scaled
@@ -920,6 +1069,9 @@ class Rasterizer:
             # host numpy here; the kernel can't inspect them at trace time)
             light_spec=light_spec_from(lights),
             sun_off=not (self.sun_dir is not None and self.day_factor > 0),
+            shadow_rows=shadow_rows,
+            shadow_params=shadow_params_dev,
+            shadow_spec=shadow_spec,
         )
         #: exact args of the last frame — consumed by profiling's
         #: full-frame phase ablations (numpy leaves are fine there: the

@@ -356,13 +356,20 @@ def shade_pass(
     has_blend: bool = False,
     has_material: bool = False,
     has_matmap: bool = False,
+    shadow: tuple = None,
 ):
     """Shade every pixel from its winning triangle.
 
     Returns (rgba_f32 (H,W,4) in 0..1, wrote (H,W) bool).
     `wrote` is hit AND final alpha == 255 — the reference's opaque-pass write
     condition (rasterizer.rs:1404-1409). `y0`/`full_height` support
-    row-sharded framebuffers (height = local rows, full_height = screen)."""
+    row-sharded framebuffers (height = local rows, full_height = screen).
+
+    `shadow`: optional (rows_flat (N,), params (40,), spec) from
+    ops.shadow.bake_shadow_pack — per-light geometry shadows (the
+    reference's SceneVM trace_shadow family, 3d_shader.wgsl:436-517):
+    the sun entry gates the sun BRDF, cube entries gate their light row's
+    radiance."""
     assert not has_matmap or has_material, (
         "has_matmap implies has_material (the matmap gather offsets at "
         "n_planes+14.. assume the material columns precede them — same "
@@ -578,6 +585,33 @@ def shade_pass(
     hemi = 0.5 * (normal[..., 1] + 1.0)
     kd = base * (1.0 - metallic[..., None]) * (1.0 - 0.04)
 
+    # per-light geometry shadows (SceneVM trace_shadow parity)
+    sun_factor = None
+    light_factors = None
+    if shadow is not None:
+        from .shadow import shadow_factor_xla
+
+        sh_rows, sh_params, (sun_entry, cube_entries) = shadow
+        nx_s, ny_s, nz_s = normal[..., 0], normal[..., 1], normal[..., 2]
+        if sun_entry is not None:
+            sun_factor = shadow_factor_xla(
+                sh_rows, sh_params, sun_entry,
+                world[..., 0], world[..., 1], world[..., 2],
+                nx_s, ny_s, nz_s,
+            )
+        if cube_entries:
+            light_factors = jnp.ones(
+                normal.shape[:-1] + (lights["position"].shape[0],), jnp.float32
+            )
+            for entry in cube_entries:
+                li = entry[0]
+                f = shadow_factor_xla(
+                    sh_rows, sh_params, entry,
+                    world[..., 0], world[..., 1], world[..., 2],
+                    nx_s, ny_s, nz_s, lpos=lights["position"][li],
+                )
+                light_factors = light_factors.at[..., li].set(f)
+
     has_ambient = uniforms["has_ambient"]
     sky = uniforms["ambient"][:3]
     lit = lit + has_ambient * sky * kd * hemi[..., None]
@@ -588,6 +622,8 @@ def shade_pass(
     sun_radiance = uniforms["day_factor"] * uniforms.get(
         "sun_color", jnp.ones(3, jnp.float32)
     )
+    if sun_factor is not None:
+        sun_radiance = sun_radiance[None, None, :] * sun_factor[..., None]
     sun = shade_fast_brdf(
         base,
         roughness,
@@ -609,6 +645,8 @@ def shade_pass(
     # broadcast over the padded light axis: XLA fuses the (H,W,L,3) chain
     # into the reduction (measured faster than a lax.scan over lights)
     radiance = light_radiance(lights, world, normal)  # (H,W,L,3)
+    if light_factors is not None:
+        radiance = radiance * light_factors[..., None]
     ldir = _normalize(lights["position"] - world[..., None, :])
     contrib = shade_fast_brdf(
         base[..., None, :],
