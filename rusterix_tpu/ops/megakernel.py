@@ -214,14 +214,22 @@ def _texel_lookup(atlas_ref, u, v, rect, kind, rgba_cols, repeat, sample_mode,
     return out
 
 
-def _row_gather_f32(table_ref, row, lane):
+def _row_gather_f32(table_ref, row, lane, mask=None):
     """(H,W) element gather from a VMEM-resident (R,128) f32 table: loop the
     tile's live row range, one 8x128 dynamic lane-gather + select per row —
     the exact access pattern of _texel_lookup (atlas) applied to f32 rows.
-    Shadow-map lookups of one screen tile land in a small map region, so the
-    range is short in practice."""
+
+    `mask` parks excluded pixels at row 2^30 (the _texel_lookup idiom) so
+    they never extend the loop; a tile whose pixels are ALL parked runs
+    ZERO iterations (rmin=2^30 > rmax=-1). Parked pixels return 0.0 —
+    callers select their own neutral value. Without parking, one sky pixel
+    or one out-of-range light inflated the loop to hundreds of rows per
+    tile (measured 11.5 ms/frame at 1080p; parked + face-split: see
+    bench map_1920x1080_shadow_fps)."""
+    if mask is not None:
+        row = jnp.where(mask, row, _BIG)
     rmin = jnp.min(row)
-    rmax = jnp.max(row)
+    rmax = jnp.max(jnp.where(row == _BIG, -1, row))
     acc = jnp.zeros(row.shape, jnp.float32)
 
     def body(r, acc):
@@ -235,10 +243,10 @@ def _row_gather_f32(table_ref, row, lane):
 
 def _mega_kernel(
     n_attr, sample_mode, has_blend, has_material, has_matmap, hbm_tables,
-    use_cbox, use_tmask, light_spec, sun_off, stage_cut, shadow_spec,
+    use_cbox, use_tmask, light_spec, sun_off, stage_cut, shadow_spec, has_ao,
     sbox_ref, cbox_ref, snear_ref, slist_ref, cmask_ref,
     params_ref, lights_ref, occ_ref,
-    planes_ref, attr_ref, atlas_ref, bg_ref, shadow_ref,
+    planes_ref, attr_ref, atlas_ref, bg_ref, shadow_ref, ao_ref,
     rgba_ref, zeff_ref,
     a_scr, idx_scr, minb_scr, *dma_scratch,
 ):
@@ -689,6 +697,12 @@ def _mega_kernel(
             kd_b = base_b * 0.96
             ka_r, ka_g, ka_b = kd_r, kd_g, kd_b
         hemi = 0.5 * (uy + 1.0)
+        if has_ao:
+            # screen-space ambient occlusion factor (ops/ao.py, computed
+            # from the visibility pre-pass) scales ONLY the ambient terms
+            # (WGSL compute_ao consumption: `ambient * ao`,
+            # 3d_shader.wgsl:746) — hemi appears exactly in those two
+            hemi = hemi * ao_ref[:]
 
         # ---- per-light geometry shadows (ops/shadow.py lookup, in-tile;
         # SceneVM trace_shadow family, 3d_shader.wgsl:436-517). Expression
@@ -704,7 +718,7 @@ def _mega_kernel(
             msd_s = params_ref[59]
             bias_s = params_ref[60]
 
-            def _cube_factor(lpx, lpy, lpz, base, res, tbase):
+            def _cube_factor(lpx, lpy, lpz, l_end, base, res, tbase):
                 tpx0 = wx - lpx
                 tpy0 = wy - lpy
                 tpz0 = wz - lpz
@@ -749,20 +763,37 @@ def _mega_kernel(
                     + sy.astype(jnp.int32) * res
                     + sx.astype(jnp.int32)
                 )
-                stored = _row_gather_f32(shadow_ref, flat >> 7, flat & 127)
-                blocked = (stored < ma - bias_s) & (ma - stored <= msd_s)
+                # face-split masked gathers: each face's pixels are
+                # spatially compact in its map region, so per-face row
+                # ranges stay short; miss pixels (garbage world pos) and
+                # pixels beyond the light's range (Chebyshev ma0 <= dist,
+                # so ma0 > end implies radiance 0) park the loop entirely
+                live = hit & (ma0 < l_end)
+                stored = jnp.zeros_like(ma)
+                trans = jnp.ones_like(ma)
+                for f in range(6):
+                    m_f = live & (face == f)
+                    g = _row_gather_f32(
+                        shadow_ref, flat >> 7, flat & 127, mask=m_f
+                    )
+                    stored = jnp.where(m_f, g, stored)
+                    if tbase >= 0:
+                        t_flat = flat - base + tbase
+                        gt = _row_gather_f32(
+                            shadow_ref, t_flat >> 7, t_flat & 127, mask=m_f
+                        )
+                        trans = jnp.where(m_f, gt, trans)
+                blocked = live & (stored < ma - bias_s) & (ma - stored <= msd_s)
                 factor = jnp.where(blocked, 0.0, 1.0)
                 if tbase >= 0:
-                    t_flat = flat - base + tbase
-                    factor = factor * _row_gather_f32(
-                        shadow_ref, t_flat >> 7, t_flat & 127
-                    )
+                    factor = factor * trans
                 return factor
 
             for li_e, base_e, res_e, tbase_e in cube_entries:
                 shadow_cube[li_e] = _cube_factor(
                     lights_ref[li_e, 0], lights_ref[li_e, 1],
-                    lights_ref[li_e, 2], base_e, res_e, tbase_e,
+                    lights_ref[li_e, 2], lights_ref[li_e, 5],
+                    base_e, res_e, tbase_e,
                 )
 
             if sun_entry is not None and not sun_off:
@@ -799,16 +830,22 @@ def _mega_kernel(
                     base_e + syc.astype(jnp.int32) * res_e
                     + sxc.astype(jnp.int32)
                 )
-                stored = _row_gather_f32(shadow_ref, flat >> 7, flat & 127)
+                live = hit & in_range  # miss pixels park the gather loop
+                stored = _row_gather_f32(
+                    shadow_ref, flat >> 7, flat & 127, mask=live
+                )
                 blocked = (
-                    in_range & (stored < vz - bias_s)
-                    & (vz - stored <= msd_s)
+                    live & (stored < vz - bias_s) & (vz - stored <= msd_s)
                 )
                 sun_shadow = jnp.where(blocked, 0.0, 1.0)
                 if tbase_e >= 0:
                     t_flat = flat - base_e + tbase_e
-                    sun_shadow = sun_shadow * _row_gather_f32(
-                        shadow_ref, t_flat >> 7, t_flat & 127
+                    sun_shadow = sun_shadow * jnp.where(
+                        live,
+                        _row_gather_f32(
+                            shadow_ref, t_flat >> 7, t_flat & 127, mask=live
+                        ),
+                        1.0,
                     )
 
         occlusion = jnp.ones_like(wx)
@@ -1333,7 +1370,7 @@ def mega_render(
     interpret: bool = False,
     force_hbm: bool = False, full_height: int = None, light_spec: tuple = None,
     sun_off: bool = False, s_near=None, stage_cut: int = 0,
-    shadow_rows=None, shadow_spec: tuple = None,
+    shadow_rows=None, shadow_spec: tuple = None, ao_img=None,
 ):
     """One composed opaque frame -> (rgba_u32 (H,W) i32, z_eff (H,W) f32).
 
@@ -1541,6 +1578,14 @@ def mega_render(
 
     if shadow_rows is None:
         shadow_rows = jnp.zeros((8, 128), jnp.float32)
+    has_ao = ao_img is not None
+    if has_ao:
+        if ph or pw:
+            ao_img = jnp.pad(ao_img, ((0, ph), (0, pw)), constant_values=1.0)
+        ao_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j))
+    else:
+        ao_img = jnp.ones((TILE_H, TILE_W), jnp.float32)
+        ao_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=grid,
@@ -1556,6 +1601,7 @@ def mega_render(
                 shadow_rows.shape, lambda i, j, *_: (0, 0),
                 memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
+            ao_spec,
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
@@ -1568,7 +1614,7 @@ def mega_render(
         functools.partial(
             _mega_kernel, n_attr, sample_mode, has_blend, has_material,
             has_matmap, hbm_tables, use_cbox, use_tmask, light_spec, sun_off,
-            stage_cut, shadow_spec,
+            stage_cut, shadow_spec, has_ao,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -1577,6 +1623,6 @@ def mega_render(
         ],
         interpret=interpret,
     )(sboxes, cboxes, s_near, slist_in, cmask_in, params, lights_packed,
-      occ_packed, planes_in, attr_in, atlas_rows, bg_u32, shadow_rows)
+      occ_packed, planes_in, attr_in, atlas_rows, bg_u32, shadow_rows, ao_img)
 
     return rgba[:height, :width], zeff[:height, :width]
