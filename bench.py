@@ -484,6 +484,7 @@ def measure_chained(rast, scene, assets, width, height, n=400, ssaa=1):
         shadow_rows, shadow_params, _sp, shadow_spec = rast._shadow_pack(
             cache, packed, lights, key
         )
+    ao_taps = rast._ao_taps()
 
     @jax.jit
     def many(background, view):
@@ -510,6 +511,7 @@ def measure_chained(rast, scene, assets, width, height, n=400, ssaa=1):
                 shadow_rows=shadow_rows,
                 shadow_params=shadow_params,
                 shadow_spec=shadow_spec,
+                ao_taps=ao_taps,
             )
             if ssaa > 1:
                 from rusterix_tpu.ops.raster import _ssaa_downsample
@@ -607,6 +609,17 @@ def main():
             import sys as _s
 
             print(f"shadow bench skipped: {exc}", file=_s.stderr)
+
+    if os.environ.get("RUSTERIX_TPU_BENCH_AO") != "0":
+        try:
+            rast, scene, assets = build_map_scene(1920, 1080)
+            rast.set_ambient_occlusion(True, samples=8, radius=0.6)
+            dtO = measure_chained(rast, scene, assets, 1920, 1080, n=200)
+            results["map_1920x1080_ao_fps"] = round(1.0 / dtO, 1)
+        except Exception as exc:  # additive metric; never sink the headline
+            import sys as _s
+
+            print(f"ao bench skipped: {exc}", file=_s.stderr)
 
     if os.environ.get("RUSTERIX_TPU_BENCH_SSAA") != "0":
         try:

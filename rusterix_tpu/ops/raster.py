@@ -133,6 +133,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "light_spec",
         "sun_off",
         "shadow_spec",
+        "ao_taps",
     ),
 )
 def render_frame(
@@ -169,12 +170,16 @@ def render_frame(
     shadow_rows=None,
     shadow_params=None,
     shadow_spec: tuple = None,
+    ao_taps: tuple = None,
 ):
     """One full frame on device -> (H, W, 4) uint8.
 
     shadow_rows/shadow_params/shadow_spec: baked shadow maps from
     ops.shadow.bake_shadow_pack (None = shadows off) — per-light geometry
-    shadows in both the megakernel and the XLA shade path."""
+    shadows in both the megakernel and the XLA shade path.
+    ao_taps: static pixel-offset tuple (ops.ao.tap_offsets) — enables the
+    screen-space ambient-occlusion pass, world radius from
+    uniforms["ao_radius"]."""
     view = uniforms["view"]
     proj = uniforms["proj"]
 
@@ -217,6 +222,21 @@ def render_frame(
         vis_s, bbox_s, alive_s, table_s, s_near = morton_ftb_sort(
             vis, bbox, alive.astype(jnp.float32), table, width, height,
         )
+        ao_img = None
+        if ao_taps:
+            # AO needs the depth image BEFORE ambient shading: one extra
+            # visibility-only kernel pass (~0.35ms @1080p), then the pure-
+            # shift SSAO, feeding the megakernel a per-tile (H,W) factor
+            from .ao import ssao_pass
+            from .visibility_pallas import visibility_pass_pallas
+
+            z_ao, _i_ao, hit_ao = visibility_pass_pallas(
+                vis_s, alive_s, bbox_s, width, height, interpret=interpret
+            )
+            ao_img = ssao_pass(
+                z_ao, hit_ao, proj[2, 2], proj[2, 3],
+                uniforms["ao_radius"], 2.0 / (proj[1, 1] * height), ao_taps,
+            )
         rgba_u32, z_eff = mega_render(
             vis_s, alive_s, bbox_s, table_s,
             atlas_rows_i32(atlas["flat_u32"]),
@@ -237,6 +257,7 @@ def render_frame(
                 shadow_rows.reshape(-1, 128) if shadow_rows is not None else None
             ),
             shadow_spec=shadow_spec,
+            ao_img=ao_img,
         )
         if not (has_sky or has_opacity or has_d2 or has_brush):
             return unpack_frame_u32(rgba_u32)
@@ -262,6 +283,14 @@ def render_frame(
     else:
         z, idx, hit = visibility_pass(vis, alive.astype(jnp.float32), width, height)
     if not mega:
+        ao_img = None
+        if ao_taps:
+            from .ao import ssao_pass
+
+            ao_img = ssao_pass(
+                z, hit, proj[2, 2], proj[2, 3], uniforms["ao_radius"],
+                2.0 / (proj[1, 1] * height), ao_taps,
+            )
         shaded, wrote = shade_pass(
             z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, width, height,
             sample_mode, shaders=shaders, has_fog=has_fog, has_blend=has_blend,
@@ -271,6 +300,7 @@ def render_frame(
                 if shadow_spec is not None
                 else None
             ),
+            ao=ao_img,
         )
         frame, z_eff = compose_opaque(shaded, wrote, z, background)
 
@@ -339,6 +369,7 @@ def render_frame(
         "light_spec",
         "sun_off",
         "shadow_spec",
+        "ao_taps",
     ),
 )
 def render_frame_arena(
@@ -372,6 +403,7 @@ def render_frame_arena(
     shadow_rows=None,
     shadow_params=None,
     shadow_spec: tuple = None,
+    ao_taps: tuple = None,
 ):
     """render_frame behind ONE per-frame upload: the dynamic packs, lights
     and uniforms arrive as a single uint32 arena (see ops/arena.py) and are
@@ -389,7 +421,7 @@ def render_frame_arena(
         has_opacity, has_d2, shaders, use_pallas, has_sky, has_fog, sky_pre,
         has_blend, has_brush, has_dyn, d3_dyn, d3_op_dyn, d2_dyn,
         has_material, has_matmap, light_spec, sun_off,
-        shadow_rows, shadow_params, shadow_spec,
+        shadow_rows, shadow_params, shadow_spec, ao_taps,
     )
 
 
@@ -483,8 +515,13 @@ class Rasterizer:
         self._rs_has_fog = False
         self._rs_shadow_distance = 50.0
         self._rs_shadow_steps = 16.0
+        self._rs_ao_samples = 4.0
+        self._rs_ao_radius = 0.5
         #: per-light geometry shadows (None = off) — see set_shadows()
         self.shadow_settings = None
+        #: screen-space ambient occlusion (None = off) — see
+        #: set_ambient_occlusion()
+        self.ao_settings = None
         self.hash_anim = 0
         self.render_graph = None
         self.mapmini = None
@@ -549,6 +586,25 @@ class Rasterizer:
             self.shadow_settings = None
         return self
 
+    def set_ambient_occlusion(
+        self, enabled: bool = True, samples: int = None, radius: float = None
+    ) -> "Rasterizer":
+        """Hemisphere ambient occlusion for the 3D pass (the reference's
+        SceneVM compute_ao, embedded/shader/3d_shader.wgsl:519-560; samples/
+        radius default to RenderSettings ao_samples/ao_radius via
+        apply_render_settings). TPU realization is a screen-space pass on
+        the visibility depth (ops/ao.py) that scales only the ambient
+        terms, exactly where the reference applies `ao`. samples == 0 or
+        radius <= 0 disables the pass (compute_ao's early return)."""
+        if enabled:
+            self.ao_settings = {
+                "samples": None if samples is None else int(samples),
+                "radius": None if radius is None else float(radius),
+            }
+        else:
+            self.ao_settings = None
+        return self
+
     # builder-style setters (rasterizer.rs:155-182)
     def set_render_mode(self, mode) -> "Rasterizer":
         self.render_mode = mode
@@ -595,6 +651,8 @@ class Rasterizer:
         self.ambient_color = np.concatenate([amb, [1.0]]).astype(np.float32)
         self._rs_shadow_distance = float(rs.max_shadow_distance)
         self._rs_shadow_steps = float(rs.max_shadow_steps)
+        self._rs_ao_samples = float(rs.ao_samples)
+        self._rs_ao_radius = float(rs.ao_radius)
         if rs.fog_density > 0.0:
             self._rs_has_fog = True
             self._fog_color = np.asarray(
@@ -692,7 +750,26 @@ class Rasterizer:
             "fog_color": np.asarray(self._fog_color, np.float32),
             "fog_end": np.float32(self._fog_end),
             "fog_fade": np.float32(self._fog_fade),
+            "ao_radius": np.float32(self._ao_radius_eff()),
         }
+
+    def _ao_radius_eff(self) -> float:
+        if self.ao_settings is None:
+            return 0.0
+        r = self.ao_settings["radius"]
+        return float(self._rs_ao_radius if r is None else r)
+
+    def _ao_taps(self):
+        """Static tap tuple for this frame's AO config (None = AO off)."""
+        if self.ao_settings is None:
+            return None
+        n = self.ao_settings["samples"]
+        n = int(self._rs_ao_samples if n is None else n)
+        if n <= 0 or self._ao_radius_eff() <= 0.0:
+            return None  # compute_ao early-return semantics
+        from .ao import tap_offsets
+
+        return tap_offsets(n)
 
     def _shadow_pack(self, cache, packed, lights, scene_key):
         """Bake (or fetch cached) shadow maps for this frame's casting
@@ -1072,6 +1149,7 @@ class Rasterizer:
             shadow_rows=shadow_rows,
             shadow_params=shadow_params_dev,
             shadow_spec=shadow_spec,
+            ao_taps=self._ao_taps() if self.render_mode.d3_active else None,
         )
         #: exact args of the last frame — consumed by profiling's
         #: full-frame phase ablations (numpy leaves are fine there: the

@@ -357,6 +357,7 @@ def shade_pass(
     has_material: bool = False,
     has_matmap: bool = False,
     shadow: tuple = None,
+    ao=None,
 ):
     """Shade every pixel from its winning triangle.
 
@@ -369,7 +370,11 @@ def shade_pass(
     ops.shadow.bake_shadow_pack — per-light geometry shadows (the
     reference's SceneVM trace_shadow family, 3d_shader.wgsl:436-517):
     the sun entry gates the sun BRDF, cube entries gate their light row's
-    radiance."""
+    radiance.
+
+    `ao`: optional (H,W) ambient-occlusion factor (ops.ao.ssao_pass) —
+    scales ONLY the ambient terms (WGSL `ambient * ao`,
+    3d_shader.wgsl:746)."""
     assert not has_matmap or has_material, (
         "has_matmap implies has_material (the matmap gather offsets at "
         "n_planes+14.. assume the material columns precede them — same "
@@ -583,6 +588,10 @@ def shade_pass(
         occlusion = jnp.ones_like(opacity)
 
     hemi = 0.5 * (normal[..., 1] + 1.0)
+    if ao is not None:
+        # hemi appears exactly in the two ambient terms — scaling it here
+        # IS the reference's `ambient * ao` (megakernel does the same)
+        hemi = hemi * ao
     kd = base * (1.0 - metallic[..., None]) * (1.0 - 0.04)
 
     # per-light geometry shadows (SceneVM trace_shadow parity)
