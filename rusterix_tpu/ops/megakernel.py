@@ -244,6 +244,7 @@ def _row_gather_f32(table_ref, row, lane, mask=None):
 def _mega_kernel(
     n_attr, sample_mode, has_blend, has_material, has_matmap, hbm_tables,
     use_cbox, use_tmask, light_spec, sun_off, stage_cut, shadow_spec, has_ao,
+    brdf_ggx,
     sbox_ref, cbox_ref, snear_ref, slist_ref, cmask_ref,
     params_ref, lights_ref, occ_ref,
     planes_ref, attr_ref, atlas_ref, bg_ref, shadow_ref, ao_ref,
@@ -696,6 +697,22 @@ def _mega_kernel(
             kd_g = base_g * 0.96
             kd_b = base_b * 0.96
             ka_r, ka_g, ka_b = kd_r, kd_g, kd_b
+        if brdf_ggx:
+            # Cook-Torrance GGX constants (pbr_lighting,
+            # 3d_shader.wgsl:559-650). Without materials roughness is the
+            # fixed 0.5 / metallic 0 of the fast path -> a2 and the Smith k
+            # fold to Python constants and the whole chain stays on the VPU
+            # with zero extra loads.
+            if has_material:
+                r_g = jnp.clip(m_rough, 0.045, 1.0)
+                a_g = r_g * r_g
+                a2_g = a_g * a_g
+                k_g = (r_g + 1.0) * (r_g + 1.0) * 0.125
+                metal_g = m_metal
+            else:
+                a2_g = 0.0625  # (0.5^2)^2
+                k_g = 0.28125  # (1.5^2)/8
+                metal_g = 0.0
         hemi = 0.5 * (uy + 1.0)
         if has_ao:
             # screen-space ambient occlusion factor (ops/ao.py, computed
@@ -863,42 +880,95 @@ def _mega_kernel(
         lit_g = has_ambient * params_ref[37] * ka_g * hemi
         lit_b = has_ambient * params_ref[38] * ka_b * hemi
 
-        def brdf(ldx, ldy, ldz, rad_r, rad_g, rad_b):
-            n_dot_l = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
-            hx = ldx + vdx
-            hy = ldy + vdy
-            hz = ldz + vdz
-            hl = jnp.sqrt(hx * hx + hy * hy + hz * hz)
-            inv_hl = 1.0 / jnp.maximum(hl, 1e-30)
-            n_dot_h = jnp.maximum((ux * hx + uy * hy + uz * hz) * inv_hl, 0.0)
-            if has_material:
-                spec_b = jnp.where(
-                    n_dot_h > 0.0,
-                    jnp.exp2(
-                        shininess * (jnp.log2(jnp.maximum(n_dot_h, 1e-38)))
-                    ),
-                    0.0,
+        if brdf_ggx:
+
+            def brdf(ldx, ldy, ldz, rad_r, rad_g, rad_b):
+                # Cook-Torrance: (kD*base/pi + F*D*G/(4 NdotV NdotL)) *
+                # radiance * NdotL (pbr_lighting, 3d_shader.wgsl:585-650;
+                # component math — the (P,3) AoS form is 18x slower on the
+                # VPU, see tracer.py)
+                n_dot_l = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
+                n_dot_v = jnp.maximum(ux * vdx + uy * vdy + uz * vdz, 0.0)
+                hx = ldx + vdx
+                hy = ldy + vdy
+                hz = ldz + vdz
+                hl = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+                inv_hl = 1.0 / jnp.maximum(hl, 1e-30)
+                n_dot_h = jnp.maximum(
+                    (ux * hx + uy * hy + uz * hz) * inv_hl, 0.0
                 )
-            else:
-                nh2 = n_dot_h * n_dot_h
-                spec_b = nh2 * nh2 * nh2
-            n_dot_v = jnp.maximum(ux * vdx + uy * vdy + uz * vdz, 0.0)
-            x1 = 1.0 - jnp.clip(n_dot_v, 0.0, 1.0)
-            x2 = x1 * x1
-            x5 = x2 * x2 * x1
-            if has_material:
-                fr = f0_r + (1.0 - f0_r) * x5
-                fg = f0_g + (1.0 - f0_g) * x5
-                fb = f0_b + (1.0 - f0_b) * x5
-            else:
-                fr = fg = fb = 0.04 + 0.96 * x5
-            sb = spec_b * n_dot_l
-            dead = n_dot_l <= 0.0
-            return (
-                jnp.where(dead, 0.0, (kd_r * n_dot_l + fr * sb) * rad_r),
-                jnp.where(dead, 0.0, (kd_g * n_dot_l + fg * sb) * rad_g),
-                jnp.where(dead, 0.0, (kd_b * n_dot_l + fb * sb) * rad_b),
-            )
+                denom_d = n_dot_h * n_dot_h * (a2_g - 1.0) + 1.0
+                dist = a2_g / (
+                    3.14159265358979 * denom_d * denom_d + 1e-7
+                )
+                gv = n_dot_v / (n_dot_v * (1.0 - k_g) + k_g + 1e-7)
+                gl = n_dot_l / (n_dot_l * (1.0 - k_g) + k_g + 1e-7)
+                s = dist * gv * gl / (4.0 * n_dot_l * n_dot_v + 1e-7)
+                h_dot_v = jnp.maximum(
+                    (hx * vdx + hy * vdy + hz * vdz) * inv_hl, 0.0
+                )
+                x1 = 1.0 - jnp.clip(h_dot_v, 0.0, 1.0)
+                x2 = x1 * x1
+                x5 = x2 * x2 * x1
+                if has_material:
+                    fr = f0_r + (1.0 - f0_r) * x5
+                    fg = f0_g + (1.0 - f0_g) * x5
+                    fb = f0_b + (1.0 - f0_b) * x5
+                else:
+                    fr = fg = fb = 0.04 + 0.96 * x5
+                dd = (1.0 - metal_g) * n_dot_l * 0.31830988618379
+                sl = s * n_dot_l
+                dead = (n_dot_l <= 0.0) | (n_dot_v <= 0.0)
+                return (
+                    jnp.where(
+                        dead, 0.0, ((1.0 - fr) * dd * base_r + fr * sl) * rad_r
+                    ),
+                    jnp.where(
+                        dead, 0.0, ((1.0 - fg) * dd * base_g + fg * sl) * rad_g
+                    ),
+                    jnp.where(
+                        dead, 0.0, ((1.0 - fb) * dd * base_b + fb * sl) * rad_b
+                    ),
+                )
+
+        else:
+
+            def brdf(ldx, ldy, ldz, rad_r, rad_g, rad_b):
+                n_dot_l = jnp.maximum(ux * ldx + uy * ldy + uz * ldz, 0.0)
+                hx = ldx + vdx
+                hy = ldy + vdy
+                hz = ldz + vdz
+                hl = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+                inv_hl = 1.0 / jnp.maximum(hl, 1e-30)
+                n_dot_h = jnp.maximum((ux * hx + uy * hy + uz * hz) * inv_hl, 0.0)
+                if has_material:
+                    spec_b = jnp.where(
+                        n_dot_h > 0.0,
+                        jnp.exp2(
+                            shininess * (jnp.log2(jnp.maximum(n_dot_h, 1e-38)))
+                        ),
+                        0.0,
+                    )
+                else:
+                    nh2 = n_dot_h * n_dot_h
+                    spec_b = nh2 * nh2 * nh2
+                n_dot_v = jnp.maximum(ux * vdx + uy * vdy + uz * vdz, 0.0)
+                x1 = 1.0 - jnp.clip(n_dot_v, 0.0, 1.0)
+                x2 = x1 * x1
+                x5 = x2 * x2 * x1
+                if has_material:
+                    fr = f0_r + (1.0 - f0_r) * x5
+                    fg = f0_g + (1.0 - f0_g) * x5
+                    fb = f0_b + (1.0 - f0_b) * x5
+                else:
+                    fr = fg = fb = 0.04 + 0.96 * x5
+                sb = spec_b * n_dot_l
+                dead = n_dot_l <= 0.0
+                return (
+                    jnp.where(dead, 0.0, (kd_r * n_dot_l + fr * sb) * rad_r),
+                    jnp.where(dead, 0.0, (kd_g * n_dot_l + fg * sb) * rad_g),
+                    jnp.where(dead, 0.0, (kd_b * n_dot_l + fb * sb) * rad_b),
+                )
 
         # sun_off (static): the caller knows host-side that has_sun == 0, so the
         # whole sun BRDF drops out (bit-safe: its contribution would be
@@ -1359,7 +1429,7 @@ def unpack_frame_u32(rgba_u32) -> jnp.ndarray:
     static_argnames=(
         "width", "height", "sample_mode", "has_blend", "has_material",
         "has_matmap", "interpret", "force_hbm", "full_height", "light_spec",
-        "sun_off", "stage_cut", "shadow_spec",
+        "sun_off", "stage_cut", "shadow_spec", "brdf_ggx",
     ),
 )
 def mega_render(
@@ -1371,6 +1441,7 @@ def mega_render(
     force_hbm: bool = False, full_height: int = None, light_spec: tuple = None,
     sun_off: bool = False, s_near=None, stage_cut: int = 0,
     shadow_rows=None, shadow_spec: tuple = None, ao_img=None,
+    brdf_ggx: bool = False,
 ):
     """One composed opaque frame -> (rgba_u32 (H,W) i32, z_eff (H,W) f32).
 
@@ -1614,7 +1685,7 @@ def mega_render(
         functools.partial(
             _mega_kernel, n_attr, sample_mode, has_blend, has_material,
             has_matmap, hbm_tables, use_cbox, use_tmask, light_spec, sun_off,
-            stage_cut, shadow_spec, has_ao,
+            stage_cut, shadow_spec, has_ao, brdf_ggx,
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -134,6 +134,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "sun_off",
         "shadow_spec",
         "ao_taps",
+        "brdf_ggx",
     ),
 )
 def render_frame(
@@ -171,6 +172,7 @@ def render_frame(
     shadow_params=None,
     shadow_spec: tuple = None,
     ao_taps: tuple = None,
+    brdf_ggx: bool = False,
 ):
     """One full frame on device -> (H, W, 4) uint8.
 
@@ -179,7 +181,10 @@ def render_frame(
     shadows in both the megakernel and the XLA shade path.
     ao_taps: static pixel-offset tuple (ops.ao.tap_offsets) — enables the
     screen-space ambient-occlusion pass, world radius from
-    uniforms["ao_radius"]."""
+    uniforms["ao_radius"].
+    brdf_ggx: shade direct light with the Cook-Torrance GGX chain (the
+    reference's SceneVM pbr_lighting / dormant _shade_brdf) instead of the
+    fast Blinn-Phong model — Rasterizer.set_brdf("ggx")."""
     view = uniforms["view"]
     proj = uniforms["proj"]
 
@@ -258,6 +263,7 @@ def render_frame(
             ),
             shadow_spec=shadow_spec,
             ao_img=ao_img,
+            brdf_ggx=brdf_ggx,
         )
         if not (has_sky or has_opacity or has_d2 or has_brush):
             return unpack_frame_u32(rgba_u32)
@@ -301,6 +307,7 @@ def render_frame(
                 else None
             ),
             ao=ao_img,
+            brdf_ggx=brdf_ggx,
         )
         frame, z_eff = compose_opaque(shaded, wrote, z, background)
 
@@ -370,6 +377,7 @@ def render_frame(
         "sun_off",
         "shadow_spec",
         "ao_taps",
+        "brdf_ggx",
     ),
 )
 def render_frame_arena(
@@ -404,6 +412,7 @@ def render_frame_arena(
     shadow_params=None,
     shadow_spec: tuple = None,
     ao_taps: tuple = None,
+    brdf_ggx: bool = False,
 ):
     """render_frame behind ONE per-frame upload: the dynamic packs, lights
     and uniforms arrive as a single uint32 arena (see ops/arena.py) and are
@@ -421,7 +430,7 @@ def render_frame_arena(
         has_opacity, has_d2, shaders, use_pallas, has_sky, has_fog, sky_pre,
         has_blend, has_brush, has_dyn, d3_dyn, d3_op_dyn, d2_dyn,
         has_material, has_matmap, light_spec, sun_off,
-        shadow_rows, shadow_params, shadow_spec, ao_taps,
+        shadow_rows, shadow_params, shadow_spec, ao_taps, brdf_ggx,
     )
 
 
@@ -544,6 +553,10 @@ class Rasterizer:
         #: feature — the reference has no AA; the TPU has the pixel rate:
         #: map@1080p ssaa=2 renders the same 4K frame the 4K bench does)
         self.supersample = 1
+        #: direct-light shading model: "fast" (Blinn-Phong, the reference
+        #: rasterizer's live path) or "ggx" (Cook-Torrance, the SceneVM
+        #: pbr_lighting / dormant _shade_brdf) — set_brdf()
+        self.brdf = "fast"
 
     @staticmethod
     def setup(projection_matrix_2d, view_matrix, projection_matrix) -> "Rasterizer":
@@ -552,6 +565,23 @@ class Rasterizer:
     def set_supersample(self, n: int) -> "Rasterizer":
         """Render at n x n samples per pixel (box filter). n=1 disables."""
         self.supersample = max(1, int(n))
+        return self
+
+    def set_brdf(self, model: str) -> "Rasterizer":
+        """Select the direct-light shading model for the 3D pass.
+
+        "fast": Blinn-Phong with Schlick Fresnel — the reference
+        rasterizer's live path (rasterizer.rs:1906-1951).
+        "ggx": full Cook-Torrance (GGX NDF, height-correlated Smith G,
+        Schlick Fresnel) — the model the reference's live SceneVM game path
+        shades every pixel with (embedded/shader/3d_shader.wgsl:559-650)
+        and its Rust side keeps dormant (`_shade_brdf`,
+        rasterizer.rs:1954-2009). Applies to both the megakernel and the
+        XLA shade path; ambient/hemisphere terms are shared."""
+        model = str(model).lower()
+        if model not in ("fast", "ggx"):
+            raise ValueError(f"unknown brdf model '{model}' (fast|ggx)")
+        self.brdf = model
         return self
 
     def set_shadows(
@@ -1150,6 +1180,7 @@ class Rasterizer:
             shadow_params=shadow_params_dev,
             shadow_spec=shadow_spec,
             ao_taps=self._ao_taps() if self.render_mode.d3_active else None,
+            brdf_ggx=self.brdf == "ggx",
         )
         #: exact args of the last frame — consumed by profiling's
         #: full-frame phase ablations (numpy leaves are fine there: the

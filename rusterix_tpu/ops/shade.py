@@ -10,6 +10,8 @@ Blinn-Phong BRDF (rasterizer.rs:1874-1951) and the per-type light falloffs
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -193,12 +195,21 @@ def shade_fast_brdf(base, roughness, metallic, emissive, n, v, l, radiance,
     return jnp.where((n_dot_l <= 0.0)[..., None], emissive, lit)
 
 
-def shade_brdf_ggx(base, roughness, metallic, emissive, n, v, l, radiance):
+def shade_brdf_ggx(base, roughness, metallic, emissive, n, v, l, radiance,
+                   spec_ndotl: bool = False):
     """Full GGX/Trowbridge-Reitz BRDF with height-correlated Smith G and
     Schlick Fresnel (reference rasterizer.rs:1954-2009 `_shade_brdf` —
     dormant there behind the fast Blinn-Phong path, available here the same
     way). Shapes follow shade_fast_brdf: trailing 3-axis on vectors,
-    roughness/metallic scalar fields."""
+    roughness/metallic scalar fields.
+
+    The reference ships TWO GGX variants that disagree by one cosine: the
+    dormant Rust `_shade_brdf` leaves the specular term un-weighted, while
+    the live SceneVM compute shader multiplies the WHOLE BRDF by NdotL
+    (`(kD*albedo/PI + specular) * radiance * NdotL`,
+    embedded/shader/3d_shader.wgsl:598,650). `spec_ndotl=True` selects the
+    WGSL/rendering-equation form — the one the pipeline's `brdf="ggx"`
+    mode uses."""
     n = _normalize(n)
     v = _normalize(v)
     l = _normalize(l)
@@ -227,6 +238,8 @@ def shade_brdf_ggx(base, roughness, metallic, emissive, n, v, l, radiance):
     f = f0 + (1.0 - f0) * x5[..., None]
 
     spec = f * ((dist * g) / (4.0 * ndotl * ndotv + 1e-7))[..., None]
+    if spec_ndotl:
+        spec = spec * ndotl[..., None]
     kd = (1.0 - f) * (1.0 - metallic[..., None])
     diffuse = kd * base * (ndotl / jnp.pi)[..., None]
     lit = (diffuse + spec) * radiance + emissive
@@ -358,6 +371,7 @@ def shade_pass(
     has_matmap: bool = False,
     shadow: tuple = None,
     ao=None,
+    brdf_ggx: bool = False,
 ):
     """Shade every pixel from its winning triangle.
 
@@ -374,7 +388,14 @@ def shade_pass(
 
     `ao`: optional (H,W) ambient-occlusion factor (ops.ao.ssao_pass) —
     scales ONLY the ambient terms (WGSL `ambient * ao`,
-    3d_shader.wgsl:746)."""
+    3d_shader.wgsl:746).
+
+    `brdf_ggx`: replace the fast Blinn-Phong direct-light BRDF with the
+    full Cook-Torrance GGX chain the reference's live SceneVM path shades
+    with (`pbr_lighting`, 3d_shader.wgsl:559-650; the dormant Rust
+    `_shade_brdf`, rasterizer.rs:1954-2009). Ambient/hemisphere terms are
+    unchanged — the selection swaps only the sun + per-light BRDF, exactly
+    the scope of the reference's two shading models."""
     assert not has_matmap or has_material, (
         "has_matmap implies has_material (the matmap gather offsets at "
         "n_planes+14.. assume the material columns precede them — same "
@@ -628,12 +649,16 @@ def shade_pass(
     # roughness fixed at 0.5 only when neither per-pixel shaders nor baked
     # per-batch materials are in play
     shin6 = 6 if not (shaders or has_material or has_matmap) else None
+    if brdf_ggx:
+        brdf_fn = functools.partial(shade_brdf_ggx, spec_ndotl=True)
+    else:
+        brdf_fn = functools.partial(shade_fast_brdf, static_shininess=shin6)
     sun_radiance = uniforms["day_factor"] * uniforms.get(
         "sun_color", jnp.ones(3, jnp.float32)
     )
     if sun_factor is not None:
         sun_radiance = sun_radiance[None, None, :] * sun_factor[..., None]
-    sun = shade_fast_brdf(
+    sun = brdf_fn(
         base,
         roughness,
         metallic,
@@ -642,7 +667,6 @@ def shade_pass(
         view_dir,
         _normalize(-uniforms["sun_dir"][None, None, :]),
         sun_radiance,
-        static_shininess=shin6,
     )
     lit = lit + jnp.where(uniforms["has_sun"] > 0.5, sun, 0.0)
     lit = lit * occlusion[..., None]
@@ -657,7 +681,7 @@ def shade_pass(
     if light_factors is not None:
         radiance = radiance * light_factors[..., None]
     ldir = _normalize(lights["position"] - world[..., None, :])
-    contrib = shade_fast_brdf(
+    contrib = brdf_fn(
         base[..., None, :],
         roughness[..., None],
         metallic[..., None],
@@ -666,7 +690,6 @@ def shade_pass(
         view_dir[..., None, :],
         ldir,
         radiance,
-        static_shininess=shin6,
     )
     has_radiance = jnp.any(radiance != 0.0, axis=-1, keepdims=True)
     lit = lit + jnp.sum(jnp.where(has_radiance, contrib, 0.0), axis=-2)

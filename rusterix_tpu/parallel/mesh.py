@@ -60,6 +60,7 @@ def render_frame_sharded(
     has_material: bool = False,
     light_spec: tuple = None,
     sun_off: bool = False,
+    brdf_ggx: bool = False,
 ):
     """Render one frame with triangles+rows sharded over `mesh`.
 
@@ -151,6 +152,7 @@ def render_frame_sharded(
                 width, rows_local, sample_mode, False, has_material,
                 interpret=interpret, full_height=height,
                 light_spec=light_spec, sun_off=sun_off, s_near=s_near,
+                brdf_ggx=brdf_ggx,
             )
             frame = unpack_frame_u32(rgba_u32).astype(jnp.float32) * (1.0 / 255.0)
         else:
@@ -161,6 +163,7 @@ def render_frame_sharded(
                 z, idx, hit, attr, tri_id, d3_full, atlas_r, lights_r,
                 uniforms_r, width, rows_local, sample_mode,
                 y0=y0, full_height=height, has_material=has_material,
+                brdf_ggx=brdf_ggx,
             )
             frame, z_eff = compose_opaque(shaded, wrote, z, background_l)
         if has_d2:
@@ -191,7 +194,7 @@ def render_frame_sharded(
 
 def render_sharded_jit(mesh, width, height, sample_mode, has_ambient,
                        has_lights, has_d2, use_pallas=False,
-                       light_spec=None, sun_off=False):
+                       light_spec=None, sun_off=False, brdf_ggx=False):
     """jitted closure for a fixed config."""
 
     @jax.jit
@@ -200,6 +203,7 @@ def render_sharded_jit(mesh, width, height, sample_mode, has_ambient,
             mesh, d3, d2, lights, atlas, uniforms, background,
             width, height, sample_mode, has_ambient, has_lights, has_d2,
             use_pallas, light_spec=light_spec, sun_off=sun_off,
+            brdf_ggx=brdf_ggx,
         )
 
     return run

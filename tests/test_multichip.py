@@ -151,6 +151,21 @@ def test_sharded_nondivisible_rows_autopad(mesh8):
     np.testing.assert_array_equal(np.asarray(sharded), frame)
 
 
+def test_ggx_sharded_matches_single(mesh8):
+    """brdf="ggx" (Cook-Torrance) flows through the sharded XLA path
+    byte-identically to the single-device render."""
+    width, height = 64, 48
+    rast, scene, assets, packed = _cube_scene(width, height, tris=24)
+    rast.set_brdf("ggx")
+    frame, cache, ld, uni, packed = _single_frame(rast, scene, assets, width, height)
+    sharded = _sharded_frame(
+        mesh8, cache, ld, uni, width, height,
+        sample_mode=0, has_ambient=True, has_lights=True, has_d2=True,
+        brdf_ggx=True,
+    )
+    np.testing.assert_array_equal(sharded, frame)
+
+
 def test_cube_sharded_megakernel_matches_single(mesh8):
     """The megakernel runs per row-shard (global-coordinate y0 offset) and
     matches the single-device megakernel frame."""

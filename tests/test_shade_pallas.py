@@ -30,13 +30,17 @@ LIGHT_SETS = {
 }
 
 
-def _render(lights, use_pallas, sun=True):
+def _render(lights, use_pallas, sun=True, brdf="fast", shader=None):
     batch = (
         Batch3D.from_box(-0.6, -0.6, -0.6, 1.2, 1.2, 1.2)
         .set_source(PixelSource.pixel((200, 150, 90, 255)))
         .with_computed_normals()
     )
+    if shader is not None:
+        batch.set_shader(0)
     scene = Scene.from_static([], [batch]).set_lights([l.compile() for l in lights])
+    if shader is not None:
+        scene.add_shader(shader)
     cam = D3OrbitCamera()
     cam.azimuth = 0.8
     cam.set_parameter_f32("distance", 2.5)
@@ -46,6 +50,7 @@ def _render(lights, use_pallas, sun=True):
         rast.sun_dir = np.array([0.4, -1.0, 0.2], np.float32)
         rast.day_factor = 0.8
     rast.use_pallas = use_pallas
+    rast.set_brdf(brdf)
     return rast.rasterize(scene, W, H, 32, Assets.default()).astype(np.int32)
 
 
@@ -107,6 +112,43 @@ def test_megakernel_matches_xla(which):
     ref = _render(LIGHT_SETS[which], use_pallas=False)
     out = _render(LIGHT_SETS[which], use_pallas=True)
     assert np.abs(ref - out).max() <= 1
+
+
+@pytest.mark.parametrize("which", list(LIGHT_SETS))
+def test_ggx_megakernel_matches_xla(which):
+    """brdf="ggx" (Cook-Torrance, SceneVM pbr_lighting parity) agrees
+    between the megakernel and the XLA shade path to <=1/255."""
+    ref = _render(LIGHT_SETS[which], use_pallas=False, brdf="ggx")
+    out = _render(LIGHT_SETS[which], use_pallas=True, brdf="ggx")
+    assert np.abs(ref - out).max() <= 1
+
+
+def test_ggx_material_megakernel_matches_xla():
+    """GGX with baked per-batch materials (variable roughness/metallic —
+    the has_material kernel branch) still matches across backends."""
+    shader = (
+        "fn shade() { color = vec3(0.6, 0.5, 0.4); roughness = 0.15;"
+        " metallic = 0.8; }"
+    )
+    ref = _render(LIGHT_SETS["mixed"], use_pallas=False, brdf="ggx",
+                  shader=shader)
+    out = _render(LIGHT_SETS["mixed"], use_pallas=True, brdf="ggx",
+                  shader=shader)
+    assert np.abs(ref - out).max() <= 1
+
+
+def test_ggx_differs_from_fast_and_keeps_ambient():
+    """Sanity: the two shading models actually produce different direct
+    light (GGX's energy-conserving diffuse + microfacet specular vs
+    Blinn-Phong), while lights-off frames are identical (the selection
+    swaps ONLY the direct-light BRDF — ambient/hemisphere terms shared)."""
+    fast = _render(LIGHT_SETS["point"], use_pallas=True, brdf="fast")
+    ggx = _render(LIGHT_SETS["point"], use_pallas=True, brdf="ggx")
+    assert np.abs(fast - ggx).max() > 2
+
+    fast_dark = _render([], use_pallas=True, sun=False, brdf="fast")
+    ggx_dark = _render([], use_pallas=True, sun=False, brdf="ggx")
+    assert np.array_equal(fast_dark, ggx_dark)
 
 
 def test_pallas_tail_e2e_u8_parity():
