@@ -70,6 +70,19 @@ class AccumBuffer:
         self._dev = self._dev * (1.0 - t) + jnp.asarray(linear_rgba) * t
         self.frame += 1
 
+    def accumulate_batch(self, linear_batch):
+        """Fold a (n,H,W,4) batch of samples in index order — the exact
+        running-average chain n sequential accumulate() calls produce
+        (bit-identical; the sharded tracer's device-per-sample fan-out
+        lands here, parallel/mesh.py trace_samples_sharded)."""
+        import jax.numpy as jnp
+
+        batch = jnp.asarray(linear_batch)
+        for i in range(batch.shape[0]):
+            t = 1.0 / (self.frame + 1.0)
+            self._dev = self._dev * (1.0 - t) + batch[i] * t
+            self.frame += 1
+
     def to_u8(self) -> np.ndarray:
         """Accurate linear->sRGB (reference buffer.rs:69-76)."""
         x = np.clip(self.pixels, 0.0, 1.0)
@@ -212,8 +225,8 @@ class Tracer:
         n = np.asarray(n, np.float32)
         return i - 2.0 * float(i @ n) * n
 
-    def trace(self, camera, scene, buffer: AccumBuffer, tile_size: int, assets) -> None:
-        """One progressive sample per pixel; accumulates into `buffer`."""
+    def _ensure_cache(self, scene, assets) -> dict:
+        """Device-side packed scene, keyed on (scene uid, revision, assets)."""
         key = (id(scene), scene.revision, id(assets))
         if self._cache_key != key:
             packed, mats, boxes = _pack_tracer_scene(scene, assets)
@@ -233,24 +246,92 @@ class Tracer:
                 },
             }
             self._cache_key = key
+        return self._cache
 
-        c = self._cache
-        lights = dict(c["lights"])
+    def _lights_dev(self, cache) -> dict:
+        lights = dict(cache["lights"])
         lights["flicker_factor"] = np.ones_like(lights["valid"])
-        lights_dev = {k: jnp.asarray(v) for k, v in lights.items()}
+        return {k: jnp.asarray(v) for k, v in lights.items()}
+
+    def _sky_pre(self):
+        """Sky node on the miss terminal -> render_miss_d3 device params."""
+        if self.render_graph is None:
+            return None
+        from ..shapefx import ShapeFXRole
+        from ..shapefx.render import sky_device_params
+
+        for ni in self.render_graph.collect_nodes_from(0, 1):
+            node = self.render_graph.nodes[ni]
+            node.render_setup(self.hour)
+            if node.role == ShapeFXRole.Sky:
+                return sky_device_params(node)
+        return None
+
+    def trace_sharded(self, camera, scene, buffer: AccumBuffer,
+                      tile_size: int, assets, mesh) -> None:
+        """`mesh.size` progressive samples in one call — one full-frame
+        sample per device (the rays/samples axis is embarrassingly
+        parallel; the reference fans its sample loop over rayon tiles the
+        same way, src/tracer/trace.rs:105-190).
+
+        Byte-stable vs the sequential path: device i runs the IDENTICAL
+        XLA program trace() runs with the key frame+i would use, and
+        accumulate_batch folds the gathered samples in index order, so a
+        fresh buffer after trace_sharded == the same buffer after
+        mesh.size trace() calls, bit for bit (tests/test_multichip.py)."""
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import AXIS
+
+        c = self._ensure_cache(scene, assets)
+        lights_dev = self._lights_dev(c)
+        sky_pre = self._sky_pre()
+        pos, forward, right, up = self._camera_basis(camera)
+        n = mesh.devices.size
+        seeds = jnp.asarray(
+            [(buffer.frame + i) * 7919 + 13 for i in range(n)], jnp.uint32
+        )
+
+        hht = jnp.float32(np.tan(np.radians(camera.fov) * 0.5))
+        bounces = self.bounces
+        aabb = self.use_aabb_skip
+        w, h = buffer.width, buffer.height
+
+        def shard_fn(seed, d3, mats, boxes, lights, atlas, sky):
+            linear = _trace_frame(
+                d3, mats, boxes, lights, atlas,
+                jnp.asarray(pos), jnp.asarray(forward),
+                jnp.asarray(right), jnp.asarray(up),
+                hht,
+                jnp.asarray(self.sky_horizon), jnp.asarray(self.sky_zenith),
+                jax.random.PRNGKey(seed[0]),
+                jnp.int32(scene.animation_frame),
+                w, h, bounces, aabb, sky_pre=sky,
+            )
+            return linear[None]
+
+        fn = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(), P(), P(), P(), P(), P()),
+            out_specs=P(AXIS),
+            check_vma=False,
+        )
+        frames = fn(
+            seeds, c["d3"], c["mats"], c["boxes"], lights_dev, c["atlas"],
+            sky_pre,
+        )
+        buffer.accumulate_batch(frames)
+
+    def trace(self, camera, scene, buffer: AccumBuffer, tile_size: int, assets) -> None:
+        """One progressive sample per pixel; accumulates into `buffer`."""
+        c = self._ensure_cache(scene, assets)
+        lights_dev = self._lights_dev(c)
 
         # sky node on the miss terminal -> render_miss_d3 sky for miss rays
-        sky_pre = None
-        if self.render_graph is not None:
-            from ..shapefx import ShapeFXRole
-            from ..shapefx.render import sky_device_params
-
-            for ni in self.render_graph.collect_nodes_from(0, 1):
-                node = self.render_graph.nodes[ni]
-                node.render_setup(self.hour)
-                if node.role == ShapeFXRole.Sky:
-                    sky_pre = sky_device_params(node)
-                    break
+        sky_pre = self._sky_pre()
 
         pos, forward, right, up = self._camera_basis(camera)
         linear = _trace_frame(

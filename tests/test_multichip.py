@@ -166,6 +166,48 @@ def test_ggx_sharded_matches_single(mesh8):
     np.testing.assert_array_equal(sharded, frame)
 
 
+def test_tracer_sharded_byte_stable_vs_sequential(mesh8):
+    """trace_sharded (one full-frame sample per device, rays/samples — the
+    embarrassingly parallel axis, reference trace.rs:105-190) folds its
+    gathered samples in index order: a fresh AccumBuffer after one sharded
+    call must equal 8 sequential trace() calls BIT FOR BIT (same keys,
+    same XLA program per sample)."""
+    from rusterix_tpu import (
+        Assets, Batch3D, D3OrbitCamera, Light, LightType, PixelSource, Scene,
+    )
+    from rusterix_tpu.tracer.tracer import AccumBuffer, Tracer
+
+    scene = Scene.from_static([], [
+        Batch3D.from_box(-0.5, -0.5, -0.5, 1, 1, 1)
+        .set_source(PixelSource.pixel((200, 120, 60, 255)))
+        .with_computed_normals()
+    ]).set_lights(
+        [Light(LightType.Point).with_position([2, 2, 2])
+         .with_intensity(1.2).compile()]
+    )
+    cam = D3OrbitCamera()
+    cam.azimuth = 0.7
+    cam.set_parameter_f32("distance", 3.0)
+    assets = Assets.default()
+    w, h = 64, 48
+
+    tr = Tracer()
+    tr.bounces = 3
+    buf_sh = AccumBuffer(w, h)
+    tr.trace_sharded(cam, scene, buf_sh, 40, assets, mesh8)
+    assert buf_sh.frame == 8
+
+    tr2 = Tracer()
+    tr2.bounces = 3
+    buf_seq = AccumBuffer(w, h)
+    for _ in range(8):
+        tr2.trace(cam, scene, buf_seq, 40, assets)
+
+    np.testing.assert_array_equal(buf_sh.pixels, buf_seq.pixels)
+    # and the image is non-trivial
+    assert buf_sh.pixels[..., :3].max() > 0.05
+
+
 def test_cube_sharded_megakernel_matches_single(mesh8):
     """The megakernel runs per row-shard (global-coordinate y0 offset) and
     matches the single-device megakernel frame."""
