@@ -656,9 +656,31 @@ def _mega_kernel(
             dlen = jnp.sqrt(ndx * ndx + ndy * ndy + ndz * ndz)
             inv_dlen = jnp.where(dlen > 0.02, 1.0 / jnp.maximum(dlen, 1e-30), 0.0)
             use_n = (a_scr[43] > 0.5) & (m_on > 0.5)
-            ux = jnp.where(use_n, ndx * inv_dlen, ux)
-            uy = jnp.where(use_n, ndy * inv_dlen, uy)
-            uz = jnp.where(use_n, ndz * inv_dlen, uz)
+            # bump strength (params[75], RenderSettings bump_strength): the
+            # SceneVM blends the written normal into the geometric one —
+            # N = normalize(mix(N, N_written, bump)), 3d_shader.wgsl:398-404.
+            # bump=1 reproduces the raster path's full replacement; written-
+            # zero normals keep their hemi-only semantics at ANY strength.
+            bump_k = params_ref[75]
+            wx_n, wy_n, wz_n = ndx * inv_dlen, ndy * inv_dlen, ndz * inv_dlen
+            mixed_x = wx_n * bump_k + ux * (1.0 - bump_k)
+            mixed_y = wy_n * bump_k + uy * (1.0 - bump_k)
+            mixed_z = wz_n * bump_k + uz * (1.0 - bump_k)
+            mlen = jnp.sqrt(
+                mixed_x * mixed_x + mixed_y * mixed_y + mixed_z * mixed_z
+            )
+            inv_ml = jnp.where(
+                (inv_dlen > 0.0) & (mlen > 1e-20),
+                1.0 / jnp.maximum(mlen, 1e-30),
+                0.0,
+            )
+            # bump >= 1 takes the EXACT replacement branch (bit-parity with
+            # the bump-free raster path); 0 < bump < 1 takes the mix
+            use_full = use_n & (bump_k >= 1.0)
+            use_mix = use_n & (bump_k > 0.0) & (bump_k < 1.0)
+            ux = jnp.where(use_full, wx_n, jnp.where(use_mix, mixed_x * inv_ml, ux))
+            uy = jnp.where(use_full, wy_n, jnp.where(use_mix, mixed_y * inv_ml, uy))
+            uz = jnp.where(use_full, wz_n, jnp.where(use_mix, mixed_z * inv_ml, uz))
 
         base_r = _srgb_to_linear(tex_r)
         base_g = _srgb_to_linear(tex_g)
@@ -1378,11 +1400,13 @@ def pack_mega_params(uniforms, width: int, height: int, atlas_w,
                      has_fog: bool = False, y0: int = 0,
                      shadow_params=None) -> jnp.ndarray:
     """inv_proj/inv_view/camera/ambient/sun scalars + fog at 48-53, the
-    atlas row width at 54, shadow params at 59-74 -> (80,) SMEM array.
+    atlas row width at 54, shadow params at 59-74, bump strength at 75
+    -> (80,) SMEM array.
 
     shadow_params: the (40,) array from ops.shadow.bake_shadow_pack; its
     first 16 slots (msd, bias, sun camera) copy to params[59:75]."""
     p = jnp.zeros(80, jnp.float32)
+    p = p.at[75].set(uniforms.get("bump_strength", jnp.float32(1.0)))
     if shadow_params is not None:
         p = p.at[59:75].set(jnp.asarray(shadow_params, jnp.float32)[:16])
     p = p.at[0:16].set(uniforms["inv_proj"].reshape(-1))

@@ -135,6 +135,8 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "shadow_spec",
         "ao_taps",
         "brdf_ggx",
+        "refl_samples",
+        "transparency_layers",
     ),
 )
 def render_frame(
@@ -173,6 +175,8 @@ def render_frame(
     shadow_spec: tuple = None,
     ao_taps: tuple = None,
     brdf_ggx: bool = False,
+    refl_samples: int = 0,
+    transparency_layers: int = 1,
 ):
     """One full frame on device -> (H, W, 4) uint8.
 
@@ -265,7 +269,7 @@ def render_frame(
             ao_img=ao_img,
             brdf_ggx=brdf_ggx,
         )
-        if not (has_sky or has_opacity or has_d2 or has_brush):
+        if not (has_sky or has_opacity or has_d2 or has_brush or refl_samples):
             return unpack_frame_u32(rgba_u32)
         # downstream passes blend in f32 over the already-quantized opaque
         # result — exactly the reference's u8 tile-buffer behavior
@@ -311,6 +315,31 @@ def render_frame(
         )
         frame, z_eff = compose_opaque(shaded, wrote, z, background)
 
+    if refl_samples > 0:
+        # GGX reflection rays (the reference's reflection_samples knob,
+        # SceneVM 3d_shader.wgsl:764-826) — deferred wavefront pass over
+        # the covered pixels, composited in linear space on the opaque
+        # layer only (the WGSL adds reflections per opaque layer too; our
+        # opacity pass is unlit and skips them by design)
+        from .reflect import apply_reflections, reflection_pass
+
+        if mega:
+            # the megakernel keeps its winner in-kernel; one XLA visibility
+            # pass over the SAME plane tables rebuilds (z, idx, hit) for
+            # the G-buffer (z-tie flips vs the kernel only rotate the
+            # reflection seed — additive, not a parity surface)
+            z_r, i_r, hit_r = visibility_pass(
+                vis, alive.astype(jnp.float32), width, height
+            )
+        else:
+            z_r, i_r, hit_r = z, idx, hit
+        refl, rmask = reflection_pass(
+            z_r, i_r, hit_r, attr, tri_id, d3, atlas, lights, uniforms,
+            width, height, sample_mode, refl_samples, shaders,
+            has_blend, has_material, has_matmap,
+        )
+        frame = apply_reflections(frame, refl, rmask)
+
     if has_sky:
         from .composite import sky_miss_pass
 
@@ -326,12 +355,30 @@ def render_frame(
             d3_op["pos"], d3_op["uv"], d3_op["nrm"], d3_op["valid"], d3_op["cull"],
             view, proj, width, height,
         )
-        z_o, idx_o, hit_o = visibility_pass(vis_o, alive_o.astype(jnp.float32), width, height)
-        color_o, zeff_o, _ = _shade_opacity(
-            z_o, idx_o, hit_o, attr_o, tri_id_o, d3_op, atlas, uniforms, width, height,
-            sample_mode, shaders,
-        )
-        frame = blend_opacity(frame, z_eff, color_o, zeff_o, preserve_transparency)
+        # depth-peeled transparency: layer k is the k-th nearest transparent
+        # surface (strictly farther than layer k-1 via the raw-invz ceiling),
+        # composited back-to-front over the opaque frame. Layer count is the
+        # SceneVM's max_transparency_bounces (its front-to-back loop,
+        # 3d_shader.wgsl:692-846); 1 == the reference rasterizer's single
+        # opacity buffer (rasterizer.rs:1425, 464-495).
+        alive_of = alive_o.astype(jnp.float32)
+        layers = []
+        ceil_o = None
+        for _layer in range(transparency_layers):
+            z_o, idx_o, hit_o, inv_o = visibility_pass(
+                vis_o, alive_of, width, height, z_ceil=ceil_o,
+                return_invz=True,
+            )
+            color_o, zeff_o, _ = _shade_opacity(
+                z_o, idx_o, hit_o, attr_o, tri_id_o, d3_op, atlas, uniforms,
+                width, height, sample_mode, shaders,
+            )
+            layers.append((color_o, zeff_o))
+            ceil_o = inv_o
+        for color_o, zeff_o in reversed(layers):
+            frame = blend_opacity(
+                frame, z_eff, color_o, zeff_o, preserve_transparency
+            )
 
     if has_d2:
         frame = d2_pass(
@@ -378,6 +425,8 @@ def render_frame(
         "shadow_spec",
         "ao_taps",
         "brdf_ggx",
+        "refl_samples",
+        "transparency_layers",
     ),
 )
 def render_frame_arena(
@@ -413,6 +462,8 @@ def render_frame_arena(
     shadow_spec: tuple = None,
     ao_taps: tuple = None,
     brdf_ggx: bool = False,
+    refl_samples: int = 0,
+    transparency_layers: int = 1,
 ):
     """render_frame behind ONE per-frame upload: the dynamic packs, lights
     and uniforms arrive as a single uint32 arena (see ops/arena.py) and are
@@ -431,6 +482,7 @@ def render_frame_arena(
         has_blend, has_brush, has_dyn, d3_dyn, d3_op_dyn, d2_dyn,
         has_material, has_matmap, light_spec, sun_off,
         shadow_rows, shadow_params, shadow_spec, ao_taps, brdf_ggx,
+        refl_samples, transparency_layers,
     )
 
 
@@ -526,6 +578,16 @@ class Rasterizer:
         self._rs_shadow_steps = 16.0
         self._rs_ao_samples = 4.0
         self._rs_ao_radius = 0.5
+        self._rs_sky_distance = 50.0
+        self._rs_bump_strength = 1.0
+        #: GGX reflection rays per pixel (0 = off; the reference's
+        #: RenderSettings reflection_samples, consumed by its SceneVM loop
+        #: 3d_shader.wgsl:764-826) — set_reflections() / apply_render_settings
+        self.reflection_samples = 0
+        #: depth-peeled transparency layers (1 = the reference rasterizer's
+        #: single opacity buffer; >1 = the SceneVM front-to-back layer loop
+        #: bounded by max_transparency_bounces, 3d_shader.wgsl:692)
+        self.transparency_layers = 1
         #: per-light geometry shadows (None = off) — see set_shadows()
         self.shadow_settings = None
         #: screen-space ambient occlusion (None = off) — see
@@ -582,6 +644,16 @@ class Rasterizer:
         if model not in ("fast", "ggx"):
             raise ValueError(f"unknown brdf model '{model}' (fast|ggx)")
         self.brdf = model
+        return self
+
+    def set_reflections(self, samples: int) -> "Rasterizer":
+        """GGX importance-sampled reflection rays per pixel (0 disables)
+        — the reference's `reflection_samples` RenderSettings knob, whose
+        SceneVM loop traces per-pixel GGX rays and Fresnel-blends the
+        result (embedded/shader/3d_shader.wgsl:764-826). Range-capped by
+        max_sky_distance, exactly like the WGSL (gp6.y). See
+        ops/reflect.py for the deferred wavefront realization."""
+        self.reflection_samples = max(0, int(samples))
         return self
 
     def set_shadows(
@@ -683,6 +755,10 @@ class Rasterizer:
         self._rs_shadow_steps = float(rs.max_shadow_steps)
         self._rs_ao_samples = float(rs.ao_samples)
         self._rs_ao_radius = float(rs.ao_radius)
+        self._rs_sky_distance = float(rs.max_sky_distance)
+        self.reflection_samples = max(0, int(rs.reflection_samples))
+        self.transparency_layers = int(np.clip(rs.max_transparency_bounces, 1, 8))
+        self._rs_bump_strength = float(np.clip(rs.bump_strength, 0.0, 1.0))
         if rs.fog_density > 0.0:
             self._rs_has_fog = True
             self._fog_color = np.asarray(
@@ -781,7 +857,23 @@ class Rasterizer:
             "fog_end": np.float32(self._fog_end),
             "fog_fade": np.float32(self._fog_fade),
             "ao_radius": np.float32(self._ao_radius_eff()),
+            "refl_dist": np.float32(self._rs_sky_distance),
+            "refl_sky": self._refl_sky_linear(),
+            "bump_strength": np.float32(self._rs_bump_strength),
         }
+
+    def _refl_sky_linear(self) -> np.ndarray:
+        """Linear sky color reflected by rays that miss (the WGSL picks
+        gp0 = sky_color when set, else the background, 3d_shader.wgsl:797).
+        Our background fill IS the sky color after apply_render_settings."""
+        from ..utils.color import srgb_to_linear_fast as _s2l
+
+        bg = self.background_color
+        if bg is None:
+            return np.zeros(3, np.float32)
+        return np.asarray(
+            _s2l(np.asarray(bg[:3], np.float32) / 255.0), np.float32
+        )
 
     def _ao_radius_eff(self) -> float:
         if self.ao_settings is None:
@@ -1181,6 +1273,10 @@ class Rasterizer:
             shadow_spec=shadow_spec,
             ao_taps=self._ao_taps() if self.render_mode.d3_active else None,
             brdf_ggx=self.brdf == "ggx",
+            refl_samples=(
+                self.reflection_samples if self.render_mode.d3_active else 0
+            ),
+            transparency_layers=self.transparency_layers,
         )
         #: exact args of the last frame — consumed by profiling's
         #: full-frame phase ablations (numpy leaves are fine there: the

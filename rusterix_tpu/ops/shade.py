@@ -349,7 +349,7 @@ def screen_to_world(px, py, z_ndc, inv_proj, inv_view, width, height):
     return world[..., :3]
 
 
-def shade_pass(
+def gbuffer_pass(
     z,
     idx,
     hit,
@@ -357,7 +357,6 @@ def shade_pass(
     tri_id,
     meta,
     atlas,
-    lights,
     uniforms,
     width: int,
     height: int,
@@ -365,42 +364,16 @@ def shade_pass(
     y0=0,
     full_height: int = None,
     shaders: tuple = (),
-    has_fog: bool = False,
     has_blend: bool = False,
     has_material: bool = False,
     has_matmap: bool = False,
-    shadow: tuple = None,
-    ao=None,
-    brdf_ggx: bool = False,
 ):
-    """Shade every pixel from its winning triangle.
-
-    Returns (rgba_f32 (H,W,4) in 0..1, wrote (H,W) bool).
-    `wrote` is hit AND final alpha == 255 — the reference's opaque-pass write
-    condition (rasterizer.rs:1404-1409). `y0`/`full_height` support
-    row-sharded framebuffers (height = local rows, full_height = screen).
-
-    `shadow`: optional (rows_flat (N,), params (40,), spec) from
-    ops.shadow.bake_shadow_pack — per-light geometry shadows (the
-    reference's SceneVM trace_shadow family, 3d_shader.wgsl:436-517):
-    the sun entry gates the sun BRDF, cube entries gate their light row's
-    radiance.
-
-    `ao`: optional (H,W) ambient-occlusion factor (ops.ao.ssao_pass) —
-    scales ONLY the ambient terms (WGSL `ambient * ao`,
-    3d_shader.wgsl:746).
-
-    `brdf_ggx`: replace the fast Blinn-Phong direct-light BRDF with the
-    full Cook-Torrance GGX chain the reference's live SceneVM path shades
-    with (`pbr_lighting`, 3d_shader.wgsl:559-650; the dormant Rust
-    `_shade_brdf`, rasterizer.rs:1954-2009). Ambient/hemisphere terms are
-    unchanged — the selection swaps only the sun + per-light BRDF, exactly
-    the scope of the reference's two shading models."""
-    assert not has_matmap or has_material, (
-        "has_matmap implies has_material (the matmap gather offsets at "
-        "n_planes+14.. assume the material columns precede them — same "
-        "layout contract as pack_mega_table)"
-    )
+    """Reconstruct the per-pixel G-buffer from the winning triangles:
+    world position, shading normal, linear albedo, roughness/metallic,
+    emissive, opacity (the deferred-attribute half of shade_pass, shared
+    with the reflection pass — ops/reflect.py). Recompute-over-store: the
+    TPU re-derives these from the tiny plane tables instead of carrying a
+    fat G-buffer through HBM."""
     if full_height is None:
         full_height = height
     slot = jnp.maximum(idx, 0)
@@ -548,8 +521,27 @@ def shade_pass(
         n_dir = jnp.where(
             dlen > 0.02, n_dec / jnp.maximum(dlen, 1e-30), 0.0
         )
-        use_n = (m_on & (nm > 0.5))[..., None]
-        normal = jnp.where(use_n, n_dir, normal)
+        # bump strength (RenderSettings bump_strength): blend the written
+        # normal into the geometric one and renormalize — the SceneVM's
+        # N = normalize(mix(N, N_written, bump)), 3d_shader.wgsl:398-404;
+        # bump=1 == the raster path's full replacement (megakernel parity).
+        bump_k = uniforms.get("bump_strength", jnp.float32(1.0))
+        mixed = n_dir * bump_k + normal * (1.0 - bump_k)
+        mlen = jnp.sqrt(jnp.sum(mixed * mixed, axis=-1, keepdims=True))
+        mixed = jnp.where(
+            (dlen > 0.02) & (mlen > 1e-20),
+            mixed / jnp.maximum(mlen, 1e-30),
+            0.0,
+        )
+        # bump >= 1 takes the EXACT replacement branch (megakernel parity /
+        # pre-bump bit-compat); 0 < bump < 1 takes the renormalized mix
+        use_full = (m_on & (nm > 0.5) & (bump_k >= 1.0))[..., None]
+        use_mix = (
+            m_on & (nm > 0.5) & (bump_k > 0.0) & (bump_k < 1.0)
+        )[..., None]
+        normal = jnp.where(
+            use_full, n_dir, jnp.where(use_mix, mixed, normal)
+        )
 
     # per-batch rusteria shaders (rasterizer.rs:1224-1310): each compiled
     # program evaluates over the full frame; results merge where the pixel's
@@ -592,6 +584,92 @@ def shade_pass(
         # re-normalize shader-written normals (rasterizer.rs:1313)
         nlen = jnp.sqrt(jnp.sum(normal * normal, axis=-1, keepdims=True))
         normal = jnp.where(nlen > 0, normal / jnp.maximum(nlen, 1e-30), normal)
+
+    return {
+        "world": world,
+        "view_dir": view_dir,
+        "normal": normal,
+        "base": base,
+        "roughness": roughness,
+        "metallic": metallic,
+        "emissive": emissive,
+        "opacity": opacity,
+        "texel": texel,
+        "fullbright": fullbright,
+        "batch_ambient": batch_ambient,
+    }
+
+
+def shade_pass(
+    z,
+    idx,
+    hit,
+    attr_planes,
+    tri_id,
+    meta,
+    atlas,
+    lights,
+    uniforms,
+    width: int,
+    height: int,
+    sample_mode: int = 0,
+    y0=0,
+    full_height: int = None,
+    shaders: tuple = (),
+    has_fog: bool = False,
+    has_blend: bool = False,
+    has_material: bool = False,
+    has_matmap: bool = False,
+    shadow: tuple = None,
+    ao=None,
+    brdf_ggx: bool = False,
+):
+    """Shade every pixel from its winning triangle.
+
+    Returns (rgba_f32 (H,W,4) in 0..1, wrote (H,W) bool).
+    `wrote` is hit AND final alpha == 255 — the reference's opaque-pass write
+    condition (rasterizer.rs:1404-1409). `y0`/`full_height` support
+    row-sharded framebuffers (height = local rows, full_height = screen).
+
+    `shadow`: optional (rows_flat (N,), params (40,), spec) from
+    ops.shadow.bake_shadow_pack — per-light geometry shadows (the
+    reference's SceneVM trace_shadow family, 3d_shader.wgsl:436-517):
+    the sun entry gates the sun BRDF, cube entries gate their light row's
+    radiance.
+
+    `ao`: optional (H,W) ambient-occlusion factor (ops.ao.ssao_pass) —
+    scales ONLY the ambient terms (WGSL `ambient * ao`,
+    3d_shader.wgsl:746).
+
+    `brdf_ggx`: replace the fast Blinn-Phong direct-light BRDF with the
+    full Cook-Torrance GGX chain the reference's live SceneVM path shades
+    with (`pbr_lighting`, 3d_shader.wgsl:559-650; the dormant Rust
+    `_shade_brdf`, rasterizer.rs:1954-2009). Ambient/hemisphere terms are
+    unchanged — the selection swaps only the sun + per-light BRDF, exactly
+    the scope of the reference's two shading models."""
+    assert not has_matmap or has_material, (
+        "has_matmap implies has_material (the matmap gather offsets at "
+        "n_planes+14.. assume the material columns precede them — same "
+        "layout contract as pack_mega_table)"
+    )
+    if full_height is None:
+        full_height = height
+    g = gbuffer_pass(
+        z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, width,
+        height, sample_mode, y0, full_height, shaders, has_blend,
+        has_material, has_matmap,
+    )
+    world = g["world"]
+    view_dir = g["view_dir"]
+    normal = g["normal"]
+    base = g["base"]
+    roughness = g["roughness"]
+    metallic = g["metallic"]
+    emissive = g["emissive"]
+    opacity = g["opacity"]
+    texel = g["texel"]
+    fullbright = g["fullbright"]
+    batch_ambient = g["batch_ambient"]
 
     # --- lighting (rasterizer.rs:1319-1398) ---
     lit = jnp.zeros_like(base)

@@ -24,8 +24,9 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("width", "height", "chunk"))
-def visibility_pass(vis_planes, alive, width: int, height: int, chunk: int = 8, y0=0):
+@partial(jax.jit, static_argnames=("width", "height", "chunk", "return_invz"))
+def visibility_pass(vis_planes, alive, width: int, height: int, chunk: int = 8, y0=0,
+                    z_ceil=None, return_invz: bool = False):
     """vis_planes (T2, 12), alive (T2,) -> (z (H,W), idx (H,W) int32, hit (H,W)).
 
     z is initialized to 1.0 (reference z_buffer init, rasterizer.rs:287);
@@ -34,7 +35,13 @@ def visibility_pass(vis_planes, alive, width: int, height: int, chunk: int = 8, 
 
     Dead slots carry the impossible edge (0,0,-1) from the setup pass, so
     `alive` only needs to kill padding rows beyond the packed capacity.
-    """
+
+    `z_ceil` (optional, (H,W) in 1/z space): only candidates strictly
+    FARTHER than the bound win (invz < z_ceil) — depth peeling for the
+    multi-layer transparency pass (the SceneVM front-to-back layer loop,
+    3d_shader.wgsl:692-846). Pass the previous layer's raw invz (returned
+    with return_invz=True) so the strict < excludes that exact surface
+    without any epsilon."""
     t2 = vis_planes.shape[0]
     if t2 % chunk != 0:
         pad = chunk - t2 % chunk
@@ -74,10 +81,14 @@ def visibility_pass(vis_planes, alive, width: int, height: int, chunk: int = 8, 
             # min-chain == all-three >= 0 (NaN propagates to a miss either way)
             cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0
             better = cov & (invz > zbest)
+            if z_ceil is not None:
+                better = better & (invz < z_ceil)
             zbest = jnp.where(better, invz, zbest)
             ibest = jnp.where(better, base + c, ibest)
         return (zbest, ibest), None
 
     (best, idx), _ = jax.lax.scan(step, (z0, i0), (planes_c, starts))
     hit = idx >= 0
+    if return_invz:
+        return 1.0 / best, idx, hit, best
     return 1.0 / best, idx, hit

@@ -1,0 +1,229 @@
+"""GGX reflection pass (ops/reflect.py): hash/intersect oracles, the
+mirror-floor golden, range-cap semantics, and RenderSettings plumbing
+(reference embedded/shader/3d_shader.wgsl:764-826 driven by
+render_settings.rs reflection_samples / max_sky_distance)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rusterix_tpu import (
+    Assets,
+    Batch3D,
+    D3OrbitCamera,
+    Light,
+    LightType,
+    PixelSource,
+    Scene,
+)
+from rusterix_tpu.ops.raster import Rasterizer
+
+W, H = 160, 120
+
+
+def _hash33_oracle(p):
+    """Straight transcription of WGSL hash33 (3d_shader.wgsl:35-39) in f32
+    (the WGSL runs f32; fract of f32-vs-f64 products diverges wildly, so
+    the oracle must use the same width — and the impl must match it op for
+    op)."""
+    p = np.asarray(p, np.float32)
+    h = (p * np.array([0.1031, 0.1030, 0.0973], np.float32)).astype(np.float32)
+    h = (h - np.floor(h)).astype(np.float32)
+    d = np.float32(
+        h[0] * np.float32(h[1] + np.float32(33.33))
+        + h[1] * np.float32(h[0] + np.float32(33.33))
+        + h[2] * np.float32(h[2] + np.float32(33.33))
+    )
+    h = (h + d).astype(np.float32)
+    out = ((h[[0, 0, 1]] + h[[1, 0, 0]]) * h[[2, 1, 0]]).astype(np.float32)
+    return out - np.floor(out)
+
+
+def test_hash33_matches_wgsl_oracle():
+    from rusterix_tpu.ops.reflect import _hash33
+
+    pts = np.array(
+        [[0.3, 1.7, 2.9], [5.5, 0.01, 9.4], [12.25, 7.125, 3.5]], np.float32
+    )
+    u1, u2 = _hash33(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2])
+    )
+    for i, p in enumerate(pts):
+        ref = _hash33_oracle(p)
+        assert abs(float(u1[i]) - ref[0]) < 1e-4
+        assert abs(float(u2[i]) - ref[1]) < 1e-4
+        assert 0.0 <= float(u1[i]) < 1.0
+        assert 0.0 <= float(u2[i]) < 1.0
+
+
+def test_intersect_rays_matches_numpy_mt():
+    """Chunked wavefront Möller-Trumbore == brute-force numpy MT on random
+    rays vs random triangles (winner index + distance)."""
+    from rusterix_tpu.ops.reflect import intersect_rays
+
+    rng = np.random.default_rng(7)
+    tcount = 37  # exercises chunk padding (pads to 512)
+    tris = rng.uniform(-2.0, 2.0, (tcount, 3, 3)).astype(np.float32)
+    pos = np.zeros((tcount, 3, 4), np.float32)
+    pos[..., :3] = tris
+    valid = np.ones(tcount, np.float32)
+    valid[5] = 0.0  # dead slot must never win
+
+    p = 64
+    o = rng.uniform(-3.0, 3.0, (p, 3)).astype(np.float32)
+    d = rng.normal(size=(p, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    t, tri = intersect_rays(
+        jnp.asarray(pos), jnp.asarray(valid),
+        jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2]),
+        jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]),
+        jnp.float32(100.0),
+    )
+    t = np.asarray(t)
+    tri = np.asarray(tri)
+
+    for ri in range(p):
+        best_t, best_i = np.inf, -1
+        for ti in range(tcount):
+            if valid[ti] == 0.0:
+                continue
+            a, b, c = tris[ti]
+            e1, e2 = b - a, c - a
+            h = np.cross(d[ri], e2)
+            det = float(e1 @ h)
+            if abs(det) < 1e-6:
+                continue
+            f = 1.0 / det
+            sv = o[ri] - a
+            u = f * float(sv @ h)
+            if u < 0.0 or u > 1.0:
+                continue
+            q = np.cross(sv, e1)
+            v = f * float(d[ri] @ q)
+            if v < 0.0 or u + v > 1.0:
+                continue
+            tt = f * float(e2 @ q)
+            if tt > 1e-4 and tt < best_t:
+                best_t, best_i = tt, ti
+        assert tri[ri] == best_i, f"ray {ri}: {tri[ri]} vs {best_i}"
+        if best_i >= 0:
+            assert abs(t[ri] - best_t) < 1e-3
+
+
+def _mirror_scene(sky_dist=None):
+    floor = (
+        Batch3D.from_box(-3, -1.3, -3, 6, 0.2, 6)
+        .set_source(PixelSource.pixel((40, 40, 50, 255)))
+        .with_computed_normals()
+        .set_shader(0)
+    )
+    box = (
+        Batch3D.from_box(-0.5, -0.5, -0.5, 1.0, 1.0, 1.0)
+        .set_source(PixelSource.pixel((250, 40, 40, 255)))
+        .with_computed_normals()
+    )
+    scene = Scene.from_static([], [floor, box])
+    scene.add_shader(
+        "fn shade() { color = vec3(0.3, 0.3, 0.35); roughness = 0.08;"
+        " metallic = 0.95; }"
+    )
+    scene.set_lights(
+        [Light(LightType.Point).with_position([2, 2, 2])
+         .with_intensity(1.5).compile()]
+    )
+    cam = D3OrbitCamera()
+    cam.azimuth = 0.8
+    cam.set_parameter_f32("distance", 4.0)
+    rast = Rasterizer.setup(None, cam.view_matrix(), cam.projection_matrix(W, H))
+    rast.ambient((0.25, 0.3, 0.35, 1.0))
+    rast.sun_dir = np.array([0.4, -1.0, 0.2], np.float32)
+    rast.day_factor = 0.6
+    rast.background((90, 120, 160, 255))
+    rast.set_brdf("ggx")
+    if sky_dist is not None:
+        rast._rs_sky_distance = float(sky_dist)
+    return rast, scene
+
+
+def _frame(rast, scene, samples):
+    rast.set_reflections(samples)
+    return rast.rasterize(scene, W, H, 40, Assets.default()).astype(np.int32)
+
+
+def test_mirror_floor_golden():
+    """A near-mirror metallic floor must (a) pick up the red cube's
+    mirrored image below it and (b) tint toward the sky elsewhere —
+    and reflections must not touch background pixels."""
+    rast, scene = _mirror_scene()
+    off = _frame(rast, scene, 0)
+    on = _frame(rast, scene, 2)
+
+    # background (z-miss) pixels untouched
+    sky_px = off[0, 0]
+    assert np.array_equal(on[0, 0], sky_px)
+
+    # mirrored cube: directly under the screen cube there must be a region
+    # whose red rises well above its green (the cube reflection), on
+    gain_r = on[..., 0] - off[..., 0]
+    gain_g = on[..., 1] - off[..., 1]
+    lower = slice(int(H * 0.55), H)
+    red_excess = (gain_r[lower] - gain_g[lower])
+    assert red_excess.max() > 20, "no red cube reflection on the floor"
+
+    # sky tint: floor pixels away from the cube gain blue
+    gain_b = on[..., 2] - off[..., 2]
+    assert (gain_b[lower] > 10).mean() > 0.3, "no sky reflection on floor"
+
+
+def test_reflections_match_between_backends():
+    frames = []
+    for use in (False, True):
+        rast, scene = _mirror_scene()
+        rast.use_pallas = use
+        frames.append(_frame(rast, scene, 2))
+    d = np.abs(frames[0] - frames[1])
+    # primaries may z-flip on coplanar edges; the reflection term itself is
+    # identical (same G-buffer source) — compare loosely
+    assert (d > 4).mean() < 0.01
+
+
+def test_max_sky_distance_caps_reflection_range():
+    """Shrinking max_sky_distance below the cube distance removes the
+    mirrored cube (rays over-range -> sky), exactly the WGSL's gp6.y cap
+    (3d_shader.wgsl:772)."""
+    lower = slice(int(H * 0.55), H)
+
+    def red_gain(sky_dist):
+        rast, scene = _mirror_scene(sky_dist=sky_dist)
+        off = _frame(rast, scene, 0)
+        on = _frame(rast, scene, 2)
+        gain_r = on[..., 0] - off[..., 0]
+        gain_g = on[..., 1] - off[..., 1]
+        return (gain_r[lower] - gain_g[lower]).max()
+
+    assert red_gain(None) > red_gain(0.05) + 10, (
+        "range cap did not remove the cube reflection"
+    )
+
+
+def test_render_settings_drive_reflections():
+    """reflection_samples / max_sky_distance flow from RenderSettings to
+    the renderer (the previously-dead keys are now live)."""
+    from rusterix_tpu.models.render_settings import RenderSettings
+
+    rs = RenderSettings()
+    rs.reflection_samples = 2.0
+    rs.max_sky_distance = 123.0
+    rast, scene = _mirror_scene()
+    rast.apply_render_settings(rs)
+    assert rast.reflection_samples == 2
+    assert rast._rs_sky_distance == 123.0
+    # and the frame actually changes vs samples=0
+    base_rast, base_scene = _mirror_scene()
+    base_rast.apply_render_settings(RenderSettings())
+    assert base_rast.reflection_samples == 0
+    off = base_rast.rasterize(base_scene, W, H, 40, Assets.default())
+    on = rast.rasterize(scene, W, H, 40, Assets.default())
+    assert np.abs(on.astype(int) - off.astype(int)).max() > 10
