@@ -528,6 +528,8 @@ def measure_chained(rast, scene, assets, width, height, n=400, ssaa=1):
                 ao_taps=ao_taps,
                 brdf_ggx=rast.brdf == "ggx",
                 refl_samples=rast.reflection_samples,
+                refl_ranges=rast._refl_live_ranges(packed, None),
+                refl_scale=rast.reflection_scale,
             )
             if ssaa > 1:
                 from rusterix_tpu.ops.raster import _ssaa_downsample
@@ -645,10 +647,13 @@ def main():
 
     if os.environ.get("RUSTERIX_TPU_BENCH_REFL") != "0":
         try:
-            # n=25: at ~200 ms/frame the 25 ms fixed dispatch cost is <0.5%
+            # n=50: at ~100 ms/frame the 25 ms fixed dispatch cost is <0.5%
             rast, scene, assets = build_map_refl_scene(1920, 1080)
-            dtR = measure_chained(rast, scene, assets, 1920, 1080, n=25)
+            dtR = measure_chained(rast, scene, assets, 1920, 1080, n=50)
             results["map_1920x1080_ggx_refl1_fps"] = round(1.0 / dtR, 1)
+            rast.set_reflections(1, scale=2)
+            dtR2 = measure_chained(rast, scene, assets, 1920, 1080, n=50)
+            results["map_1920x1080_ggx_refl1_half_fps"] = round(1.0 / dtR2, 1)
         except Exception as exc:  # additive metric; never sink the headline
             import sys as _s
 

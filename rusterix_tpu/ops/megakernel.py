@@ -1287,7 +1287,7 @@ def _tri_near_bound(vis_planes, bbox, alive, width, y0g, rows_local):
 
 
 def morton_ftb_sort(vis_planes, bbox, alive, table, width: int, height: int,
-                    y0g=0.0, rows_local: int = None):
+                    y0g=0.0, rows_local: int = None, return_perm: bool = False):
     """Morton + front-to-back super ordering in ONE fused row gather.
 
     Composes the two permutations the mega path needs — the Morton curve
@@ -1337,13 +1337,19 @@ def morton_ftb_sort(vis_planes, bbox, alive, table, width: int, height: int,
     combined = jnp.concatenate(
         [vis_planes, bbox, alive[:, None], table], axis=1
     )[perm]
-    return (
+    out = (
         combined[:, :nv],
         combined[:, nv : nv + 4],
         combined[:, nv + 4],
         combined[:, nv + 5 :],
         s_near,
     )
+    if return_perm:
+        # sorted position -> ORIGINAL candidate slot: lets consumers of the
+        # sorted visibility kernel (AO depth, the reflection G-buffer) map
+        # winner indices back into tri_id/attr space with one tiny gather
+        return out + (perm,)
+    return out
 
 
 def light_spec_from(lights) -> tuple:

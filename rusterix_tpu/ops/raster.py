@@ -136,6 +136,8 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "ao_taps",
         "brdf_ggx",
         "refl_samples",
+        "refl_ranges",
+        "refl_scale",
         "transparency_layers",
     ),
 )
@@ -176,6 +178,8 @@ def render_frame(
     ao_taps: tuple = None,
     brdf_ggx: bool = False,
     refl_samples: int = 0,
+    refl_ranges: tuple = None,
+    refl_scale: int = 1,
     transparency_layers: int = 1,
 ):
     """One full frame on device -> (H, W, 4) uint8.
@@ -228,22 +232,31 @@ def render_frame(
             attr, tri_id, d3, atlas, uniforms["anim_frame"], has_blend,
             has_material, has_matmap,
         )
-        vis_s, bbox_s, alive_s, table_s, s_near = morton_ftb_sort(
+        vis_s, bbox_s, alive_s, table_s, s_near, sort_perm = morton_ftb_sort(
             vis, bbox, alive.astype(jnp.float32), table, width, height,
+            return_perm=True,
         )
         ao_img = None
-        if ao_taps:
-            # AO needs the depth image BEFORE ambient shading: one extra
-            # visibility-only kernel pass (~0.35ms @1080p), then the pure-
-            # shift SSAO, feeding the megakernel a per-tile (H,W) factor
-            from .ao import ssao_pass
+        z_pre = idx_pre = hit_pre = None
+        if ao_taps or refl_samples:
+            # AO and the reflection G-buffer both need (z, idx, hit)
+            # BEFORE shading: ONE extra visibility-only kernel pass
+            # (~0.35ms @1080p; the XLA visibility scan costs 46ms at the
+            # same size). Winner indices map back to original candidate
+            # slots through the sort permutation.
             from .visibility_pallas import visibility_pass_pallas
 
-            z_ao, _i_ao, hit_ao = visibility_pass_pallas(
+            z_pre, i_s, hit_pre = visibility_pass_pallas(
                 vis_s, alive_s, bbox_s, width, height, interpret=interpret
             )
+            idx_pre = jnp.where(
+                hit_pre, take_iso(sort_perm, jnp.maximum(i_s, 0)), -1
+            )
+        if ao_taps:
+            from .ao import ssao_pass
+
             ao_img = ssao_pass(
-                z_ao, hit_ao, proj[2, 2], proj[2, 3],
+                z_pre, hit_pre, proj[2, 2], proj[2, 3],
                 uniforms["ao_radius"], 2.0 / (proj[1, 1] * height), ao_taps,
             )
         rgba_u32, z_eff = mega_render(
@@ -321,22 +334,20 @@ def render_frame(
         # the covered pixels, composited in linear space on the opaque
         # layer only (the WGSL adds reflections per opaque layer too; our
         # opacity pass is unlit and skips them by design)
-        from .reflect import apply_reflections, reflection_pass
+        from .reflect import apply_reflections, reflection_pass_scaled
 
         if mega:
-            # the megakernel keeps its winner in-kernel; one XLA visibility
-            # pass over the SAME plane tables rebuilds (z, idx, hit) for
-            # the G-buffer (z-tie flips vs the kernel only rotate the
-            # reflection seed — additive, not a parity surface)
-            z_r, i_r, hit_r = visibility_pass(
-                vis, alive.astype(jnp.float32), width, height
-            )
+            # the megakernel keeps its winner in-kernel; the pre-pass
+            # Pallas visibility (shared with AO) rebuilt (z, idx, hit)
+            # and mapped the winners back through the sort permutation
+            z_r, i_r, hit_r = z_pre, idx_pre, hit_pre
         else:
             z_r, i_r, hit_r = z, idx, hit
-        refl, rmask = reflection_pass(
+        refl, rmask = reflection_pass_scaled(
             z_r, i_r, hit_r, attr, tri_id, d3, atlas, lights, uniforms,
             width, height, sample_mode, refl_samples, shaders,
             has_blend, has_material, has_matmap,
+            live_ranges=refl_ranges, scale=refl_scale,
         )
         frame = apply_reflections(frame, refl, rmask)
 
@@ -426,6 +437,8 @@ def render_frame(
         "ao_taps",
         "brdf_ggx",
         "refl_samples",
+        "refl_ranges",
+        "refl_scale",
         "transparency_layers",
     ),
 )
@@ -463,6 +476,8 @@ def render_frame_arena(
     ao_taps: tuple = None,
     brdf_ggx: bool = False,
     refl_samples: int = 0,
+    refl_ranges: tuple = None,
+    refl_scale: int = 1,
     transparency_layers: int = 1,
 ):
     """render_frame behind ONE per-frame upload: the dynamic packs, lights
@@ -482,7 +497,7 @@ def render_frame_arena(
         has_blend, has_brush, has_dyn, d3_dyn, d3_op_dyn, d2_dyn,
         has_material, has_matmap, light_spec, sun_off,
         shadow_rows, shadow_params, shadow_spec, ao_taps, brdf_ggx,
-        refl_samples, transparency_layers,
+        refl_samples, refl_ranges, refl_scale, transparency_layers,
     )
 
 
@@ -584,6 +599,10 @@ class Rasterizer:
         #: RenderSettings reflection_samples, consumed by its SceneVM loop
         #: 3d_shader.wgsl:764-826) — set_reflections() / apply_render_settings
         self.reflection_samples = 0
+        #: reflection resolution divisor (1 = reference-exact full res;
+        #: 2 = quarter the rays + bilinear upsample — rough-lobe
+        #: reflections are low-frequency) — set_reflections(scale=...)
+        self.reflection_scale = 1
         #: depth-peeled transparency layers (1 = the reference rasterizer's
         #: single opacity buffer; >1 = the SceneVM front-to-back layer loop
         #: bounded by max_transparency_bounces, 3d_shader.wgsl:692)
@@ -646,14 +665,18 @@ class Rasterizer:
         self.brdf = model
         return self
 
-    def set_reflections(self, samples: int) -> "Rasterizer":
+    def set_reflections(self, samples: int, scale: int = None) -> "Rasterizer":
         """GGX importance-sampled reflection rays per pixel (0 disables)
         — the reference's `reflection_samples` RenderSettings knob, whose
         SceneVM loop traces per-pixel GGX rays and Fresnel-blends the
         result (embedded/shader/3d_shader.wgsl:764-826). Range-capped by
         max_sky_distance, exactly like the WGSL (gp6.y). See
-        ops/reflect.py for the deferred wavefront realization."""
+        ops/reflect.py for the deferred wavefront realization. `scale`
+        (beyond-reference knob): render reflections at 1/scale resolution
+        and upsample — the ray count is the cost floor."""
         self.reflection_samples = max(0, int(samples))
+        if scale is not None:
+            self.reflection_scale = max(1, int(scale))
         return self
 
     def set_shadows(
@@ -861,6 +884,38 @@ class Rasterizer:
             "refl_sky": self._refl_sky_linear(),
             "bump_strength": np.float32(self._rs_bump_strength),
         }
+
+    def _refl_live_ranges(self, packed, d3_dyn) -> tuple:
+        """Static (start, end) live-slot ranges in the CONCATENATED d3
+        space, rounded up to the reflect chunk size — lets the reflection
+        intersect drop the pack's dead-padding chunks from its scan
+        statically (ops/reflect.py intersect_rays live_ranges). Rounding
+        keeps the tuple (a jit static) stable while per-frame dynamic
+        counts wobble within a chunk. Falls back to None (scan everything)
+        if a pack ever violates the live-slots-are-a-prefix invariant."""
+        if self.reflection_samples <= 0:
+            return None
+        from .reflect import REFLECT_CHUNK as _RC
+
+        ranges = []
+        v = np.asarray(packed.d3.valid)
+        n_static = int((v > 0.5).sum())
+        if n_static and not (v[:n_static] > 0.5).all():
+            return None
+        cap_static = v.shape[0]
+        if n_static:
+            ranges.append((0, min(cap_static, -(-n_static // _RC) * _RC)))
+        if d3_dyn is not None:
+            vd = np.asarray(d3_dyn["valid"])
+            n_dyn = int((vd > 0.5).sum())
+            if n_dyn and not (vd[:n_dyn] > 0.5).all():
+                return None
+            if n_dyn:
+                end = cap_static + min(
+                    vd.shape[0], -(-n_dyn // _RC) * _RC
+                )
+                ranges.append((cap_static, end))
+        return tuple(ranges) if ranges else None
 
     def _refl_sky_linear(self) -> np.ndarray:
         """Linear sky color reflected by rays that miss (the WGSL picks
@@ -1276,6 +1331,8 @@ class Rasterizer:
             refl_samples=(
                 self.reflection_samples if self.render_mode.d3_active else 0
             ),
+            refl_ranges=self._refl_live_ranges(packed, d3_dyn),
+            refl_scale=self.reflection_scale,
             transparency_layers=self.transparency_layers,
         )
         #: exact args of the last frame — consumed by profiling's

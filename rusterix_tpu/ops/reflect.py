@@ -38,13 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.color import srgb_to_linear_fast
-from .shade import (
-    _normalize,
-    light_radiance,
-    resolve_texel,
-    shade_brdf_ggx,
-    take_iso,
-)
+from .shade import _normalize, resolve_texel, take_iso
 
 #: triangles per Möller-Trumbore chunk (matches tracer.TRACER_CHUNK scale)
 REFLECT_CHUNK = 512
@@ -70,14 +64,21 @@ def _hash33(px, py, pz):
     return o1 - jnp.floor(o1), o2 - jnp.floor(o2)
 
 
-def intersect_rays(pos, valid, ox, oy, oz, dx, dy, dz, t_max):
+def intersect_rays(pos, valid, ox, oy, oz, dx, dy, dz, t_max,
+                   live_ranges: tuple = None):
     """Möller-Trumbore of (P,) rays against all scene triangles.
 
     pos: (T,3,4) world-space vertices (the raster d3 pack); valid: (T,).
     Chunked lax.scan carrying only (best_t, best_i); per-chunk AABBs are
     computed on the fly and slab-gate whole chunks wavefront-style
     (tracer/tracer.py intersect_all — the TPU analogue of a 2-level BVH).
-    Returns (t, tri_index) with tri_index -1 for misses/over-range."""
+    Returns (t, tri_index) with tri_index -1 for misses/over-range.
+
+    `live_ranges` (static (start, end) tuples in slot space): chunks fully
+    outside every range are dropped from the scan STATICALLY — the pack's
+    power-of-two padding is ~40% dead slots on typical scenes, and the
+    wavefront AABB gate can't skip them for scattered (rough-surface GGX)
+    rays where every chunk has some entering ray."""
     t_ax, t_ay, t_az = pos[:, 0, 0], pos[:, 0, 1], pos[:, 0, 2]
     t_e1x = pos[:, 1, 0] - t_ax
     t_e1y = pos[:, 1, 1] - t_ay
@@ -186,9 +187,19 @@ def intersect_rays(pos, valid, ox, oy, oz, dx, dy, dz, t_max):
             None,
         )
 
+    if live_ranges:
+        chunk_ids = [
+            ci for ci in range(nchunks)
+            if any(ci * chunk < e and (ci + 1) * chunk > s0
+                   for (s0, e) in live_ranges)
+        ]
+    else:
+        chunk_ids = list(range(nchunks))
     p = ox.shape[0]
     init = (jnp.full((p,), jnp.inf), jnp.full((p,), -1, jnp.int32))
-    (bt, bi), _ = jax.lax.scan(step, init, jnp.arange(nchunks, dtype=jnp.int32))
+    (bt, bi), _ = jax.lax.scan(
+        step, init, jnp.asarray(chunk_ids, dtype=jnp.int32)
+    )
     return bt, bi
 
 
@@ -294,57 +305,168 @@ def _shade_reflection_hits(
     )
     albedo = srgb_to_linear_fast(texel[..., :3])
 
-    world = jnp.stack([ox + dx * t, oy + dy * t, oz + dz * t], axis=-1)
-    normal = jnp.stack([nx, ny, nz], axis=-1)
-    vdir = jnp.stack([-dx, -dy, -dz], axis=-1)
+    wxh = ox + dx * t
+    wyh = oy + dy * t
+    wzh = oz + dz * t
+    vhx, vhy, vhz = -dx, -dy, -dz
 
-    rough = jnp.clip(g[..., 33], 0.0, 1.0)
+    rough = jnp.clip(g[..., 33], 0.045, 1.0)
     metal = jnp.clip(g[..., 34], 0.0, 1.0)
+    alb_r, alb_g, alb_b = albedo[..., 0], albedo[..., 1], albedo[..., 2]
 
-    # sun (same radiance chain as shade_pass)
-    sun_radiance = uniforms["day_factor"] * uniforms.get(
-        "sun_color", jnp.ones(3, jnp.float32)
-    )
-    lit = shade_brdf_ggx(
-        albedo, rough, metal, jnp.zeros_like(albedo), normal, vdir,
-        _normalize(-uniforms["sun_dir"])[None, None, :] * jnp.ones_like(world),
-        sun_radiance, spec_ndotl=True,
-    )
-    lit = jnp.where(uniforms["has_sun"] > 0.5, lit, 0.0)
+    # Cook-Torrance at the hit, COMPONENT form with a static unroll over
+    # the padded light rows: the (H,W,L,3) broadcast chain materializes
+    # ~100 MB intermediates per op at 1080p and measured 33 ms for this
+    # stage alone; the unrolled component chain is pure fused elementwise
+    f0_r = 0.04 + (alb_r - 0.04) * metal
+    f0_g = 0.04 + (alb_g - 0.04) * metal
+    f0_b = 0.04 + (alb_b - 0.04) * metal
+    a_h = rough * rough
+    a2_h = a_h * a_h
+    k_h = (rough + 1.0) * (rough + 1.0) * 0.125
+    inv_pi = 0.31830988618379
+    n_dot_v = jnp.maximum(nx * vhx + ny * vhy + nz * vhz, 0.0)
+    gv = n_dot_v / (n_dot_v * (1.0 - k_h) + k_h + 1e-7)
 
-    # point/spot/area lights
-    radiance = light_radiance(lights, world, normal)  # (H,W,L,3)
-    ldir = _normalize(lights["position"] - world[..., None, :])
-    contrib = shade_brdf_ggx(
-        albedo[..., None, :], rough[..., None], metal[..., None],
-        jnp.zeros_like(albedo[..., None, :]), normal[..., None, :],
-        vdir[..., None, :], ldir, radiance, spec_ndotl=True,
-    )
-    has_rad = jnp.any(radiance != 0.0, axis=-1, keepdims=True)
-    lit = lit + jnp.sum(jnp.where(has_rad, contrib, 0.0), axis=-2)
+    def ggx(ldx, ldy, ldz, rad_r, rad_g, rad_b):
+        # same chain as the megakernel brdf_ggx closure (pbr_lighting,
+        # 3d_shader.wgsl:585-650), per-pixel roughness/metallic
+        n_dot_l = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+        hx = ldx + vhx
+        hy = ldy + vhy
+        hz = ldz + vhz
+        hl = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+        inv_hl = 1.0 / jnp.maximum(hl, 1e-30)
+        n_dot_h = jnp.maximum((nx * hx + ny * hy + nz * hz) * inv_hl, 0.0)
+        denom_d = n_dot_h * n_dot_h * (a2_h - 1.0) + 1.0
+        dist = a2_h / (3.14159265358979 * denom_d * denom_d + 1e-7)
+        gl = n_dot_l / (n_dot_l * (1.0 - k_h) + k_h + 1e-7)
+        spec = dist * gv * gl / (4.0 * n_dot_l * n_dot_v + 1e-7)
+        h_dot_v = jnp.maximum((hx * vhx + hy * vhy + hz * vhz) * inv_hl, 0.0)
+        x1 = 1.0 - jnp.clip(h_dot_v, 0.0, 1.0)
+        x2 = x1 * x1
+        x5 = x2 * x2 * x1
+        fr = f0_r + (1.0 - f0_r) * x5
+        fg = f0_g + (1.0 - f0_g) * x5
+        fb = f0_b + (1.0 - f0_b) * x5
+        dd = (1.0 - metal) * n_dot_l * inv_pi
+        sl = spec * n_dot_l
+        dead = (n_dot_l <= 0.0) | (n_dot_v <= 0.0)
+        return (
+            jnp.where(dead, 0.0, ((1.0 - fr) * dd * alb_r + fr * sl) * rad_r),
+            jnp.where(dead, 0.0, ((1.0 - fg) * dd * alb_g + fg * sl) * rad_g),
+            jnp.where(dead, 0.0, ((1.0 - fb) * dd * alb_b + fb * sl) * rad_b),
+        )
+
+    # sun
+    sun_c = uniforms.get("sun_color", jnp.ones(3, jnp.float32))
+    day = uniforms["day_factor"] * uniforms["has_sun"]
+    sd = _normalize(-uniforms["sun_dir"])
+    sr, sg, sb = ggx(sd[0], sd[1], sd[2], day * sun_c[0], day * sun_c[1],
+                     day * sun_c[2])
+    lit_r, lit_g, lit_b = sr, sg, sb
+
+    # light rows (light_radiance semantics, component form — the lambert
+    # factor rides the radiance exactly like radiance_at, light.rs:504-533)
+    n_rows = lights["valid"].shape[0]
+    for i in range(n_rows):
+        lt = lights["type"][i]
+        start = lights["start"][i]
+        end = lights["end"][i]
+        inten_raw = lights["intensity"][i]
+        inten = inten_raw * lights["flicker_factor"][i]
+        tpx = wxh - lights["position"][i, 0]
+        tpy = wyh - lights["position"][i, 1]
+        tpz = wzh - lights["position"][i, 2]
+        dist = jnp.sqrt(tpx * tpx + tpy * tpy + tpz * tpz)
+        in_range = dist < end
+        st = jnp.clip((dist - end) / (start - end), 0.0, 1.0)
+        smooth_att = jnp.where(dist <= start, 1.0, st * st * (3.0 - 2.0 * st))
+        point_c = inten * smooth_att
+        ambient_c = inten
+        lin_att = jnp.where(
+            dist <= start,
+            1.0,
+            1.0 - (dist - start) / jnp.maximum(end - start, 1e-20),
+        )
+        inv_dist = 1.0 / jnp.maximum(dist, 1e-20)
+        dpx, dpy, dpz = tpx * inv_dist, tpy * inv_dist, tpz * inv_dist
+        cosang = jnp.clip(
+            lights["direction"][i, 0] * dpx
+            + lights["direction"][i, 1] * dpy
+            + lights["direction"][i, 2] * dpz,
+            -1.0, 1.0,
+        )
+        spot_ok = jnp.arccos(cosang) <= lights["cone_angle"][i]
+        spot_c = jnp.where(spot_ok, inten * lin_att, 0.0)
+        area = lights["width"][i] * lights["height"][i]
+        angle_att = jnp.maximum(
+            lights["normal"][i, 0] * dpx
+            + lights["normal"][i, 1] * dpy
+            + lights["normal"][i, 2] * dpz,
+            0.0,
+        )
+        area_main = angle_att * smooth_att * area * inten_raw
+        area_linedef = smooth_att * area * inten_raw
+        area_c = jnp.where(
+            lights["from_linedef"][i] > 0.5, area_linedef, area_main
+        )
+        area_c = jnp.where(dist < 0.1, 1.0, area_c)
+        day_c = angle_att * smooth_att * inten_raw
+        is_amb = (lt == 1) | (lt == 2)
+        scale = jnp.where(
+            lt == 0, point_c,
+            jnp.where(
+                is_amb, ambient_c,
+                jnp.where(lt == 3, spot_c, jnp.where(lt == 4, area_c, day_c)),
+            ),
+        )
+        valid = (lights["valid"][i] > 0.5) & in_range
+        valid = jnp.where(is_amb, lights["valid"][i] > 0.5, valid)
+        valid = valid & jnp.where(lt == 3, spot_ok, True)
+        lambert = jnp.maximum(-(nx * dpx + ny * dpy + nz * dpz), 0.0)
+        needs_lambert = ~(is_amb | (lt == 5))
+        sc = scale * jnp.where(needs_lambert, lambert, 1.0)
+        sc = jnp.where(valid, sc, 0.0)
+        cr, cg, cb = ggx(
+            -dpx, -dpy, -dpz,
+            lights["color"][i, 0] * sc,
+            lights["color"][i, 1] * sc,
+            lights["color"][i, 2] * sc,
+        )
+        lit_r = lit_r + cr
+        lit_g = lit_g + cg
+        lit_b = lit_b + cb
 
     # uniform ambient on the hit (WGSL refl_ambient; the raster's ambient
     # uniform already carries ambient_color * strength)
     amb = uniforms["ambient"][:3] * uniforms["has_ambient"]
-    lit = lit + amb[None, None, :] * albedo
+    lit_r = lit_r + amb[0] * alb_r
+    lit_g = lit_g + amb[1] * alb_g
+    lit_b = lit_b + amb[2] * alb_b
 
     # fullbright hits: raw texel, the reference's emissive-class shortcut
     fullbright = g[..., 32] < 0.5
-    lit = jnp.where(fullbright[..., None], albedo, lit)
+    lit_r = jnp.where(fullbright, alb_r, lit_r)
+    lit_g = jnp.where(fullbright, alb_g, lit_g)
+    lit_b = jnp.where(fullbright, alb_b, lit_b)
 
+    lit = jnp.stack([lit_r, lit_g, lit_b], axis=-1)
     return jnp.where(hit[..., None], lit, sky_rgb[None, None, :])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "sample_mode", "samples",
-                     "has_blend", "has_material", "has_matmap", "shaders"),
+                     "has_blend", "has_material", "has_matmap", "shaders",
+                     "live_ranges"),
 )
 def reflection_pass(
     z, idx, hit, attr_planes, tri_id, d3, atlas, lights, uniforms,
     width: int, height: int, sample_mode: int = 0, samples: int = 1,
     shaders: tuple = (), has_blend: bool = False,
     has_material: bool = False, has_matmap: bool = False,
+    live_ranges: tuple = None,
 ):
     """GGX reflection radiance for every covered pixel -> (H,W,3) linear
     plus a (H,W) applied-mask (pixels whose samples all faced away keep 0).
@@ -447,6 +569,7 @@ def reflection_pass(
             d3["pos"], d3["valid"],
             o_x.reshape(p), o_y.reshape(p), o_z.reshape(p),
             d_x.reshape(p), d_y.reshape(p), d_z.reshape(p), max_dist,
+            live_ranges=live_ranges,
         )
         t = t.reshape(height, width)
         tri = jnp.where(ok, tri.reshape(height, width), -1)
@@ -466,6 +589,44 @@ def reflection_pass(
         0.0,
     )
     return refl, wsum > 0.0
+
+
+def reflection_pass_scaled(
+    z, idx, hit, attr_planes, tri_id, d3, atlas, lights, uniforms,
+    width: int, height: int, sample_mode: int = 0, samples: int = 1,
+    shaders: tuple = (), has_blend: bool = False,
+    has_material: bool = False, has_matmap: bool = False,
+    live_ranges: tuple = None, scale: int = 1,
+):
+    """reflection_pass at 1/scale resolution, bilinearly upsampled.
+
+    Beyond-reference quality/perf knob (Rasterizer.set_reflections(...,
+    scale=2)): reflections from rough GGX lobes are low-frequency, and the
+    ray count is the pass's cost floor — scale=2 quarters it. scale=1 is
+    the reference-exact full-res path."""
+    if scale <= 1:
+        return reflection_pass(
+            z, idx, hit, attr_planes, tri_id, d3, atlas, lights, uniforms,
+            width, height, sample_mode, samples, shaders, has_blend,
+            has_material, has_matmap, live_ranges,
+        )
+    hs, ws = height // scale, width // scale
+    sl = (slice(0, hs * scale, scale), slice(0, ws * scale, scale))
+    refl_lo, mask_lo = reflection_pass(
+        z[sl], idx[sl], hit[sl], attr_planes, tri_id, d3, atlas, lights,
+        uniforms, ws, hs, sample_mode, samples, shaders, has_blend,
+        has_material, has_matmap, live_ranges,
+    )
+    refl_lo = jnp.where(mask_lo[..., None], refl_lo, 0.0)
+    up = jax.image.resize(refl_lo, (height, width, 3), "bilinear")
+    mask_up = (
+        jax.image.resize(
+            mask_lo.astype(jnp.float32), (height, width), "bilinear"
+        )
+        > 0.5
+    )
+    # only pixels the full-res G-buffer actually covers take the upsample
+    return up, mask_up & hit
 
 
 def apply_reflections(frame_rgba_f32, refl, rmask):

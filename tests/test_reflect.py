@@ -208,6 +208,24 @@ def test_max_sky_distance_caps_reflection_range():
     )
 
 
+def test_reflection_scale_keeps_the_image():
+    """scale=2 (quarter rays + bilinear upsample) must keep the mirrored
+    cube and sky tint, and must not touch background pixels."""
+    rast, scene = _mirror_scene()
+    rast.set_reflections(0)
+    off = _frame(rast, scene, 0)
+    rast2, scene2 = _mirror_scene()
+    rast2.set_reflections(2, scale=2)
+    on = rast2.rasterize(scene2, W, H, 40, Assets.default()).astype(np.int32)
+    assert np.array_equal(on[0, 0], off[0, 0])  # sky untouched
+    g_r = on[..., 0] - off[..., 0]
+    g_g = on[..., 1] - off[..., 1]
+    g_b = on[..., 2] - off[..., 2]
+    lower = slice(int(H * 0.55), H)
+    assert (g_r[lower] - g_g[lower]).max() > 15, "cube reflection lost"
+    assert (g_b[lower] > 10).mean() > 0.3, "sky reflection lost"
+
+
 def test_render_settings_drive_reflections():
     """reflection_samples / max_sky_distance flow from RenderSettings to
     the renderer (the previously-dead keys are now live)."""
