@@ -348,6 +348,7 @@ def measure_tracer(width=320, height=240, n=100):
                 jax.random.PRNGKey(i * 7919 + 13),
                 jnp.int32(0), width, height, tracer.bounces,
                 tracer.use_aabb_skip,
+                n_live_chunks=tracer._n_live_chunks,
             )
             return acc + f.reshape(-1)[0].astype(jnp.float32) * 1e-30
         return jax.lax.fori_loop(0, n, body, 0.0)

@@ -191,6 +191,7 @@ class Tracer:
         self.use_aabb_skip = False
         self._cache_key = None
         self._cache = None
+        self._n_live_chunks = None
         self.sample_mode = 0
         self.background = None
         #: ShapeFX render graph (trace.rs:41-48,120-143 set_render_graph):
@@ -231,6 +232,15 @@ class Tracer:
         if self._cache_key != key:
             packed, mats, boxes = _pack_tracer_scene(scene, assets)
             atlas_np = packed.atlas_index.atlas
+            # live tris are a Morton-ordered PREFIX (dead padding sorts to
+            # the end in _pack_tracer_scene), so the intersect scan can be
+            # statically truncated to the live chunks — the pack's
+            # power-of-two padding is up to ~50% dead slots, and skipping
+            # them statically costs nothing (vs the ~6% lax.cond gate)
+            n_live = int((packed.d3.valid > 0.5).sum())
+            t_slots = packed.d3.valid.shape[0]
+            chunk = min(TRACER_CHUNK, t_slots)
+            self._n_live_chunks = max(1, -(-n_live // chunk))
             self._cache = {
                 "d3": {k: jnp.asarray(v) for k, v in vars(packed.d3).items()},
                 "mats": {k: jnp.asarray(v) for k, v in mats.items()},
@@ -297,6 +307,7 @@ class Tracer:
         hht = jnp.float32(np.tan(np.radians(camera.fov) * 0.5))
         bounces = self.bounces
         aabb = self.use_aabb_skip
+        nlc = self._n_live_chunks
         w, h = buffer.width, buffer.height
 
         def shard_fn(seed, d3, mats, boxes, lights, atlas, sky):
@@ -308,7 +319,7 @@ class Tracer:
                 jnp.asarray(self.sky_horizon), jnp.asarray(self.sky_zenith),
                 jax.random.PRNGKey(seed[0]),
                 jnp.int32(scene.animation_frame),
-                w, h, bounces, aabb, sky_pre=sky,
+                w, h, bounces, aabb, n_live_chunks=nlc, sky_pre=sky,
             )
             return linear[None]
 
@@ -353,6 +364,7 @@ class Tracer:
             buffer.height,
             self.bounces,
             self.use_aabb_skip,
+            n_live_chunks=self._n_live_chunks,
             sky_pre=sky_pre,
         )
         buffer.accumulate(linear)
@@ -459,7 +471,12 @@ def _light_sum_soa(lights, wx, wy, wz, nx, ny, nz):
     return acc_r, acc_g, acc_b
 
 
-@partial(jax.jit, static_argnames=("width", "height", "bounces", "use_aabb_skip"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "bounces", "use_aabb_skip", "n_live_chunks"
+    ),
+)
 def _trace_frame(
     d3,
     mats,
@@ -479,6 +496,7 @@ def _trace_frame(
     height: int,
     bounces: int,
     use_aabb_skip: bool = False,
+    n_live_chunks: int = None,
     sky_pre=None,
 ):
     """One progressive sample — SoA formulation.
@@ -533,6 +551,10 @@ def _trace_frame(
         tcount = t_ax.shape[0]
         chunk = min(TRACER_CHUNK, tcount)
         nchunks = (tcount + chunk - 1) // chunk
+        if n_live_chunks is not None:
+            # live tris are a prefix (pack invariant): trailing all-dead
+            # chunks can never win, drop them from the scan statically
+            nchunks = min(nchunks, max(1, n_live_chunks))
         inv_dx = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, 1e-20, dx)
         inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
         inv_dz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, 1e-20, dz)
