@@ -1178,11 +1178,17 @@ def _mega_kernel(
         out_g = fullbright * tex_g + (1.0 - fullbright) * out_g
         out_b = fullbright * tex_b + (1.0 - fullbright) * out_b
 
-        # ---- stage 5: distance fog (Fog render node, shapefx.rs:1071-1083) ----
+        # ---- stage 5: distance fog ----
+        # mode 0: the Fog render node's linear fade (shapefx.rs:1071-1083);
+        # mode 1: SceneVM exp^2 fog from RenderSettings fog_density
+        # (3d_shader.wgsl:857-868) — both always computed, select is free
         has_fog = params_ref[48]
-        fog_t = has_fog * jnp.clip(
+        fog_lin = jnp.clip(
             (vlen - params_ref[52]) / params_ref[53], 0.0, 1.0
         )
+        fog_exp = 1.0 - jnp.exp(-params_ref[77] * vlen * vlen)
+        fog_mode = params_ref[76]
+        fog_t = has_fog * (fog_mode * fog_exp + (1.0 - fog_mode) * fog_lin)
         out_r = out_r * (1.0 - fog_t) + params_ref[49] * fog_t
         out_g = out_g * (1.0 - fog_t) + params_ref[50] * fog_t
         out_b = out_b * (1.0 - fog_t) + params_ref[51] * fog_t
@@ -1406,8 +1412,8 @@ def pack_mega_params(uniforms, width: int, height: int, atlas_w,
                      has_fog: bool = False, y0: int = 0,
                      shadow_params=None) -> jnp.ndarray:
     """inv_proj/inv_view/camera/ambient/sun scalars + fog at 48-53, the
-    atlas row width at 54, shadow params at 59-74, bump strength at 75
-    -> (80,) SMEM array.
+    atlas row width at 54, shadow params at 59-74, bump strength at 75,
+    fog mode/density at 76-77 -> (80,) SMEM array.
 
     shadow_params: the (40,) array from ops.shadow.bake_shadow_pack; its
     first 16 slots (msd, bias, sun camera) copy to params[59:75]."""
@@ -1432,6 +1438,8 @@ def pack_mega_params(uniforms, width: int, height: int, atlas_w,
     p = p.at[54].set(jnp.asarray(atlas_w, jnp.float32))
     p = p.at[55:58].set(uniforms.get("sun_color", jnp.ones(3, jnp.float32)))
     p = p.at[58].set(jnp.asarray(y0, jnp.float32))
+    p = p.at[76].set(uniforms.get("fog_mode", jnp.float32(0.0)))
+    p = p.at[77].set(uniforms.get("fog_density", jnp.float32(0.0)))
     return p
 
 

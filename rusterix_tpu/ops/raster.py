@@ -625,6 +625,11 @@ class Rasterizer:
         self._fog_color = np.zeros(4, np.float32)
         self._fog_end = 1e9
         self._fog_fade = 1.0
+        #: fog falloff: 0 = the ShapeFX Fog node's linear fade
+        #: (shapefx.rs:1071-1083), 1 = the SceneVM exp^2 fog that
+        #: RenderSettings fog_density drives (3d_shader.wgsl:857-868)
+        self._fog_mode = 0.0
+        self._fog_density = 0.0
         self._sky_node = None
 
         self._palette = np.zeros((1, 3), np.float32)
@@ -787,10 +792,16 @@ class Rasterizer:
             self._fog_color = np.asarray(
                 tuple(rs.fog_color) + (1.0,), np.float32
             )
+            # the RenderSettings block IS the SceneVM uniform block: its
+            # consumer fogs exp^2 (1 - exp(-density*d^2), 3d_shader.wgsl:
+            # 857-868); the linear end/fade stay populated as a fallback
+            self._fog_mode = 1.0
+            self._fog_density = float(rs.fog_density)
             self._fog_end = 0.0
             self._fog_fade = 1.0 / max(float(rs.fog_density), 1e-6)
         else:
             self._rs_has_fog = False
+            self._fog_mode = 0.0
         return self
 
     # -- helpers --
@@ -879,6 +890,8 @@ class Rasterizer:
             "fog_color": np.asarray(self._fog_color, np.float32),
             "fog_end": np.float32(self._fog_end),
             "fog_fade": np.float32(self._fog_fade),
+            "fog_mode": np.float32(self._fog_mode),
+            "fog_density": np.float32(self._fog_density),
             "ao_radius": np.float32(self._ao_radius_eff()),
             "refl_dist": np.float32(self._rs_sky_distance),
             "refl_sky": self._refl_sky_linear(),
@@ -1118,6 +1131,7 @@ class Rasterizer:
                     self._fog_color = node.precomputed[0]
                     self._fog_end = float(node.precomputed[1][0])
                     self._fog_fade = float(node.precomputed[1][1])
+                    self._fog_mode = 0.0  # the node's linear fade
 
         # Device-resident scene cache: packing + upload happen only when the
         # scene content changes (scene.touch()); per-frame re-uploads are the

@@ -785,6 +785,7 @@ def shade_pass(
         out_rgb = fog_apply(
             out_rgb, world, uniforms["camera_pos"],
             uniforms["fog_color"], uniforms["fog_end"], uniforms["fog_fade"],
+            uniforms["fog_mode"], uniforms["fog_density"],
         )
 
     out = jnp.concatenate([out_rgb, opacity[..., None]], axis=-1)

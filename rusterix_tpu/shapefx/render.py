@@ -172,10 +172,22 @@ def sky_device_params(node) -> dict:
     }
 
 
-def fog_apply(color_rgb, world, cam_pos, fog_color, fog_end, fog_fade):
-    """Vectorized render_hit_d3 for Fog (shapefx.rs:1071-1083).
+def fog_apply(color_rgb, world, cam_pos, fog_color, fog_end, fog_fade,
+              fog_mode=0.0, fog_density=0.0):
+    """Vectorized distance fog for pixels with geometry.
 
-    Applied to the post-lighting sRGB color for pixels with geometry."""
+    Two falloffs, selected by the dynamic `fog_mode` scalar:
+    - 0: the ShapeFX Fog render node's linear fade
+      (shapefx.rs:1071-1083, t = clip((dist-end)/fade))
+    - 1: the SceneVM exponential-squared fog the RenderSettings block
+      drives (embedded/shader/3d_shader.wgsl:857-868,
+      t = 1 - exp(-density * dist^2))
+    Divergence note: the WGSL fogs the linear color pre-gamma; this
+    pipeline fogs the post-lighting sRGB color like the reference's Fog
+    node — the blend end-points are identical, only mid-fog ramps differ
+    by the transfer curve."""
     dist = jnp.sqrt(jnp.sum((world - cam_pos) ** 2, axis=-1))
-    t = jnp.clip((dist - fog_end) / fog_fade, 0.0, 1.0)
+    t_lin = jnp.clip((dist - fog_end) / fog_fade, 0.0, 1.0)
+    t_exp = 1.0 - jnp.exp(-fog_density * dist * dist)
+    t = fog_mode * t_exp + (1.0 - fog_mode) * t_lin
     return color_rgb * (1.0 - t[..., None]) + fog_color[:3] * t[..., None]

@@ -35,7 +35,7 @@ CONSUMED = {
     "ambient_color": "uniforms ambient",
     "ambient_strength": "uniforms ambient scale",
     "fog_color": "distance fog blend",
-    "fog_density": "fog fade",
+    "fog_density": "exp^2 fog falloff (SceneVM semantics, fog_mode=1)",
     "ao_samples": "ops/ao.py tap count",
     "ao_radius": "ops/ao.py world radius",
     "bump_strength": "matmap normal mix (shade.py/megakernel.py)",

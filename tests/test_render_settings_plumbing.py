@@ -60,6 +60,39 @@ def test_defaults_change_frame():
     assert np.abs(corner.astype(int) - expect).max() <= 1
 
 
+def test_fog_apply_matches_both_falloff_oracles():
+    """fog_apply mode 0 == the Fog node's linear fade (shapefx.rs:
+    1071-1083); mode 1 == the SceneVM exp^2 fog (3d_shader.wgsl:857-868:
+    fog_factor = exp(-density * d^2), mix(fog_color, color, factor))."""
+    import jax.numpy as jnp
+
+    from rusterix_tpu.shapefx.render import fog_apply
+
+    rng = np.random.default_rng(11)
+    world = rng.uniform(-8.0, 8.0, (5, 7, 3)).astype(np.float32)
+    color = rng.uniform(0.0, 1.0, (5, 7, 3)).astype(np.float32)
+    cam = np.array([0.5, 1.0, -2.0], np.float32)
+    fog_c = np.array([0.9, 0.3, 0.2, 1.0], np.float32)
+    d = np.linalg.norm(world - cam, axis=-1)
+
+    lin = np.asarray(fog_apply(
+        jnp.asarray(color), jnp.asarray(world), jnp.asarray(cam),
+        jnp.asarray(fog_c), jnp.float32(3.0), jnp.float32(5.0),
+        jnp.float32(0.0), jnp.float32(0.0),
+    ))
+    t = np.clip((d - 3.0) / 5.0, 0.0, 1.0)[..., None]
+    assert np.abs(lin - (color * (1 - t) + fog_c[:3] * t)).max() < 1e-5
+
+    dens = 0.07
+    exp2 = np.asarray(fog_apply(
+        jnp.asarray(color), jnp.asarray(world), jnp.asarray(cam),
+        jnp.asarray(fog_c), jnp.float32(0.0), jnp.float32(1.0 / dens),
+        jnp.float32(1.0), jnp.float32(dens),
+    ))
+    f = np.exp(-dens * d * d)[..., None]
+    assert np.abs(exp2 - (fog_c[:3] * (1 - f) + color * f)).max() < 1e-5
+
+
 def test_fog_density_pulls_distant_pixels_to_fog_color():
     rs_clear = RenderSettings()
     rs_fog = RenderSettings()

@@ -30,7 +30,7 @@ LIGHT_SETS = {
 }
 
 
-def _render(lights, use_pallas, sun=True, brdf="fast", shader=None):
+def _render(lights, use_pallas, sun=True, brdf="fast", shader=None, rs=None):
     batch = (
         Batch3D.from_box(-0.6, -0.6, -0.6, 1.2, 1.2, 1.2)
         .set_source(PixelSource.pixel((200, 150, 90, 255)))
@@ -51,6 +51,8 @@ def _render(lights, use_pallas, sun=True, brdf="fast", shader=None):
         rast.day_factor = 0.8
     rast.use_pallas = use_pallas
     rast.set_brdf(brdf)
+    if rs is not None:
+        rast.apply_render_settings(rs)
     return rast.rasterize(scene, W, H, 32, Assets.default()).astype(np.int32)
 
 
@@ -112,6 +114,23 @@ def test_megakernel_matches_xla(which):
     ref = _render(LIGHT_SETS[which], use_pallas=False)
     out = _render(LIGHT_SETS[which], use_pallas=True)
     assert np.abs(ref - out).max() <= 1
+
+
+def test_exp2_fog_megakernel_matches_xla():
+    """RenderSettings fog (the SceneVM exp^2 falloff, 3d_shader.wgsl:
+    857-868) agrees across backends and actually fogs the frame."""
+    from rusterix_tpu.models.render_settings import RenderSettings
+
+    rs = RenderSettings(fog_density=0.08, fog_color=(0.9, 0.3, 0.2))
+    ref = _render(LIGHT_SETS["point"], use_pallas=False, rs=rs)
+    out = _render(LIGHT_SETS["point"], use_pallas=True, rs=rs)
+    assert np.abs(ref - out).max() <= 1
+    clear = _render(
+        LIGHT_SETS["point"], use_pallas=False, rs=RenderSettings()
+    )
+    # the box sits at image center ~2.5 units out: exp^2 fog at d=2.5 is
+    # 1-exp(-0.5) = 39% toward the fog color
+    assert (np.abs(ref - clear)[H // 2, W // 2] > 4).any(), "fog had no effect"
 
 
 @pytest.mark.parametrize("which", list(LIGHT_SETS))
