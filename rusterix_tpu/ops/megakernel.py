@@ -244,7 +244,7 @@ def _row_gather_f32(table_ref, row, lane, mask=None):
 def _mega_kernel(
     n_attr, sample_mode, has_blend, has_material, has_matmap, hbm_tables,
     use_cbox, use_tmask, light_spec, sun_off, stage_cut, shadow_spec, has_ao,
-    brdf_ggx,
+    brdf_ggx, tonemap,
     sbox_ref, cbox_ref, snear_ref, slist_ref, cmask_ref,
     params_ref, lights_ref, occ_ref,
     planes_ref, attr_ref, atlas_ref, bg_ref, shadow_ref, ao_ref,
@@ -1169,9 +1169,18 @@ def _mega_kernel(
             lit_g += m1[1] * em
             lit_b += m1[2] * em
 
-        out_r = _linear_to_srgb(lit_r)
-        out_g = _linear_to_srgb(lit_g)
-        out_b = _linear_to_srgb(lit_b)
+        if tonemap:
+            # SceneVM display transform (Reinhard + gamma 2.2,
+            # 3d_shader.wgsl:871-873) — set_tonemap("scenevm")
+            def _enc(x):
+                t = jnp.maximum(x, 0.0)
+                t = t / (t + 1.0)
+                return jnp.exp(jnp.log(jnp.maximum(t, 1e-30)) * (1.0 / 2.2))
+        else:
+            _enc = _linear_to_srgb
+        out_r = _enc(lit_r)
+        out_g = _enc(lit_g)
+        out_b = _enc(lit_b)
 
         # fullbright batches bypass lighting entirely (raw sRGB texel)
         out_r = fullbright * tex_r + (1.0 - fullbright) * out_r
@@ -1467,7 +1476,7 @@ def unpack_frame_u32(rgba_u32) -> jnp.ndarray:
     static_argnames=(
         "width", "height", "sample_mode", "has_blend", "has_material",
         "has_matmap", "interpret", "force_hbm", "full_height", "light_spec",
-        "sun_off", "stage_cut", "shadow_spec", "brdf_ggx",
+        "sun_off", "stage_cut", "shadow_spec", "brdf_ggx", "tonemap",
     ),
 )
 def mega_render(
@@ -1479,7 +1488,7 @@ def mega_render(
     force_hbm: bool = False, full_height: int = None, light_spec: tuple = None,
     sun_off: bool = False, s_near=None, stage_cut: int = 0,
     shadow_rows=None, shadow_spec: tuple = None, ao_img=None,
-    brdf_ggx: bool = False,
+    brdf_ggx: bool = False, tonemap: bool = False,
 ):
     """One composed opaque frame -> (rgba_u32 (H,W) i32, z_eff (H,W) f32).
 
@@ -1723,7 +1732,7 @@ def mega_render(
         functools.partial(
             _mega_kernel, n_attr, sample_mode, has_blend, has_material,
             has_matmap, hbm_tables, use_cbox, use_tmask, light_spec, sun_off,
-            stage_cut, shadow_spec, has_ao, brdf_ggx,
+            stage_cut, shadow_spec, has_ao, brdf_ggx, tonemap,
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -135,6 +135,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "shadow_spec",
         "ao_taps",
         "brdf_ggx",
+        "tonemap",
         "refl_samples",
         "refl_ranges",
         "refl_scale",
@@ -177,6 +178,7 @@ def render_frame(
     shadow_spec: tuple = None,
     ao_taps: tuple = None,
     brdf_ggx: bool = False,
+    tonemap: bool = False,
     refl_samples: int = 0,
     refl_ranges: tuple = None,
     refl_scale: int = 1,
@@ -281,6 +283,7 @@ def render_frame(
             shadow_spec=shadow_spec,
             ao_img=ao_img,
             brdf_ggx=brdf_ggx,
+            tonemap=tonemap,
         )
         if not (has_sky or has_opacity or has_d2 or has_brush or refl_samples):
             return unpack_frame_u32(rgba_u32)
@@ -325,6 +328,7 @@ def render_frame(
             ),
             ao=ao_img,
             brdf_ggx=brdf_ggx,
+            tonemap=tonemap,
         )
         frame, z_eff = compose_opaque(shaded, wrote, z, background)
 
@@ -349,7 +353,7 @@ def render_frame(
             has_blend, has_material, has_matmap,
             live_ranges=refl_ranges, scale=refl_scale,
         )
-        frame = apply_reflections(frame, refl, rmask)
+        frame = apply_reflections(frame, refl, rmask, tonemap=tonemap)
 
     if has_sky:
         from .composite import sky_miss_pass
@@ -436,6 +440,7 @@ def render_frame(
         "shadow_spec",
         "ao_taps",
         "brdf_ggx",
+        "tonemap",
         "refl_samples",
         "refl_ranges",
         "refl_scale",
@@ -475,6 +480,7 @@ def render_frame_arena(
     shadow_spec: tuple = None,
     ao_taps: tuple = None,
     brdf_ggx: bool = False,
+    tonemap: bool = False,
     refl_samples: int = 0,
     refl_ranges: tuple = None,
     refl_scale: int = 1,
@@ -497,7 +503,7 @@ def render_frame_arena(
         has_blend, has_brush, has_dyn, d3_dyn, d3_op_dyn, d2_dyn,
         has_material, has_matmap, light_spec, sun_off,
         shadow_rows, shadow_params, shadow_spec, ao_taps, brdf_ggx,
-        refl_samples, refl_ranges, refl_scale, transparency_layers,
+        tonemap, refl_samples, refl_ranges, refl_scale, transparency_layers,
     )
 
 
@@ -643,6 +649,11 @@ class Rasterizer:
         #: rasterizer's live path) or "ggx" (Cook-Torrance, the SceneVM
         #: pbr_lighting / dormant _shade_brdf) — set_brdf()
         self.brdf = "fast"
+        #: display transform: "srgb" = the Rust renderer's fast sRGB
+        #: polynomial (rasterizer.rs:27-33); "scenevm" = Reinhard + gamma
+        #: 2.2, the transfer the reference's live game path applies
+        #: (3d_shader.wgsl:871-873) — see set_tonemap()
+        self.tonemap = "srgb"
 
     @staticmethod
     def setup(projection_matrix_2d, view_matrix, projection_matrix) -> "Rasterizer":
@@ -668,6 +679,24 @@ class Rasterizer:
         if model not in ("fast", "ggx"):
             raise ValueError(f"unknown brdf model '{model}' (fast|ggx)")
         self.brdf = model
+        return self
+
+    def set_tonemap(self, mode: str) -> "Rasterizer":
+        """Select the display transform for lit 3D pixels.
+
+        "srgb" (default): the Rust renderer's fast sRGB polynomial
+        (rasterizer.rs:27-33) — matches the reference's rasterizer path
+        and all golden screenshots.
+        "scenevm": Reinhard tone mapping + gamma 2.2
+        (c/(c+1), pow 1/2.2 — embedded/shader/3d_shader.wgsl:871-873),
+        the transfer the reference's live SceneVM game path displays
+        through. Applies to megakernel + XLA shading and the reflection
+        composite; fullbright texels and the unlit opacity/2D passes keep
+        their raw sRGB bytes (our documented fullbright semantics)."""
+        mode = str(mode).lower()
+        if mode not in ("srgb", "scenevm"):
+            raise ValueError(f"unknown tonemap '{mode}' (srgb|scenevm)")
+        self.tonemap = mode
         return self
 
     def set_reflections(self, samples: int, scale: int = None) -> "Rasterizer":
@@ -1342,6 +1371,7 @@ class Rasterizer:
             shadow_spec=shadow_spec,
             ao_taps=self._ao_taps() if self.render_mode.d3_active else None,
             brdf_ggx=self.brdf == "ggx",
+            tonemap=self.tonemap == "scenevm",
             refl_samples=(
                 self.reflection_samples if self.render_mode.d3_active else 0
             ),

@@ -629,17 +629,29 @@ def reflection_pass_scaled(
     return up, mask_up & hit
 
 
-def apply_reflections(frame_rgba_f32, refl, rmask):
+def apply_reflections(frame_rgba_f32, refl, rmask, tonemap: bool = False):
     """Composite reflection radiance onto an already-encoded opaque frame.
 
-    The frame is sRGB-encoded f32 (the megakernel/compose output); decode,
-    add the linear reflection term, re-encode — only on pixels the pass
-    actually touched, so untouched pixels keep their exact bytes (u8
-    parity surfaces stay intact when reflections are off or miss)."""
-    from ..utils.color import linear_to_srgb_fast
+    The frame is display-encoded f32 (the megakernel/compose output);
+    decode with the SAME transfer the shade path used (`tonemap` False =
+    the fast sRGB polynomial pair, True = the SceneVM Reinhard+gamma and
+    its numerical inverse — the WGSL adds reflections to layer_color
+    before tone mapping, 3d_shader.wgsl:826,871), add the linear
+    reflection term, re-encode — only on pixels the pass actually
+    touched, so untouched pixels keep their exact bytes (u8 parity
+    surfaces stay intact when reflections are off or miss)."""
+    from ..utils.color import (
+        linear_to_srgb_fast,
+        tonemap_scenevm,
+        tonemap_scenevm_inverse,
+    )
 
     rgb = frame_rgba_f32[..., :3]
-    lin = srgb_to_linear_fast(rgb) + refl
-    new = jnp.clip(linear_to_srgb_fast(lin), 0.0, 1.0)
+    if tonemap:
+        lin = tonemap_scenevm_inverse(rgb) + refl
+        new = jnp.clip(tonemap_scenevm(lin), 0.0, 1.0)
+    else:
+        lin = srgb_to_linear_fast(rgb) + refl
+        new = jnp.clip(linear_to_srgb_fast(lin), 0.0, 1.0)
     out = jnp.where(rmask[..., None], new, rgb)
     return jnp.concatenate([out, frame_rgba_f32[..., 3:]], axis=-1)

@@ -623,6 +623,7 @@ def shade_pass(
     shadow: tuple = None,
     ao=None,
     brdf_ggx: bool = False,
+    tonemap: bool = False,
 ):
     """Shade every pixel from its winning triangle.
 
@@ -774,7 +775,15 @@ def shade_pass(
 
     lit = lit + emissive
 
-    out_rgb = linear_to_srgb_fast(lit)
+    if tonemap:
+        # the SceneVM display transform (Reinhard + gamma 2.2,
+        # 3d_shader.wgsl:871-873) instead of the Rust renderer's fast
+        # sRGB polynomial — selected by Rasterizer.set_tonemap("scenevm")
+        from ..utils.color import tonemap_scenevm
+
+        out_rgb = tonemap_scenevm(lit)
+    else:
+        out_rgb = linear_to_srgb_fast(lit)
     # fullbright batches bypass lighting entirely (raw sRGB texel)
     out_rgb = jnp.where(fullbright[..., None], texel[..., :3], out_rgb)
 

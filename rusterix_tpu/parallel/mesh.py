@@ -61,6 +61,7 @@ def render_frame_sharded(
     light_spec: tuple = None,
     sun_off: bool = False,
     brdf_ggx: bool = False,
+    tonemap: bool = False,
 ):
     """Render one frame with triangles+rows sharded over `mesh`.
 
@@ -152,7 +153,7 @@ def render_frame_sharded(
                 width, rows_local, sample_mode, False, has_material,
                 interpret=interpret, full_height=height,
                 light_spec=light_spec, sun_off=sun_off, s_near=s_near,
-                brdf_ggx=brdf_ggx,
+                brdf_ggx=brdf_ggx, tonemap=tonemap,
             )
             frame = unpack_frame_u32(rgba_u32).astype(jnp.float32) * (1.0 / 255.0)
         else:
@@ -163,7 +164,7 @@ def render_frame_sharded(
                 z, idx, hit, attr, tri_id, d3_full, atlas_r, lights_r,
                 uniforms_r, width, rows_local, sample_mode,
                 y0=y0, full_height=height, has_material=has_material,
-                brdf_ggx=brdf_ggx,
+                brdf_ggx=brdf_ggx, tonemap=tonemap,
             )
             frame, z_eff = compose_opaque(shaded, wrote, z, background_l)
         if has_d2:
@@ -194,7 +195,8 @@ def render_frame_sharded(
 
 def render_sharded_jit(mesh, width, height, sample_mode, has_ambient,
                        has_lights, has_d2, use_pallas=False,
-                       light_spec=None, sun_off=False, brdf_ggx=False):
+                       light_spec=None, sun_off=False, brdf_ggx=False,
+                       tonemap=False):
     """jitted closure for a fixed config."""
 
     @jax.jit
@@ -203,7 +205,7 @@ def render_sharded_jit(mesh, width, height, sample_mode, has_ambient,
             mesh, d3, d2, lights, atlas, uniforms, background,
             width, height, sample_mode, has_ambient, has_lights, has_d2,
             use_pallas, light_spec=light_spec, sun_off=sun_off,
-            brdf_ggx=brdf_ggx,
+            brdf_ggx=brdf_ggx, tonemap=tonemap,
         )
 
     return run

@@ -43,6 +43,28 @@ def linear_to_srgb_fast(x):
     return 1.055 * s - 0.055 * (s * s)
 
 
+def tonemap_scenevm(x):
+    """The SceneVM display transform: Reinhard + gamma 2.2
+    (embedded/shader/3d_shader.wgsl:871-873:
+    c = c/(c+1); pow(c, 1/2.2)). Works on numpy or jax arrays."""
+    if isinstance(x, np.ndarray) or np.isscalar(x):
+        t = np.maximum(x, 0.0)
+        return np.power(t / (t + 1.0), 1.0 / 2.2)
+    import jax.numpy as jnp
+
+    t = jnp.maximum(x, 0.0)
+    return jnp.power(t / (t + 1.0), 1.0 / 2.2)
+
+
+def tonemap_scenevm_inverse(e):
+    """Numerical inverse of tonemap_scenevm (for linear-space composites
+    on already-encoded frames): t = e^2.2; t/(1-t)."""
+    import jax.numpy as jnp
+
+    t = jnp.power(jnp.clip(e, 0.0, 1.0), 2.2)
+    return t / jnp.maximum(1.0 - t, 1e-6)
+
+
 #: dense inverse table of srgb_to_linear_fast for bake-time encoding
 #: (built lazily: 8193-point linear interp of the strictly increasing
 #: cubic is exact to ~1e-9 — far under the u8 quantization step)

@@ -226,6 +226,24 @@ def test_reflection_scale_keeps_the_image():
     assert (g_b[lower] > 10).mean() > 0.3, "sky reflection lost"
 
 
+def test_reflections_compose_under_scenevm_tonemap():
+    """With set_tonemap("scenevm") the reflection composite must decode/
+    re-encode through the Reinhard pair (the WGSL adds reflections before
+    tone mapping, 3d_shader.wgsl:826,871): the mirrored cube still shows,
+    and pixels the pass never touched keep their exact tonemapped bytes."""
+    rast, scene = _mirror_scene()
+    rast.set_tonemap("scenevm")
+    off = _frame(rast, scene, 0)
+    rast2, scene2 = _mirror_scene()
+    rast2.set_tonemap("scenevm")
+    on = _frame(rast2, scene2, 2)
+    assert np.array_equal(on[0, 0], off[0, 0])  # sky byte-identical
+    lower = slice(int(H * 0.55), H)
+    g_r = on[..., 0] - off[..., 0]
+    g_g = on[..., 1] - off[..., 1]
+    assert (g_r[lower] - g_g[lower]).max() > 10, "cube reflection lost"
+
+
 def test_render_settings_drive_reflections():
     """reflection_samples / max_sky_distance flow from RenderSettings to
     the renderer (the previously-dead keys are now live)."""

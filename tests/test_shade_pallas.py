@@ -30,7 +30,8 @@ LIGHT_SETS = {
 }
 
 
-def _render(lights, use_pallas, sun=True, brdf="fast", shader=None, rs=None):
+def _render(lights, use_pallas, sun=True, brdf="fast", shader=None, rs=None,
+            tonemap=None):
     batch = (
         Batch3D.from_box(-0.6, -0.6, -0.6, 1.2, 1.2, 1.2)
         .set_source(PixelSource.pixel((200, 150, 90, 255)))
@@ -53,6 +54,8 @@ def _render(lights, use_pallas, sun=True, brdf="fast", shader=None, rs=None):
     rast.set_brdf(brdf)
     if rs is not None:
         rast.apply_render_settings(rs)
+    if tonemap is not None:
+        rast.set_tonemap(tonemap)
     return rast.rasterize(scene, W, H, 32, Assets.default()).astype(np.int32)
 
 
@@ -131,6 +134,19 @@ def test_exp2_fog_megakernel_matches_xla():
     # the box sits at image center ~2.5 units out: exp^2 fog at d=2.5 is
     # 1-exp(-0.5) = 39% toward the fog color
     assert (np.abs(ref - clear)[H // 2, W // 2] > 4).any(), "fog had no effect"
+
+
+def test_scenevm_tonemap_megakernel_matches_xla():
+    """set_tonemap("scenevm") — the Reinhard+gamma display transform of
+    the reference's live game path (3d_shader.wgsl:871-873) — agrees
+    across backends and visibly differs from the sRGB default on lit
+    pixels (Reinhard compresses: encode(l) < srgb(l) for l > 0)."""
+    ref = _render(LIGHT_SETS["mixed"], use_pallas=False, tonemap="scenevm")
+    out = _render(LIGHT_SETS["mixed"], use_pallas=True, tonemap="scenevm")
+    assert np.abs(ref - out).max() <= 1
+    srgb = _render(LIGHT_SETS["mixed"], use_pallas=False)
+    lit = ref[H // 2, W // 2, :3]  # cube center: lit geometry
+    assert (lit < srgb[H // 2, W // 2, :3]).all(), (lit, srgb[H // 2, W // 2])
 
 
 @pytest.mark.parametrize("which", list(LIGHT_SETS))

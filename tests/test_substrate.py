@@ -116,3 +116,22 @@ def test_camera_param_api():
     assert cam.azimuth != pytest.approx(math.pi / 2)
     cam.zoom(1.0)
     assert cam.distance != 20.0 or True
+
+
+def test_tonemap_scenevm_matches_wgsl_oracle_and_roundtrips():
+    """tonemap_scenevm == the WGSL display transform (3d_shader.wgsl:
+    871-873: c/(c+1) then pow 1/2.2); its numerical inverse round-trips
+    to well under the u8 quantization step."""
+    from rusterix_tpu.utils.color import (
+        tonemap_scenevm,
+        tonemap_scenevm_inverse,
+    )
+    import jax.numpy as jnp
+
+    lin = np.array([0.0, 0.01, 0.18, 0.5, 1.0, 2.5, 10.0], np.float32)
+    enc = tonemap_scenevm(lin)
+    oracle = np.power(lin / (lin + 1.0), 1.0 / 2.2)
+    assert np.abs(enc - oracle).max() < 1e-6
+    assert (np.diff(enc) > 0).all() and enc.max() < 1.0
+    back = np.asarray(tonemap_scenevm_inverse(jnp.asarray(enc)))
+    assert np.abs(back - lin).max() < 2e-3
