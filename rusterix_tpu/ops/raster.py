@@ -139,6 +139,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "refl_samples",
         "refl_ranges",
         "refl_scale",
+        "sky_light",
         "transparency_layers",
     ),
 )
@@ -182,6 +183,7 @@ def render_frame(
     refl_samples: int = 0,
     refl_ranges: tuple = None,
     refl_scale: int = 1,
+    sky_light: bool = False,
     transparency_layers: int = 1,
 ):
     """One full frame on device -> (H, W, 4) uint8.
@@ -240,7 +242,7 @@ def render_frame(
         )
         ao_img = None
         z_pre = idx_pre = hit_pre = None
-        if ao_taps or refl_samples:
+        if ao_taps or refl_samples or sky_light:
             # AO and the reflection G-buffer both need (z, idx, hit)
             # BEFORE shading: ONE extra visibility-only kernel pass
             # (~0.35ms @1080p; the XLA visibility scan costs 46ms at the
@@ -285,7 +287,8 @@ def render_frame(
             brdf_ggx=brdf_ggx,
             tonemap=tonemap,
         )
-        if not (has_sky or has_opacity or has_d2 or has_brush or refl_samples):
+        if not (has_sky or has_opacity or has_d2 or has_brush
+                or refl_samples or sky_light):
             return unpack_frame_u32(rgba_u32)
         # downstream passes blend in f32 over the already-quantized opaque
         # result — exactly the reference's u8 tile-buffer behavior
@@ -354,6 +357,27 @@ def render_frame(
             live_ranges=refl_ranges, scale=refl_scale,
         )
         frame = apply_reflections(frame, refl, rmask, tonemap=tonemap)
+
+    if sky_light:
+        # directional sky-bounce ambient (WGSL sky_contribution,
+        # 3d_shader.wgsl:744-758): one mirror-direction visibility ray per
+        # pixel adds sky-tinted ambient on upward-facing, sky-seeing
+        # surfaces, scaled by AO exactly where the WGSL multiplies * ao
+        from .reflect import apply_reflections as _apply_term
+        from .reflect import sky_light_pass
+
+        if mega:
+            z_s, i_sky, hit_s = z_pre, idx_pre, hit_pre
+        else:
+            z_s, i_sky, hit_s = z, idx, hit
+        sky_term, sky_mask = sky_light_pass(
+            z_s, i_sky, hit_s, attr, tri_id, d3, atlas, uniforms,
+            width, height, sample_mode, shaders, has_blend, has_material,
+            has_matmap, live_ranges=refl_ranges,
+        )
+        if ao_taps:
+            sky_term = sky_term * ao_img[..., None]
+        frame = _apply_term(frame, sky_term, sky_mask, tonemap=tonemap)
 
     if has_sky:
         from .composite import sky_miss_pass
@@ -444,6 +468,7 @@ def render_frame(
         "refl_samples",
         "refl_ranges",
         "refl_scale",
+        "sky_light",
         "transparency_layers",
     ),
 )
@@ -484,6 +509,7 @@ def render_frame_arena(
     refl_samples: int = 0,
     refl_ranges: tuple = None,
     refl_scale: int = 1,
+    sky_light: bool = False,
     transparency_layers: int = 1,
 ):
     """render_frame behind ONE per-frame upload: the dynamic packs, lights
@@ -503,7 +529,8 @@ def render_frame_arena(
         has_blend, has_brush, has_dyn, d3_dyn, d3_op_dyn, d2_dyn,
         has_material, has_matmap, light_spec, sun_off,
         shadow_rows, shadow_params, shadow_spec, ao_taps, brdf_ggx,
-        tonemap, refl_samples, refl_ranges, refl_scale, transparency_layers,
+        tonemap, refl_samples, refl_ranges, refl_scale, sky_light,
+        transparency_layers,
     )
 
 
@@ -609,6 +636,10 @@ class Rasterizer:
         #: 2 = quarter the rays + bilinear upsample — rough-lobe
         #: reflections are low-frequency) — set_reflections(scale=...)
         self.reflection_scale = 1
+        #: directional sky-bounce ambient (the WGSL sky_contribution,
+        #: 3d_shader.wgsl:744-758) — one mirror-direction visibility ray
+        #: per pixel; see set_sky_light()
+        self.sky_light_enabled = False
         #: depth-peeled transparency layers (1 = the reference rasterizer's
         #: single opacity buffer; >1 = the SceneVM front-to-back layer loop
         #: bounded by max_transparency_bounces, 3d_shader.wgsl:692)
@@ -711,6 +742,19 @@ class Rasterizer:
         self.reflection_samples = max(0, int(samples))
         if scale is not None:
             self.reflection_scale = max(1, int(scale))
+        return self
+
+    def set_sky_light(self, enabled: bool = True) -> "Rasterizer":
+        """Directional sky-bounce ambient: per pixel, trace ONE ray along
+        reflect(view, N) up to max_sky_distance; if it reaches the sky,
+        add sky_rgb * max(N.up, 0) * albedo (* AO when AO is on) — the
+        reference SceneVM's `sky_contribution`
+        (embedded/shader/3d_shader.wgsl:744-758, always on there when
+        max_sky_distance > 0). Opt-in here because it costs a wavefront
+        intersect per frame (~the reflection pass's intersect floor);
+        rides the same G-buffer/visibility pre-pass and live-range chunk
+        skipping as reflections."""
+        self.sky_light_enabled = bool(enabled)
         return self
 
     def set_shadows(
@@ -935,7 +979,7 @@ class Rasterizer:
         keeps the tuple (a jit static) stable while per-frame dynamic
         counts wobble within a chunk. Falls back to None (scan everything)
         if a pack ever violates the live-slots-are-a-prefix invariant."""
-        if self.reflection_samples <= 0:
+        if self.reflection_samples <= 0 and not self.sky_light_enabled:
             return None
         from .reflect import REFLECT_CHUNK as _RC
 
@@ -1377,6 +1421,7 @@ class Rasterizer:
             ),
             refl_ranges=self._refl_live_ranges(packed, d3_dyn),
             refl_scale=self.reflection_scale,
+            sky_light=self.sky_light_enabled and self.render_mode.d3_active,
             transparency_layers=self.transparency_layers,
         )
         #: exact args of the last frame — consumed by profiling's

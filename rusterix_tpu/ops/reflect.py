@@ -591,6 +591,81 @@ def reflection_pass(
     return refl, wsum > 0.0
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "sample_mode", "has_blend",
+                     "has_material", "has_matmap", "shaders", "live_ranges"),
+)
+def sky_light_pass(
+    z, idx, hit, attr_planes, tri_id, d3, atlas, uniforms,
+    width: int, height: int, sample_mode: int = 0, shaders: tuple = (),
+    has_blend: bool = False, has_material: bool = False,
+    has_matmap: bool = False, live_ranges: tuple = None,
+):
+    """Directional sky-bounce ambient (the WGSL `sky_contribution`,
+    embedded/shader/3d_shader.wgsl:744-758): per pixel, ONE deterministic
+    ray along reflect(rd, N); if it reaches the sky within
+    max_sky_distance (gp6.y — uniforms["refl_dist"]) and both the normal
+    and the ray point upward, the pixel gains
+    sky_rgb * max(N.up, 0) * albedo of sky-tinted ambient (the caller
+    scales by AO, exactly where the WGSL multiplies `* ao`).
+
+    Returns (radiance (H,W,3) linear, applied-mask (H,W)). Rides the same
+    G-buffer + wavefront Möller-Trumbore as the reflection pass; a miss
+    IS the visibility hit here, so only (t, tri) is needed — no hit
+    shading."""
+    from .shade import gbuffer_pass
+
+    g = gbuffer_pass(
+        z, idx, hit, attr_planes, tri_id, d3, atlas, uniforms, width,
+        height, sample_mode, 0, height, shaders, has_blend, has_material,
+        has_matmap,
+    )
+    world = g["world"]
+    normal = g["normal"]
+    vdir = g["view_dir"]
+    nxg, nyg, nzg = normal[..., 0], normal[..., 1], normal[..., 2]
+    vx, vy, vz = vdir[..., 0], vdir[..., 1], vdir[..., 2]
+    sky_factor = jnp.maximum(nyg, 0.0)
+
+    # sky_dir = reflect(rd, N) with rd = -V: r = -V + 2 (N.V) N
+    ndv = nxg * vx + nyg * vy + nzg * vz
+    rx = 2.0 * ndv * nxg - vx
+    ry = 2.0 * ndv * nyg - vy
+    rz = 2.0 * ndv * nzg - vz
+
+    live = (
+        hit
+        & ~g["fullbright"]
+        & (jnp.sum(normal * normal, axis=-1) > 0.5)
+        & (sky_factor > 0.0)
+        & (ry > 0.0)  # WGSL sky_dir_up > 0 gate
+    )
+
+    wx, wy, wz = world[..., 0], world[..., 1], world[..., 2]
+    o_x = jnp.where(live, wx + nxg * 0.01, 1e8)
+    o_y = jnp.where(live, wy + nyg * 0.01, 1e8)
+    o_z = jnp.where(live, wz + nzg * 0.01, 1e8)
+    d_x = jnp.where(live, rx, 0.0)
+    d_y = jnp.where(live, ry, -1.0)
+    d_z = jnp.where(live, rz, 0.0)
+
+    p = width * height
+    _t, tri = intersect_rays(
+        d3["pos"], d3["valid"],
+        o_x.reshape(p), o_y.reshape(p), o_z.reshape(p),
+        d_x.reshape(p), d_y.reshape(p), d_z.reshape(p),
+        uniforms["refl_dist"], live_ranges=live_ranges,
+    )
+    vis = live & (tri.reshape(height, width) < 0)
+    term = (
+        uniforms["refl_sky"][None, None, :]
+        * sky_factor[..., None]
+        * g["base"]
+    )
+    return jnp.where(vis[..., None], term, 0.0), vis
+
+
 def reflection_pass_scaled(
     z, idx, hit, attr_planes, tri_id, d3, atlas, lights, uniforms,
     width: int, height: int, sample_mode: int = 0, samples: int = 1,

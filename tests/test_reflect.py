@@ -244,6 +244,56 @@ def test_reflections_compose_under_scenevm_tonemap():
     assert (g_r[lower] - g_g[lower]).max() > 10, "cube reflection lost"
 
 
+def test_sky_light_adds_occludable_sky_ambient():
+    """set_sky_light(True) — the WGSL sky_contribution (3d_shader.wgsl:
+    744-758): upward-facing floor that SEES the sky gains sky-tinted
+    ambient; floor under a roof slab gains (almost) none; background
+    pixels keep their exact bytes."""
+    floor = (
+        Batch3D.from_box(-6, -1.2, -4, 12, 0.2, 8)
+        .set_source(PixelSource.pixel((120, 120, 120, 255)))
+        .with_computed_normals()
+    )
+    wall = (
+        Batch3D.from_box(-6, -1.0, -4, 0.3, 5.0, 8)
+        .set_source(PixelSource.pixel((90, 60, 40, 255)))
+        .with_computed_normals()
+    )
+
+    def build():
+        scene = Scene.from_static([], [floor, wall]).set_lights(
+            [Light(LightType.Point).with_position([2, 3, 2])
+             .with_intensity(1.0).compile()]
+        )
+        cam = D3OrbitCamera()
+        cam.azimuth = 0.0
+        cam.elevation = 0.35  # shallow: mirror rays near the wall hit it
+        cam.set_parameter_f32("distance", 8.0)
+        rast = Rasterizer.setup(
+            None, cam.view_matrix(), cam.projection_matrix(W, H)
+        ).ambient((0.2, 0.2, 0.2, 1.0))
+        rast.background((60, 110, 220, 255))  # blue sky -> blue gain
+        return rast, scene
+
+    rast, scene = build()
+    off = rast.rasterize(scene, W, H, 40, Assets.default()).astype(np.int32)
+    rast2, scene2 = build()
+    rast2.set_sky_light(True)
+    on = rast2.rasterize(scene2, W, H, 40, Assets.default()).astype(np.int32)
+
+    assert np.array_equal(on[0, 0], off[0, 0])  # sky pixels untouched
+    gain_b = on[..., 2] - off[..., 2]
+    # near-camera floor (bottom rows): mirror rays clear the wall -> sky
+    open_rows = gain_b[int(H * 0.8):]
+    assert open_rows.mean() > 30, open_rows.mean()
+    # floor just under the wall (rows right below the horizon): the wall
+    # blocks the mirror ray for (almost) every pixel
+    blocked_rows = gain_b[int(H * 0.34): int(H * 0.5)]
+    assert blocked_rows.mean() < open_rows.mean() / 8, (
+        blocked_rows.mean(), open_rows.mean()
+    )
+
+
 def test_render_settings_drive_reflections():
     """reflection_samples / max_sky_distance flow from RenderSettings to
     the renderer (the previously-dead keys are now live)."""
