@@ -496,7 +496,7 @@ def measure_chained(rast, scene, assets, width, height, n=400, ssaa=1):
     shadow_rows = shadow_params = shadow_spec = None
     if rast.shadow_settings is not None:
         key = (scene._cache_uid, scene.revision, assets._cache_uid)
-        shadow_rows, shadow_params, _sp, shadow_spec = rast._shadow_pack(
+        shadow_rows, shadow_params, _sp, shadow_spec, _cams = rast._shadow_pack(
             cache, packed, lights, key
         )
     ao_taps = rast._ao_taps()

@@ -133,6 +133,7 @@ def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, widt
         "light_spec",
         "sun_off",
         "shadow_spec",
+        "shadow_dyn",
         "ao_taps",
         "brdf_ggx",
         "tonemap",
@@ -177,6 +178,8 @@ def render_frame(
     shadow_rows=None,
     shadow_params=None,
     shadow_spec: tuple = None,
+    shadow_dyn: bool = False,
+    shadow_cams=None,
     ao_taps: tuple = None,
     brdf_ggx: bool = False,
     tonemap: bool = False,
@@ -209,6 +212,19 @@ def render_frame(
             k: jnp.concatenate([d3_op[k], d3_op_dyn[k]], axis=0) for k in d3_op
         }
         d2 = {k: jnp.concatenate([d2[k], d2_dyn[k]], axis=0) for k in d2}
+
+    if shadow_dyn and shadow_spec is not None:
+        # dynamic casters: min-composite the per-frame dynamic pack's depth
+        # into every baked shadow map (the reference's trace_shadow_unified
+        # -> trace_billboards occludes dynamics too, 3d_shader.wgsl:436-460,
+        # 297-327). Static maps stay cached; only the (small) dyn pack
+        # re-renders per frame with bit-identical cameras (bake_shadow_cams).
+        from .shadow import composite_dynamic_depth
+
+        shadow_rows = composite_dynamic_depth(
+            shadow_rows, shadow_spec, shadow_cams,
+            d3_dyn["pos"], d3_dyn["uv"], d3_dyn["nrm"], d3_dyn["valid"],
+        )
 
     vis, attr, bbox, alive, tri_id = setup_pass(
         d3["pos"], d3["uv"], d3["nrm"], d3["valid"], d3["cull"], view, proj,
@@ -342,6 +358,11 @@ def render_frame(
         # layer only (the WGSL adds reflections per opaque layer too; our
         # opacity pass is unlit and skips them by design)
         from .reflect import apply_reflections, reflection_pass_scaled
+        from .rt_kernel import RT_SLOT_LIMIT
+
+        # spatial-index secondary-ray kernel: VMEM-table size gate is a
+        # STATIC shape check inside the trace (no new caller plumbing)
+        rt_pallas = use_pallas and d3["pos"].shape[0] <= RT_SLOT_LIMIT
 
         if mega:
             # the megakernel keeps its winner in-kernel; the pre-pass
@@ -354,7 +375,7 @@ def render_frame(
             z_r, i_r, hit_r, attr, tri_id, d3, atlas, lights, uniforms,
             width, height, sample_mode, refl_samples, shaders,
             has_blend, has_material, has_matmap,
-            live_ranges=refl_ranges, scale=refl_scale,
+            live_ranges=refl_ranges, scale=refl_scale, rt_pallas=rt_pallas,
         )
         frame = apply_reflections(frame, refl, rmask, tonemap=tonemap)
 
@@ -366,6 +387,8 @@ def render_frame(
         from .reflect import apply_reflections as _apply_term
         from .reflect import sky_light_pass
 
+        from .rt_kernel import RT_SLOT_LIMIT
+
         if mega:
             z_s, i_sky, hit_s = z_pre, idx_pre, hit_pre
         else:
@@ -374,6 +397,7 @@ def render_frame(
             z_s, i_sky, hit_s, attr, tri_id, d3, atlas, uniforms,
             width, height, sample_mode, shaders, has_blend, has_material,
             has_matmap, live_ranges=refl_ranges,
+            rt_pallas=use_pallas and d3["pos"].shape[0] <= RT_SLOT_LIMIT,
         )
         if ao_taps:
             sky_term = sky_term * ao_img[..., None]
@@ -462,6 +486,7 @@ def render_frame(
         "light_spec",
         "sun_off",
         "shadow_spec",
+        "shadow_dyn",
         "ao_taps",
         "brdf_ggx",
         "tonemap",
@@ -503,6 +528,8 @@ def render_frame_arena(
     shadow_rows=None,
     shadow_params=None,
     shadow_spec: tuple = None,
+    shadow_dyn: bool = False,
+    shadow_cams=None,
     ao_taps: tuple = None,
     brdf_ggx: bool = False,
     tonemap: bool = False,
@@ -528,9 +555,9 @@ def render_frame_arena(
         has_opacity, has_d2, shaders, use_pallas, has_sky, has_fog, sky_pre,
         has_blend, has_brush, has_dyn, d3_dyn, d3_op_dyn, d2_dyn,
         has_material, has_matmap, light_spec, sun_off,
-        shadow_rows, shadow_params, shadow_spec, ao_taps, brdf_ggx,
-        tonemap, refl_samples, refl_ranges, refl_scale, sky_light,
-        transparency_layers,
+        shadow_rows, shadow_params, shadow_spec, shadow_dyn, shadow_cams,
+        ao_taps, brdf_ggx, tonemap, refl_samples, refl_ranges, refl_scale,
+        sky_light, transparency_layers,
     )
 
 
@@ -765,18 +792,22 @@ class Rasterizer:
         sun_res: int = 256,
         max_lights: int = 4,
         bias: float = 0.05,
+        dynamic_casters: bool = True,
     ) -> "Rasterizer":
         """Per-light geometry shadows for the 3D pass (the reference's
         SceneVM trace_shadow family, embedded/shader/3d_shader.wgsl:436-517).
 
         Point/spot lights render 6-face cube depth maps at `res`^2, the sun
         one `sun_res`^2 pseudo-directional map (ops/shadow.py); up to
-        `max_lights` brightest point/spot lights cast. Maps bake from the
-        STATIC scene geometry and cache until the scene revision or a
-        casting light's position changes; dynamic entity billboards receive
-        but do not cast (documented divergence — the reference traces
-        against its full BVH). `max_shadow_distance` / `max_shadow_steps`
-        from apply_render_settings control the occluder range cap and
+        `max_lights` brightest point/spot lights cast. Static maps bake
+        from the STATIC scene geometry and cache until the scene revision
+        or a casting light's position changes; with `dynamic_casters` (the
+        default) the per-frame dynamic pack (entity/item billboards)
+        min-composites its depth into every map each frame, so dynamics
+        occlude light like the reference's trace_shadow_unified ->
+        trace_billboards (3d_shader.wgsl:436-460, 297-327).
+        `max_shadow_distance` / `max_shadow_steps` from
+        apply_render_settings control the occluder range cap and
         transparency-aware shadows (steps > 0 + opacity batches present)."""
         if enabled:
             self.shadow_settings = {
@@ -784,6 +815,7 @@ class Rasterizer:
                 "sun_res": int(sun_res),
                 "max_lights": int(max_lights),
                 "bias": float(bias),
+                "dynamic_casters": bool(dynamic_casters),
             }
         else:
             self.shadow_settings = None
@@ -975,10 +1007,18 @@ class Rasterizer:
         """Static (start, end) live-slot ranges in the CONCATENATED d3
         space, rounded up to the reflect chunk size — lets the reflection
         intersect drop the pack's dead-padding chunks from its scan
-        statically (ops/reflect.py intersect_rays live_ranges). Rounding
-        keeps the tuple (a jit static) stable while per-frame dynamic
-        counts wobble within a chunk. Falls back to None (scan everything)
-        if a pack ever violates the live-slots-are-a-prefix invariant."""
+        statically (ops/reflect.py intersect_rays live_ranges). Falls back
+        to None (scan everything) if the static pack ever violates the
+        live-slots-are-a-prefix invariant.
+
+        MUST be called with the HOST-side (numpy) dynamic pack, BEFORE the
+        per-frame device_put: reading a device `valid` back would be a
+        per-frame D2H sync on the hot loop. The dynamic range covers the
+        pack's FULL capacity (not the live count): the returned tuple is a
+        jit static, and a live count wobbling across a chunk boundary
+        frame-to-frame would silently retrigger a full render_frame
+        compile mid-run. Capacity is stable (stable_dynamic_caps); dead
+        dyn slots inside the range are masked by their valid flag."""
         if self.reflection_samples <= 0 and not self.sky_light_enabled:
             return None
         from .reflect import REFLECT_CHUNK as _RC
@@ -992,15 +1032,9 @@ class Rasterizer:
         if n_static:
             ranges.append((0, min(cap_static, -(-n_static // _RC) * _RC)))
         if d3_dyn is not None:
-            vd = np.asarray(d3_dyn["valid"])
-            n_dyn = int((vd > 0.5).sum())
-            if n_dyn and not (vd[:n_dyn] > 0.5).all():
-                return None
-            if n_dyn:
-                end = cap_static + min(
-                    vd.shape[0], -(-n_dyn // _RC) * _RC
-                )
-                ranges.append((cap_static, end))
+            cap_dyn = int(d3_dyn["valid"].shape[0])  # shape only: no D2H
+            if cap_dyn:
+                ranges.append((cap_static, cap_static + cap_dyn))
         return tuple(ranges) if ranges else None
 
     def _refl_sky_linear(self) -> np.ndarray:
@@ -1036,7 +1070,9 @@ class Rasterizer:
 
     def _shadow_pack(self, cache, packed, lights, scene_key):
         """Bake (or fetch cached) shadow maps for this frame's casting
-        lights -> (rows_dev, params_dev, params_np, spec) or Nones."""
+        lights -> (rows_dev, params_dev, params_np, spec, cams_dev) or
+        Nones. cams_dev: the per-entry camera pack the per-frame dynamic
+        caster composite re-renders with (ops/shadow.py bake_shadow_cams)."""
         cfg = self.shadow_settings
         types = np.asarray(lights["type"])
         valid = np.asarray(lights["valid"])
@@ -1054,7 +1090,7 @@ class Rasterizer:
             else None
         )
         if not cast and sun_dir is None:
-            return None, None, None, None
+            return None, None, None, None, None
         with_trans = self._rs_shadow_steps > 0 and bool(
             packed.d3_opacity.valid.any()
         )
@@ -1080,7 +1116,7 @@ class Rasterizer:
         hit = _SHADOW_CACHE.get(key)
         if hit is not None:
             return hit
-        from .shadow import bake_shadow_pack, scene_bounds
+        from .shadow import bake_shadow_cams, bake_shadow_pack, scene_bounds
 
         bounds = scene_bounds(packed.d3.pos, packed.d3.valid)
         rows, params_np, spec = bake_shadow_pack(
@@ -1096,11 +1132,13 @@ class Rasterizer:
             bias=cfg["bias"],
             bounds=bounds,
         )
+        cams = bake_shadow_cams(lights, spec, sun_dir, bounds)
         entry = (
             rows.reshape(-1),
             jax.device_put(params_np),
             params_np,
             spec,
+            jax.device_put(cams) if cams is not None else None,
         )
         if len(_SHADOW_CACHE) > 8:
             _SHADOW_CACHE.clear()
@@ -1297,9 +1335,9 @@ class Rasterizer:
         lights_dev = lights  # numpy until the batched device_put below
         light_count = len(live_lights)
 
-        shadow_rows = shadow_params_dev = shadow_spec = None
+        shadow_rows = shadow_params_dev = shadow_spec = shadow_cams = None
         if self.shadow_settings is not None and self.render_mode.d3_active:
-            shadow_rows, shadow_params_dev, _sp_np, shadow_spec = (
+            shadow_rows, shadow_params_dev, _sp_np, shadow_spec, shadow_cams = (
                 self._shadow_pack(cache, packed, lights, key)
             )
 
@@ -1413,6 +1451,14 @@ class Rasterizer:
             shadow_rows=shadow_rows,
             shadow_params=shadow_params_dev,
             shadow_spec=shadow_spec,
+            shadow_dyn=bool(
+                shadow_cams is not None
+                and has_dyn
+                and d3_dyn is not None
+                and d3_dyn["pos"].shape[0] > 0
+                and self.shadow_settings.get("dynamic_casters", True)
+            ),
+            shadow_cams=shadow_cams,
             ao_taps=self._ao_taps() if self.render_mode.d3_active else None,
             brdf_ggx=self.brdf == "ggx",
             tonemap=self.tonemap == "scenevm",

@@ -28,6 +28,12 @@ Divergences (documented intent):
     skip the hit-side shadow ray the WGSL nests inside pbr_lighting
     (one-bounce radiance cache behavior); primaries keep their shadow
     maps.
+  * the WGSL adds `refl_albedo * mat.emissive * 2.0` for LIT emissive
+    hits (3d_shader.wgsl:812, emissive <= 0.99). Emissive here is a
+    per-PIXEL matmap channel (no per-triangle scalar exists in the d3
+    pack), so hit shading keeps only the fullbright>0.99-class shortcut
+    (raw texel); partially-emissive matmap surfaces read as non-emissive
+    in reflections.
 """
 
 from __future__ import annotations
@@ -215,7 +221,7 @@ def _shade_reflection_hits(
     everything else gets Cook-Torrance direct light (sun + point lights)
     plus the uniform ambient; misses return the sky color.
 
-    All per-triangle attributes ride ONE fused row-gather (31 columns) —
+    All per-triangle attributes ride ONE fused row-gather (35 columns) —
     ~30 separate (P,) element gathers measured ~8ns/element each, i.e.
     hundreds of ms at 1080p (the same lesson as shade_pass's fused
     meta gather); shapes stay (H,W) so the trailing 3-axis helpers tile
@@ -228,7 +234,7 @@ def _shade_reflection_hits(
 
     # fused per-tri table: vertex A (3) | e1 (3) | e2 (3) | uv a/b/c (6) |
     # nrm a/b/c (9) | has_n | kind | tex_slot | rgba (4) | repeat |
-    # receives_light | rough | metal  == 31 cols
+    # receives_light | rough | metal  == 35 cols
     ax_, ay_, az_ = pos[:, 0, 0], pos[:, 0, 1], pos[:, 0, 2]
     cols = [
         ax_, ay_, az_,
@@ -328,7 +334,7 @@ def _shade_reflection_hits(
     n_dot_v = jnp.maximum(nx * vhx + ny * vhy + nz * vhz, 0.0)
     gv = n_dot_v / (n_dot_v * (1.0 - k_h) + k_h + 1e-7)
 
-    def ggx(ldx, ldy, ldz, rad_r, rad_g, rad_b):
+    def ggx(ldx, ldy, ldz, rad_r, rad_g, rad_b, clamp_spec=False):
         # same chain as the megakernel brdf_ggx closure (pbr_lighting,
         # 3d_shader.wgsl:585-650), per-pixel roughness/metallic
         n_dot_l = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
@@ -350,12 +356,29 @@ def _shade_reflection_hits(
         fg = f0_g + (1.0 - f0_g) * x5
         fb = f0_b + (1.0 - f0_b) * x5
         dd = (1.0 - metal) * n_dot_l * inv_pi
-        sl = spec * n_dot_l
+        # Fresnel-weighted specular; point lights clamp it per component
+        # to kill the grazing-angle explosion (3d_shader.wgsl:652
+        # `specular = min(specular, vec3(1.0))` — the sun branch has no
+        # such clamp, so it stays optional here)
+        sp_r, sp_g, sp_b = fr * spec, fg * spec, fb * spec
+        if clamp_spec:
+            sp_r = jnp.minimum(sp_r, 1.0)
+            sp_g = jnp.minimum(sp_g, 1.0)
+            sp_b = jnp.minimum(sp_b, 1.0)
         dead = (n_dot_l <= 0.0) | (n_dot_v <= 0.0)
         return (
-            jnp.where(dead, 0.0, ((1.0 - fr) * dd * alb_r + fr * sl) * rad_r),
-            jnp.where(dead, 0.0, ((1.0 - fg) * dd * alb_g + fg * sl) * rad_g),
-            jnp.where(dead, 0.0, ((1.0 - fb) * dd * alb_b + fb * sl) * rad_b),
+            jnp.where(
+                dead, 0.0,
+                ((1.0 - fr) * dd * alb_r + sp_r * n_dot_l) * rad_r,
+            ),
+            jnp.where(
+                dead, 0.0,
+                ((1.0 - fg) * dd * alb_g + sp_g * n_dot_l) * rad_g,
+            ),
+            jnp.where(
+                dead, 0.0,
+                ((1.0 - fb) * dd * alb_b + sp_b * n_dot_l) * rad_b,
+            ),
         )
 
     # sun
@@ -433,6 +456,7 @@ def _shade_reflection_hits(
             lights["color"][i, 0] * sc,
             lights["color"][i, 1] * sc,
             lights["color"][i, 2] * sc,
+            clamp_spec=True,
         )
         lit_r = lit_r + cr
         lit_g = lit_g + cg
@@ -459,14 +483,14 @@ def _shade_reflection_hits(
     jax.jit,
     static_argnames=("width", "height", "sample_mode", "samples",
                      "has_blend", "has_material", "has_matmap", "shaders",
-                     "live_ranges"),
+                     "live_ranges", "stride", "rt_pallas"),
 )
 def reflection_pass(
     z, idx, hit, attr_planes, tri_id, d3, atlas, lights, uniforms,
     width: int, height: int, sample_mode: int = 0, samples: int = 1,
     shaders: tuple = (), has_blend: bool = False,
     has_material: bool = False, has_matmap: bool = False,
-    live_ranges: tuple = None,
+    live_ranges: tuple = None, stride: int = 1, rt_pallas: bool = False,
 ):
     """GGX reflection radiance for every covered pixel -> (H,W,3) linear
     plus a (H,W) applied-mask (pixels whose samples all faced away keep 0).
@@ -481,13 +505,19 @@ def reflection_pass(
 
     Everything stays (H,W)-shaped: component math on 2D fields tiles the
     VPU like the shade pass; only the Möller-Trumbore wavefront flattens
-    to (P,) for its (P, chunk) scan."""
+    to (P,) for its (P, chunk) scan.
+
+    `stride` > 1: inputs are every stride-th pixel of a full-res frame
+    (reflection_pass_scaled). The G-buffer evaluates its full-res-space
+    attribute planes at the TRUE pixel centers (x*stride + 0.5) and the
+    hash seeds use full-res pixel coordinates, so the strided pass is
+    bit-equal to the full-res pass subsampled at the same pixels."""
     from .shade import gbuffer_pass
 
     g = gbuffer_pass(
         z, idx, hit, attr_planes, tri_id, d3, atlas, uniforms, width,
-        height, sample_mode, 0, height, shaders, has_blend, has_material,
-        has_matmap,
+        height, sample_mode, 0, height * stride, shaders, has_blend,
+        has_material, has_matmap, stride=stride,
     )
     world = g["world"]
     normal = g["normal"]
@@ -522,11 +552,15 @@ def reflection_pass(
     a_r = rough * rough
     a2 = a_r * a_r
 
+    # hash seeds in FULL-res pixel coordinates (f32(px) in the WGSL): the
+    # strided pass seeds each surviving pixel identically to full-res
     xs = jnp.broadcast_to(
-        jnp.arange(width, dtype=jnp.float32)[None, :], (height, width)
+        jnp.arange(width, dtype=jnp.float32)[None, :] * stride,
+        (height, width),
     )
     ys = jnp.broadcast_to(
-        jnp.arange(height, dtype=jnp.float32)[:, None], (height, width)
+        jnp.arange(height, dtype=jnp.float32)[:, None] * stride,
+        (height, width),
     )
 
     max_dist = uniforms["refl_dist"]
@@ -565,14 +599,27 @@ def reflection_pass(
         d_x = jnp.where(ok, lx, 0.0)
         d_y = jnp.where(ok, ly, -1.0)
         d_z = jnp.where(ok, lz, 0.0)
-        t, tri = intersect_rays(
-            d3["pos"], d3["valid"],
-            o_x.reshape(p), o_y.reshape(p), o_z.reshape(p),
-            d_x.reshape(p), d_y.reshape(p), d_z.reshape(p), max_dist,
-            live_ranges=live_ranges,
-        )
-        t = t.reshape(height, width)
-        tri = jnp.where(ok, tri.reshape(height, width), -1)
+        if rt_pallas:
+            # spatial-index kernel (ops/rt_kernel.py — the reference's
+            # sv_trace_grid slot): distance-ordered cell shortlists +
+            # per-block early exit instead of the brute-force chunk scan
+            from .rt_kernel import intersect_rays_pallas
+
+            t, tri = intersect_rays_pallas(
+                d3["pos"], d3["valid"], o_x, o_y, o_z, d_x, d_y, d_z,
+                max_dist, height, width,
+                interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+            )
+            tri = jnp.where(ok, tri, -1)
+        else:
+            t, tri = intersect_rays(
+                d3["pos"], d3["valid"],
+                o_x.reshape(p), o_y.reshape(p), o_z.reshape(p),
+                d_x.reshape(p), d_y.reshape(p), d_z.reshape(p), max_dist,
+                live_ranges=live_ranges,
+            )
+            t = t.reshape(height, width)
+            tri = jnp.where(ok, tri.reshape(height, width), -1)
         color = _shade_reflection_hits(
             t, tri, o_x, o_y, o_z, d_x, d_y, d_z, d3, atlas, lights,
             uniforms, sample_mode, sky_rgb,
@@ -594,13 +641,15 @@ def reflection_pass(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "sample_mode", "has_blend",
-                     "has_material", "has_matmap", "shaders", "live_ranges"),
+                     "has_material", "has_matmap", "shaders", "live_ranges",
+                     "rt_pallas"),
 )
 def sky_light_pass(
     z, idx, hit, attr_planes, tri_id, d3, atlas, uniforms,
     width: int, height: int, sample_mode: int = 0, shaders: tuple = (),
     has_blend: bool = False, has_material: bool = False,
     has_matmap: bool = False, live_ranges: tuple = None,
+    rt_pallas: bool = False,
 ):
     """Directional sky-bounce ambient (the WGSL `sky_contribution`,
     embedded/shader/3d_shader.wgsl:744-758): per pixel, ONE deterministic
@@ -650,14 +699,24 @@ def sky_light_pass(
     d_y = jnp.where(live, ry, -1.0)
     d_z = jnp.where(live, rz, 0.0)
 
-    p = width * height
-    _t, tri = intersect_rays(
-        d3["pos"], d3["valid"],
-        o_x.reshape(p), o_y.reshape(p), o_z.reshape(p),
-        d_x.reshape(p), d_y.reshape(p), d_z.reshape(p),
-        uniforms["refl_dist"], live_ranges=live_ranges,
-    )
-    vis = live & (tri.reshape(height, width) < 0)
+    if rt_pallas:
+        from .rt_kernel import intersect_rays_pallas
+
+        _t, tri2 = intersect_rays_pallas(
+            d3["pos"], d3["valid"], o_x, o_y, o_z, d_x, d_y, d_z,
+            uniforms["refl_dist"], height, width,
+            interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+        )
+    else:
+        p = width * height
+        _t, tri = intersect_rays(
+            d3["pos"], d3["valid"],
+            o_x.reshape(p), o_y.reshape(p), o_z.reshape(p),
+            d_x.reshape(p), d_y.reshape(p), d_z.reshape(p),
+            uniforms["refl_dist"], live_ranges=live_ranges,
+        )
+        tri2 = tri.reshape(height, width)
+    vis = live & (tri2 < 0)
     term = (
         uniforms["refl_sky"][None, None, :]
         * sky_factor[..., None]
@@ -671,7 +730,7 @@ def reflection_pass_scaled(
     width: int, height: int, sample_mode: int = 0, samples: int = 1,
     shaders: tuple = (), has_blend: bool = False,
     has_material: bool = False, has_matmap: bool = False,
-    live_ranges: tuple = None, scale: int = 1,
+    live_ranges: tuple = None, scale: int = 1, rt_pallas: bool = False,
 ):
     """reflection_pass at 1/scale resolution, bilinearly upsampled.
 
@@ -683,14 +742,15 @@ def reflection_pass_scaled(
         return reflection_pass(
             z, idx, hit, attr_planes, tri_id, d3, atlas, lights, uniforms,
             width, height, sample_mode, samples, shaders, has_blend,
-            has_material, has_matmap, live_ranges,
+            has_material, has_matmap, live_ranges, rt_pallas=rt_pallas,
         )
     hs, ws = height // scale, width // scale
     sl = (slice(0, hs * scale, scale), slice(0, ws * scale, scale))
     refl_lo, mask_lo = reflection_pass(
         z[sl], idx[sl], hit[sl], attr_planes, tri_id, d3, atlas, lights,
         uniforms, ws, hs, sample_mode, samples, shaders, has_blend,
-        has_material, has_matmap, live_ranges,
+        has_material, has_matmap, live_ranges, stride=scale,
+        rt_pallas=rt_pallas,
     )
     refl_lo = jnp.where(mask_lo[..., None], refl_lo, 0.0)
     up = jax.image.resize(refl_lo, (height, width, 3), "bilinear")

@@ -367,15 +367,22 @@ def gbuffer_pass(
     has_blend: bool = False,
     has_material: bool = False,
     has_matmap: bool = False,
+    stride: int = 1,
 ):
     """Reconstruct the per-pixel G-buffer from the winning triangles:
     world position, shading normal, linear albedo, roughness/metallic,
     emissive, opacity (the deferred-attribute half of shade_pass, shared
     with the reflection pass — ops/reflect.py). Recompute-over-store: the
     TPU re-derives these from the tiny plane tables instead of carrying a
-    fat G-buffer through HBM."""
+    fat G-buffer through HBM.
+
+    `stride` > 1: the (height, width) inputs are every stride-th pixel of
+    a full-res frame (the half-res reflection knob). The attribute-plane
+    coefficients (setup_pass _slot_planes) are in FULL-res screen pixel
+    space, so pixel centers evaluate at x*stride + 0.5 and the NDC
+    unproject uses the full-res frame dimensions."""
     if full_height is None:
-        full_height = height
+        full_height = height * stride
     slot = jnp.maximum(idx, 0)
     t = take_iso(tri_id, slot)  # (H,W) source triangle index
 
@@ -432,8 +439,12 @@ def gbuffer_pass(
     # source2
     mb = n_planes + 12 + (2 if has_material else 0) + (4 if has_matmap else 0)
 
-    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
-    py = jnp.arange(height, dtype=jnp.float32)[:, None] + jnp.float32(y0) + 0.5
+    px = jnp.arange(width, dtype=jnp.float32)[None, :] * stride + 0.5
+    py = (
+        jnp.arange(height, dtype=jnp.float32)[:, None] * stride
+        + jnp.float32(y0)
+        + 0.5
+    )
     px = jnp.broadcast_to(px, (height, width))
     py = jnp.broadcast_to(py, (height, width))
 
@@ -447,7 +458,7 @@ def gbuffer_pass(
 
     world = screen_to_world(
         px, py, z, uniforms["inv_proj"], uniforms["inv_view"],
-        jnp.float32(width), jnp.float32(full_height),
+        jnp.float32(width * stride), jnp.float32(full_height),
     )
 
     # normal: interpolate + flip toward viewer (rasterizer.rs:1083-1099)

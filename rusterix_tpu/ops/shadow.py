@@ -296,6 +296,91 @@ def bake_shadow_pack(
     return rows, params, (sun_entry, tuple(cube_entries))
 
 
+def bake_shadow_cams(lights, spec, sun_dir=None, bounds=None):
+    """(n_entries, 8, 4, 4) f32 camera pack for the per-frame DYNAMIC
+    caster composite (composite_dynamic_depth below) — rebuilt from the
+    same inputs bake_shadow_pack used, so the dynamic layer renders with
+    bit-identical cameras to the cached static maps.
+
+    Entry order mirrors the spec walk (sun first if present, then cube
+    entries). Sun rows: [view, proj, consts, 0...]; cube rows:
+    [view0..view5, proj, consts]; consts[0, :2] = the (A, B) depth
+    constants. Returns None when the spec is empty."""
+    sun_entry, cube_entries = spec
+    n = (1 if sun_entry is not None else 0) + len(cube_entries)
+    if n == 0:
+        return None
+    cams = np.zeros((n, 8, 4, 4), np.float32)
+    ei = 0
+    if sun_entry is not None:
+        center, radius = bounds
+        view, proj, sp = sun_camera(sun_dir, center, radius)
+        a, b = depth_const(sp["near"], sp["far"])
+        cams[0, 0] = view
+        cams[0, 1] = proj
+        cams[0, 2, 0, 0] = a
+        cams[0, 2, 0, 1] = b
+        ei = 1
+    positions = np.asarray(lights["position"])
+    ends = np.asarray(lights["end"])
+    for li, _base, _res, _tb in cube_entries:
+        far = float(max(ends[li], SHADOW_NEAR * 2.0))
+        a, b = depth_const(SHADOW_NEAR, far)
+        proj = perspective_fov_rh_zo(np.pi / 2.0, 1.0, 1.0, SHADOW_NEAR, far)
+        for face in range(6):
+            cams[ei, face] = face_view_matrix(positions[li], face)
+        cams[ei, 6] = proj
+        cams[ei, 7, 0, 0] = a
+        cams[ei, 7, 0, 1] = b
+        ei += 1
+    return cams
+
+
+def composite_dynamic_depth(rows_flat, spec, cams, pos, uv, nrm, valid):
+    """Min-composite the per-frame DYNAMIC pack's depth into every baked
+    shadow map — dynamic geometry casts shadows like the static world.
+
+    The reference's shadow trace goes through trace_shadow_unified ->
+    trace_billboards, so entities/items occlude light exactly like static
+    geometry (3d_shader.wgsl:436-460, 297-327). Here the cached static
+    maps stay cached; only the (small) dynamic pack re-renders per frame
+    through the SAME _depth_face camera/visibility path, and an
+    elementwise min folds it in (a closer occluder wins either way).
+    Dead dyn slots produce no coverage, so an idle frame is a no-op.
+
+    Documented divergence: dynamic TRANSPARENT batches do not attenuate
+    (the transmittance maps stay static-only) — they occlude fully if
+    packed opaque, not at all if packed transparent.
+
+    rows_flat: the flattened (S*128,) table; spec/cams from
+    bake_shadow_pack/bake_shadow_cams; pos/uv/nrm/valid: the dynamic d3
+    pack. Returns the composited flat table."""
+    sun_entry, cube_entries = spec
+    ei = 0
+    if sun_entry is not None:
+        base, res, _tb = sun_entry
+        d = _depth_face(
+            pos, uv, nrm, valid, cams[0, 0], cams[0, 1],
+            cams[0, 2, 0, 0], cams[0, 2, 0, 1], res,
+        )
+        rows_flat = rows_flat.at[base : base + res * res].min(d.reshape(-1))
+        ei = 1
+    for _li, base, res, _tb in cube_entries:
+        proj = cams[ei, 6]
+        a = cams[ei, 7, 0, 0]
+        b = cams[ei, 7, 0, 1]
+        for face in range(6):
+            d = _depth_face(
+                pos, uv, nrm, valid, cams[ei, face], proj, a, b, res
+            )
+            off = base + face * res * res
+            rows_flat = rows_flat.at[off : off + res * res].min(
+                d.reshape(-1)
+            )
+        ei += 1
+    return rows_flat
+
+
 # ---------------------------------------------------------------------------
 # lookup side (XLA / numpy-oracle formulation; the megakernel mirrors this
 # with in-tile lane gathers — tests assert all three agree bit-for-bit)

@@ -313,3 +313,68 @@ def test_render_settings_drive_reflections():
     off = base_rast.rasterize(base_scene, W, H, 40, Assets.default())
     on = rast.rasterize(scene, W, H, 40, Assets.default())
     assert np.abs(on.astype(int) - off.astype(int)).max() > 10
+
+
+def test_reflection_stride_matches_full_res_subsampled():
+    """The strided (scale=2) reflection_pass must equal the FULL-res pass
+    subsampled at the same pixels, on a TEXTURED scene.
+
+    Pins the round-4 advisor finding: gbuffer_pass evaluates attribute
+    planes in full-res screen pixel space, so the strided call must
+    evaluate them at x*stride + 0.5 (not x + 0.5) and seed its hash33
+    with full-res pixel coordinates — a flat solid-color mirror floor
+    cannot detect this; a checkerboard floor shifts texels when the
+    planes are evaluated at the wrong screen position."""
+    from rusterix_tpu import Texture, Tile
+    from rusterix_tpu.ops.reflect import reflection_pass
+    from rusterix_tpu.ops.setup_pass import setup_pass
+    from rusterix_tpu.ops.visibility import visibility_pass
+
+    floor = (
+        Batch3D.from_box(-3, -1.3, -3, 6, 0.2, 6)
+        .set_source(PixelSource.static_tile_index(0))
+        .with_computed_normals()
+    )
+    box = (
+        Batch3D.from_box(-0.5, -0.5, -0.5, 1.0, 1.0, 1.0)
+        .set_source(PixelSource.pixel((250, 40, 40, 255)))
+        .with_computed_normals()
+    )
+    scene = Scene.from_static([], [floor, box]).set_lights(
+        [Light(LightType.Point).with_position([2, 2, 2])
+         .with_intensity(1.5).compile()]
+    )
+    assets = Assets.default().with_textures(
+        [Tile.from_texture(Texture.checkerboard(32, 4))]
+    )
+    cam = D3OrbitCamera()
+    cam.azimuth = 0.8
+    cam.set_parameter_f32("distance", 4.0)
+    rast = Rasterizer.setup(
+        None, cam.view_matrix(), cam.projection_matrix(W, H)
+    )
+    rast.ambient((0.25, 0.3, 0.35, 1.0)).background((90, 120, 160, 255))
+    rast.set_reflections(1)
+    rast.keep_frame_args = True
+    rast.rasterize(scene, W, H, 40, assets)
+    fa = rast._frame_args
+    d3, atlas = fa["d3"], fa["atlas"]
+    lights, uniforms = fa["lights"], fa["uniforms"]
+
+    vis, attr, bbox, alive, tri_id = setup_pass(
+        d3["pos"], d3["uv"], d3["nrm"], d3["valid"], d3["cull"],
+        uniforms["view"], uniforms["proj"], W, H,
+    )
+    z, idx, hit = visibility_pass(vis, alive.astype(jnp.float32), W, H)
+    full, fmask = reflection_pass(
+        z, idx, hit, attr, tri_id, d3, atlas, lights, uniforms, W, H, 0, 2,
+    )
+    sl = (slice(0, H, 2), slice(0, W, 2))
+    lo, lmask = reflection_pass(
+        z[sl], idx[sl], hit[sl], attr, tri_id, d3, atlas, lights, uniforms,
+        W // 2, H // 2, 0, 2, stride=2,
+    )
+    np.testing.assert_array_equal(np.asarray(lmask), np.asarray(fmask)[sl])
+    np.testing.assert_allclose(
+        np.asarray(lo), np.asarray(full)[sl], atol=1e-5, rtol=0
+    )
