@@ -757,7 +757,7 @@ def _mega_kernel(
             msd_s = params_ref[59]
             bias_s = params_ref[60]
 
-            def _cube_factor(lpx, lpy, lpz, l_end, base, res, tbase):
+            def _cube_factor(lpx, lpy, lpz, l_end, base, res, tbase, steps):
                 tpx0 = wx - lpx
                 tpy0 = wy - lpy
                 tpz0 = wz - lpz
@@ -810,6 +810,8 @@ def _mega_kernel(
                 live = hit & (ma0 < l_end)
                 stored = jnp.zeros_like(ma)
                 trans = jnp.ones_like(ma)
+                msize = 6 * res * res
+                rel = flat - base
                 for f in range(6):
                     m_f = live & (face == f)
                     g = _row_gather_f32(
@@ -817,26 +819,43 @@ def _mega_kernel(
                     )
                     stored = jnp.where(m_f, g, stored)
                     if tbase >= 0:
-                        t_flat = flat - base + tbase
-                        gt = _row_gather_f32(
-                            shadow_ref, t_flat >> 7, t_flat & 127, mask=m_f
-                        )
-                        trans = jnp.where(m_f, gt, trans)
+                        # depth-peeled transparent layers: attenuate only
+                        # through layers strictly between light and
+                        # receiver (shadow_factor_xla mirror; trace_shadow
+                        # stepping, 3d_shader.wgsl:479-515)
+                        for k in range(steps):
+                            d_flat = tbase + (2 * k) * msize + rel
+                            a_flat = tbase + (2 * k + 1) * msize + rel
+                            dk = _row_gather_f32(
+                                shadow_ref, d_flat >> 7, d_flat & 127,
+                                mask=m_f,
+                            )
+                            ak = _row_gather_f32(
+                                shadow_ref, a_flat >> 7, a_flat & 127,
+                                mask=m_f,
+                            )
+                            between = (
+                                m_f & (dk < ma - bias_s)
+                                & (ma - dk <= msd_s)
+                            )
+                            trans = trans * jnp.where(
+                                between, 1.0 - ak, 1.0
+                            )
                 blocked = live & (stored < ma - bias_s) & (ma - stored <= msd_s)
                 factor = jnp.where(blocked, 0.0, 1.0)
                 if tbase >= 0:
                     factor = factor * trans
                 return factor
 
-            for li_e, base_e, res_e, tbase_e in cube_entries:
+            for li_e, base_e, res_e, tbase_e, steps_e in cube_entries:
                 shadow_cube[li_e] = _cube_factor(
                     lights_ref[li_e, 0], lights_ref[li_e, 1],
                     lights_ref[li_e, 2], lights_ref[li_e, 5],
-                    base_e, res_e, tbase_e,
+                    base_e, res_e, tbase_e, steps_e,
                 )
 
             if sun_entry is not None and not sun_off:
-                base_e, res_e, tbase_e = sun_entry
+                base_e, res_e, tbase_e, steps_e = sun_entry
                 dx0 = wx - params_ref[61]
                 dy0 = wy - params_ref[62]
                 dz0 = wz - params_ref[63]
@@ -878,14 +897,25 @@ def _mega_kernel(
                 )
                 sun_shadow = jnp.where(blocked, 0.0, 1.0)
                 if tbase_e >= 0:
-                    t_flat = flat - base_e + tbase_e
-                    sun_shadow = sun_shadow * jnp.where(
-                        live,
-                        _row_gather_f32(
-                            shadow_ref, t_flat >> 7, t_flat & 127, mask=live
-                        ),
-                        1.0,
-                    )
+                    msize = res_e * res_e
+                    rel = flat - base_e
+                    for k in range(steps_e):
+                        d_flat = tbase_e + (2 * k) * msize + rel
+                        a_flat = tbase_e + (2 * k + 1) * msize + rel
+                        dk = _row_gather_f32(
+                            shadow_ref, d_flat >> 7, d_flat & 127,
+                            mask=live,
+                        )
+                        ak = _row_gather_f32(
+                            shadow_ref, a_flat >> 7, a_flat & 127,
+                            mask=live,
+                        )
+                        between = (
+                            live & (dk < vz - bias_s) & (vz - dk <= msd_s)
+                        )
+                        sun_shadow = sun_shadow * jnp.where(
+                            between, 1.0 - ak, 1.0
+                        )
 
         occlusion = jnp.ones_like(wx)
         for bi in range(occ_ref.shape[0]):

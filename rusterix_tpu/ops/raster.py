@@ -44,15 +44,19 @@ def _ssaa_downsample(frame_u8, ss: int):
     return jnp.floor(f + 0.5).astype(jnp.uint8)
 
 
-def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, width, height, sample_mode, shaders=()):
+def _shade_opacity(z, idx, hit, attr_planes, tri_id, meta, atlas, uniforms, width, height, sample_mode, shaders=(), y0=0):
     """Opacity-pass shading: texel only, no lighting
-    (reference d3_rasterize_opacity, src/rasterizer.rs:1425-1690)."""
+    (reference d3_rasterize_opacity, src/rasterizer.rs:1425-1690).
+    `y0` offsets the pixel rows (row-sharded framebuffer)."""
     slot = jnp.maximum(idx, 0)
     t = take_iso(tri_id, slot)
     planes = take_iso(attr_planes, slot)
 
     px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5, (height, width))
-    py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5, (height, width))
+    py = jnp.broadcast_to(
+        jnp.arange(height, dtype=jnp.float32)[:, None] + jnp.float32(y0) + 0.5,
+        (height, width),
+    )
 
     def interp(i):
         return planes[..., 3 * i] * px + planes[..., 3 * i + 1] * py + planes[..., 3 * i + 2]
@@ -376,6 +380,8 @@ def render_frame(
             width, height, sample_mode, refl_samples, shaders,
             has_blend, has_material, has_matmap,
             live_ranges=refl_ranges, scale=refl_scale, rt_pallas=rt_pallas,
+            shadow_rows=shadow_rows, shadow_params=shadow_params,
+            shadow_spec=shadow_spec,
         )
         frame = apply_reflections(frame, refl, rmask, tonemap=tonemap)
 
@@ -1094,6 +1100,11 @@ class Rasterizer:
         with_trans = self._rs_shadow_steps > 0 and bool(
             packed.d3_opacity.valid.any()
         )
+        # depth-peeled transmittance layers per map: the reference walks
+        # up to max_shadow_steps transparent surfaces per shadow ray
+        # (3d_shader.wgsl:484); 4 peels cover any shipped content while
+        # bounding map storage at 8 extra planes
+        trans_steps = int(np.clip(self._rs_shadow_steps, 1, 4))
         light_key = tuple(
             (
                 i,
@@ -1112,6 +1123,7 @@ class Rasterizer:
             sun_key,
             round(self._rs_shadow_distance, 4),
             with_trans,
+            trans_steps,
         )
         hit = _SHADOW_CACHE.get(key)
         if hit is not None:
@@ -1128,6 +1140,7 @@ class Rasterizer:
             res=cfg["res"],
             sun_res=cfg["sun_res"],
             with_trans=with_trans,
+            trans_steps=trans_steps,
             max_shadow_distance=self._rs_shadow_distance,
             bias=cfg["bias"],
             bounds=bounds,
@@ -1175,13 +1188,22 @@ class Rasterizer:
         assets=None,
         packed: Optional[PackedScene] = None,
         readback: bool = True,
+        mesh=None,
     ) -> np.ndarray:
         """Render the scene -> (H, W, 4) uint8 numpy frame.
 
         `tile_size` is accepted for API parity; device tiling is chosen by
         the kernels. `readback=False` returns the jax device array instead
         (no D2H transfer — for pipelines that keep consuming on device);
-        host-side 2D line overlays are skipped in that mode."""
+        host-side 2D line overlays are skipped in that mode.
+
+        `mesh`: a jax.sharding.Mesh (parallel.mesh.make_mesh) renders the
+        frame MULTI-CHIP — triangles dp-sharded through setup, the
+        framebuffer row-sharded through every downstream pass, with the
+        full feature family (shadows/AO/GGX/reflections/sky light/fog/
+        transparency/2D) riding along; parity with the single-chip frame
+        is byte-exact (tests/test_multichip.py). Reflections render
+        full-res on this path (the half-res knob stays single-chip)."""
         from ..models.assets import Assets
 
         if assets is None:
@@ -1479,7 +1501,66 @@ class Rasterizer:
         #: loop shouldn't pay for a profiling convenience.
         if getattr(self, "keep_frame_args", False):
             self._frame_args = frame_args
-        if arena_dev is not None:
+        if mesh is not None:
+            # multi-chip dispatch (parallel/mesh.py): the sharded entry
+            # takes pre-concatenated packs, so render_frame's in-graph
+            # dynamic concat and shadow composite happen here instead
+            from ..parallel.mesh import render_frame_sharded
+
+            fa = frame_args
+            d3_in, d3_op_in, d2_in = fa["d3"], fa["d3_op"], fa["d2"]
+            sh_rows = fa["shadow_rows"]
+            if fa["has_dyn"]:
+                d3_in = {
+                    k: jnp.concatenate(
+                        [jnp.asarray(d3_in[k]), jnp.asarray(fa["d3_dyn"][k])]
+                    )
+                    for k in d3_in
+                }
+                d3_op_in = {
+                    k: jnp.concatenate(
+                        [jnp.asarray(d3_op_in[k]),
+                         jnp.asarray(fa["d3_op_dyn"][k])]
+                    )
+                    for k in d3_op_in
+                }
+                d2_in = {
+                    k: jnp.concatenate(
+                        [jnp.asarray(d2_in[k]), jnp.asarray(fa["d2_dyn"][k])]
+                    )
+                    for k in d2_in
+                }
+                if fa["shadow_dyn"]:
+                    from .shadow import composite_dynamic_depth
+
+                    dd = fa["d3_dyn"]
+                    sh_rows = composite_dynamic_depth(
+                        sh_rows, fa["shadow_spec"], jnp.asarray(fa["shadow_cams"]),
+                        jnp.asarray(dd["pos"]), jnp.asarray(dd["uv"]),
+                        jnp.asarray(dd["nrm"]), jnp.asarray(dd["valid"]),
+                    )
+            frame = render_frame_sharded(
+                mesh, d3_in, d2_in, fa["lights"], fa["atlas"],
+                fa["uniforms"], fa["background"], width, height,
+                sample_mode=fa["sample_mode"],
+                has_ambient=fa["has_ambient"], has_lights=fa["has_lights"],
+                has_d2=fa["has_d2"], use_pallas=fa["use_pallas"],
+                has_material=fa["has_material"],
+                light_spec=fa["light_spec"], sun_off=fa["sun_off"],
+                brdf_ggx=fa["brdf_ggx"], tonemap=fa["tonemap"],
+                d3_op=d3_op_in, has_opacity=fa["has_opacity"],
+                transparency_layers=fa["transparency_layers"],
+                preserve_transparency=fa["preserve_transparency"],
+                has_fog=fa["has_fog"], has_sky=fa["has_sky"],
+                sky_pre=fa["sky_pre"],
+                shadow_rows=sh_rows, shadow_params=fa["shadow_params"],
+                shadow_spec=fa["shadow_spec"],
+                ao_taps=fa["ao_taps"], refl_samples=fa["refl_samples"],
+                sky_light=fa["sky_light"],
+                shaders=fa["shaders"], has_blend=fa["has_blend"],
+                has_matmap=fa["has_matmap"],
+            )
+        elif arena_dev is not None:
             passthru = {
                 k: v
                 for k, v in frame_args.items()

@@ -24,10 +24,10 @@ Divergences (documented intent):
     |N.y| <= 0.999, 3d_shader.wgsl:51-57); the tangent pick here is
     robust. Only the sampling frame's azimuth differs — the GGX
     distribution is isotropic around N.
-  * reflection hits shade with the same sun/light set as primaries but
-    skip the hit-side shadow ray the WGSL nests inside pbr_lighting
-    (one-bounce radiance cache behavior); primaries keep their shadow
-    maps.
+  * reflection hits sample the same BAKED shadow maps as primaries
+    where the WGSL traces a fresh shadow ray per hit inside pbr_lighting
+    (3d_shader.wgsl:578-580): identical occluder set, map-resolution
+    depth quantization instead of exact ray hits.
   * the WGSL adds `refl_albedo * mat.emissive * 2.0` for LIT emissive
     hits (3d_shader.wgsl:812, emissive <= 0.99). Emissive here is a
     per-PIXEL matmap channel (no per-triangle scalar exists in the d3
@@ -211,7 +211,7 @@ def intersect_rays(pos, valid, ox, oy, oz, dx, dy, dz, t_max,
 
 def _shade_reflection_hits(
     t, tri, ox, oy, oz, dx, dy, dz, d3, atlas, lights, uniforms,
-    sample_mode: int, sky_rgb,
+    sample_mode: int, sky_rgb, shadow=None,
 ):
     """Radiance arriving along each reflection ray -> (H,W,3) linear.
 
@@ -381,12 +381,30 @@ def _shade_reflection_hits(
             ),
         )
 
+    # per-light geometry shadows at the HIT: the WGSL nests trace_shadow
+    # inside the pbr_lighting it calls on every reflection hit
+    # (3d_shader.wgsl:578-580 via the hit shading at :846-852). The maps
+    # are already baked — each shadowed light costs one rows_flat element
+    # gather at the hit position.
+    sun_f = 1.0
+    cube_by_li = {}
+    sh_rows = sh_params = None
+    if shadow is not None:
+        from .shadow import shadow_factor_xla
+
+        sh_rows, sh_params, (sun_entry, cube_entries) = shadow
+        if sun_entry is not None:
+            sun_f = shadow_factor_xla(
+                sh_rows, sh_params, sun_entry, wxh, wyh, wzh, nx, ny, nz
+            )
+        cube_by_li = {e[0]: e for e in (cube_entries or ())}
+
     # sun
     sun_c = uniforms.get("sun_color", jnp.ones(3, jnp.float32))
     day = uniforms["day_factor"] * uniforms["has_sun"]
     sd = _normalize(-uniforms["sun_dir"])
-    sr, sg, sb = ggx(sd[0], sd[1], sd[2], day * sun_c[0], day * sun_c[1],
-                     day * sun_c[2])
+    sr, sg, sb = ggx(sd[0], sd[1], sd[2], day * sun_c[0] * sun_f,
+                     day * sun_c[1] * sun_f, day * sun_c[2] * sun_f)
     lit_r, lit_g, lit_b = sr, sg, sb
 
     # light rows (light_radiance semantics, component form — the lambert
@@ -451,6 +469,13 @@ def _shade_reflection_hits(
         needs_lambert = ~(is_amb | (lt == 5))
         sc = scale * jnp.where(needs_lambert, lambert, 1.0)
         sc = jnp.where(valid, sc, 0.0)
+        if i in cube_by_li:
+            from .shadow import shadow_factor_xla
+
+            sc = sc * shadow_factor_xla(
+                sh_rows, sh_params, cube_by_li[i], wxh, wyh, wzh,
+                nx, ny, nz, lpos=lights["position"][i],
+            )
         cr, cg, cb = ggx(
             -dpx, -dpy, -dpz,
             lights["color"][i, 0] * sc,
@@ -483,7 +508,8 @@ def _shade_reflection_hits(
     jax.jit,
     static_argnames=("width", "height", "sample_mode", "samples",
                      "has_blend", "has_material", "has_matmap", "shaders",
-                     "live_ranges", "stride", "rt_pallas"),
+                     "live_ranges", "stride", "rt_pallas", "shadow_spec",
+                     "full_height"),
 )
 def reflection_pass(
     z, idx, hit, attr_planes, tri_id, d3, atlas, lights, uniforms,
@@ -491,6 +517,8 @@ def reflection_pass(
     shaders: tuple = (), has_blend: bool = False,
     has_material: bool = False, has_matmap: bool = False,
     live_ranges: tuple = None, stride: int = 1, rt_pallas: bool = False,
+    shadow_rows=None, shadow_params=None, shadow_spec: tuple = None,
+    y0=0, full_height: int = None,
 ):
     """GGX reflection radiance for every covered pixel -> (H,W,3) linear
     plus a (H,W) applied-mask (pixels whose samples all faced away keep 0).
@@ -514,9 +542,10 @@ def reflection_pass(
     bit-equal to the full-res pass subsampled at the same pixels."""
     from .shade import gbuffer_pass
 
+    fh = full_height if full_height is not None else height * stride
     g = gbuffer_pass(
         z, idx, hit, attr_planes, tri_id, d3, atlas, uniforms, width,
-        height, sample_mode, 0, height * stride, shaders, has_blend,
+        height, sample_mode, y0, fh, shaders, has_blend,
         has_material, has_matmap, stride=stride,
     )
     world = g["world"]
@@ -559,7 +588,8 @@ def reflection_pass(
         (height, width),
     )
     ys = jnp.broadcast_to(
-        jnp.arange(height, dtype=jnp.float32)[:, None] * stride,
+        (jnp.arange(height, dtype=jnp.float32)[:, None] + jnp.float32(y0))
+        * stride,
         (height, width),
     )
 
@@ -623,6 +653,11 @@ def reflection_pass(
         color = _shade_reflection_hits(
             t, tri, o_x, o_y, o_z, d_x, d_y, d_z, d3, atlas, lights,
             uniforms, sample_mode, sky_rgb,
+            shadow=(
+                (shadow_rows, shadow_params, shadow_spec)
+                if shadow_spec is not None
+                else None
+            ),
         )
         x5 = jnp.clip(1.0 - jnp.maximum(vdh, 0.0), 0.0, 1.0) ** 5
         fres = f0 + (1.0 - f0) * x5[..., None]
@@ -642,14 +677,14 @@ def reflection_pass(
     jax.jit,
     static_argnames=("width", "height", "sample_mode", "has_blend",
                      "has_material", "has_matmap", "shaders", "live_ranges",
-                     "rt_pallas"),
+                     "rt_pallas", "full_height"),
 )
 def sky_light_pass(
     z, idx, hit, attr_planes, tri_id, d3, atlas, uniforms,
     width: int, height: int, sample_mode: int = 0, shaders: tuple = (),
     has_blend: bool = False, has_material: bool = False,
     has_matmap: bool = False, live_ranges: tuple = None,
-    rt_pallas: bool = False,
+    rt_pallas: bool = False, y0=0, full_height: int = None,
 ):
     """Directional sky-bounce ambient (the WGSL `sky_contribution`,
     embedded/shader/3d_shader.wgsl:744-758): per pixel, ONE deterministic
@@ -667,8 +702,9 @@ def sky_light_pass(
 
     g = gbuffer_pass(
         z, idx, hit, attr_planes, tri_id, d3, atlas, uniforms, width,
-        height, sample_mode, 0, height, shaders, has_blend, has_material,
-        has_matmap,
+        height, sample_mode, y0,
+        full_height if full_height is not None else height,
+        shaders, has_blend, has_material, has_matmap,
     )
     world = g["world"]
     normal = g["normal"]
@@ -731,6 +767,7 @@ def reflection_pass_scaled(
     shaders: tuple = (), has_blend: bool = False,
     has_material: bool = False, has_matmap: bool = False,
     live_ranges: tuple = None, scale: int = 1, rt_pallas: bool = False,
+    shadow_rows=None, shadow_params=None, shadow_spec: tuple = None,
 ):
     """reflection_pass at 1/scale resolution, bilinearly upsampled.
 
@@ -743,6 +780,8 @@ def reflection_pass_scaled(
             z, idx, hit, attr_planes, tri_id, d3, atlas, lights, uniforms,
             width, height, sample_mode, samples, shaders, has_blend,
             has_material, has_matmap, live_ranges, rt_pallas=rt_pallas,
+            shadow_rows=shadow_rows, shadow_params=shadow_params,
+            shadow_spec=shadow_spec,
         )
     hs, ws = height // scale, width // scale
     sl = (slice(0, hs * scale, scale), slice(0, ws * scale, scale))
@@ -750,7 +789,8 @@ def reflection_pass_scaled(
         z[sl], idx[sl], hit[sl], attr_planes, tri_id, d3, atlas, lights,
         uniforms, ws, hs, sample_mode, samples, shaders, has_blend,
         has_material, has_matmap, live_ranges, stride=scale,
-        rt_pallas=rt_pallas,
+        rt_pallas=rt_pallas, shadow_rows=shadow_rows,
+        shadow_params=shadow_params, shadow_spec=shadow_spec,
     )
     refl_lo = jnp.where(mask_lo[..., None], refl_lo, 0.0)
     up = jax.image.resize(refl_lo, (height, width, 3), "bilinear")

@@ -17,11 +17,15 @@ megakernel's tmask gating):
   * rays stay in their natural (H, W) screen layout and are tiled into
     (RT_BH x RT_BW) blocks — one Pallas program per block. Reflection /
     sky rays originate from the G-buffer, so a screen tile's origins are
-    world-space compact; that coherence is the whole trick.
-  * triangles are grouped into CELLs of 64 Morton-contiguous pack slots
-    (the pack is already Morton-sorted — ops/visibility_pallas.morton_sort)
-    with device-computed world AABBs; dead slots collapse to empty boxes,
-    which subsumes reflect.py's static live_ranges machinery.
+    world-space compact; that coherence is the whole trick. SMALL blocks
+    matter: the tighter the origin box, the truer the distance ordering
+    and the earlier the early-exit (measured 64.5 -> sub-40 ms @1080p
+    going 16x256 -> 8x128 on the map scene).
+  * triangles are grouped into CELLs of RT_CELL Morton-contiguous pack
+    slots (the pack is already Morton-sorted —
+    ops/visibility_pallas.morton_sort) with device-computed world AABBs;
+    dead slots collapse to empty boxes, which subsumes reflect.py's
+    static live_ranges machinery.
   * an XLA prep pass computes, per block: the live-ray origin AABB, a
     direction interval box, and a DISTANCE-ORDERED shortlist of cells —
     keyed by the box-to-box euclidean gap, a lower bound on any ray's t
@@ -33,10 +37,13 @@ megakernel's tmask gating):
     vector->scalar reduction per visited cell, skipped after the last
     entry — the megakernel's minb lesson).
 
-Memory plan: the (T,16) triangle table and per-block shortlists live in
-VMEM (scalar-read per triangle, static lane / dynamic sublane — the
-megakernel's legal-read pattern); no SMEM tables, so there is no 64K-slot
-cliff here — the VMEM table is the only size gate (RT_SLOT_LIMIT).
+Memory plan: the (T,16) triangle table lives whole in VMEM (scalar-read
+per triangle, static lane / dynamic sublane — the megakernel's legal-read
+pattern); the per-block (ncells, 1) tnear/shortlist rows ride ordinary
+VMEM BlockSpecs sliced by program id (dynamic sublane, static lane), so
+there is NO SMEM table and no entry budget — block and cell sizes are
+free tuning knobs. The VMEM triangle table is the only size gate
+(RT_SLOT_LIMIT).
 
 Semantics match intersect_rays exactly (same epsilon chain; strict-<
 winner), except cross-cell t ties may resolve to a different triangle
@@ -55,34 +62,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: pack slots per spatial cell (Morton-contiguous -> tight AABBs); grows
-#: automatically when the per-block SMEM shortlists would exceed budget
+#: pack slots per spatial cell (Morton-contiguous -> tight AABBs)
 RT_CELL = int(os.environ.get("RUSTERIX_TPU_RT_CELL", "64"))
-#: ray-block tile (sublanes x lanes)
-RT_BH = int(os.environ.get("RUSTERIX_TPU_RT_BH", "16"))
-RT_BW = int(os.environ.get("RUSTERIX_TPU_RT_BW", "256"))
+#: ray-block tile (sublanes x lanes) — small blocks = tight origin boxes
+RT_BH = int(os.environ.get("RUSTERIX_TPU_RT_BH", "8"))
+RT_BW = int(os.environ.get("RUSTERIX_TPU_RT_BW", "128"))
 #: largest pack (slots) the VMEM-resident table supports; callers fall
 #: back to the XLA wavefront scan above this
 RT_SLOT_LIMIT = 16384
-#: cap on n_blocks * n_cells: the tnear/slist shortlists are SMEM scalar
-#: prefetch (4+4 bytes per entry; the megakernel's cbox prefetch survives
-#: to ~256KB — stay well under)
-RT_SMEM_ENTRIES = 24576
 
 #: origins >= this are parked dead rays (reflect.py parks at 1e8)
 _PARKED = 1e7
 _BIG = 3e37
 
 
-def _rt_kernel(tnear_ref, slist_ref, tab_ref, tcap_ref,
+def _rt_kernel(tnear_ref, slist_ref, tab_ref, cbox_ref, tcap_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                t_ref, idx_ref, maxt_scr, *, cell: int, ncells: int):
     """One program per ray block: walk the block's distance-ordered cell
     shortlist, Möller-Trumbore each cell's `cell` triangles against the
     whole (RT_BH, RT_BW) ray tile, early-exit on the t lower bound.
 
-    tnear/slist: flat (NB*ncells,) SMEM scalar-prefetch tables (the
-    megakernel's tmask delivery pattern)."""
+    tnear/slist: this block's (1, ncells, 1) VMEM rows (dynamic-sublane
+    scalar reads). cbox: (ncells, 8) world AABBs — before a cell's MT
+    scan (~40 vector ops x `cell` tris) the whole ray tile slab-tests the
+    cell box (~25 vector ops): the prep's box-to-box shortlist is
+    conservative for divergent (rough-lobe) direction intervals, and the
+    exact per-ray test skips most surviving cells outright."""
     tcap = tcap_ref[0, 0]
     oxv = ox_ref[:]
     oyv = oy_ref[:]
@@ -91,23 +97,62 @@ def _rt_kernel(tnear_ref, slist_ref, tab_ref, tcap_ref,
     dyv = dy_ref[:]
     dzv = dz_ref[:]
     live_v = oxv < _PARKED
-    lbase = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)) * ncells
+    inv_dx = 1.0 / jnp.where(jnp.abs(dxv) < 1e-20, 1e-20, dxv)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dyv) < 1e-20, 1e-20, dyv)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dzv) < 1e-20, 1e-20, dzv)
+
+    # per-ray SCENE-EXIT cap: no hit can lie beyond the ray's exit from
+    # the global scene AABB, so sky-bound miss rays stop bounding the
+    # block at t_cap (=refl_dist, often far beyond the scene) and the
+    # whole-block early exit fires almost immediately on sky-heavy tiles
+    e0 = (tcap_ref[0, 1] - oxv) * inv_dx
+    e1 = (tcap_ref[0, 4] - oxv) * inv_dx
+    t_exit = jnp.maximum(e0, e1)
+    e0 = (tcap_ref[0, 2] - oyv) * inv_dy
+    e1 = (tcap_ref[0, 5] - oyv) * inv_dy
+    t_exit = jnp.minimum(t_exit, jnp.maximum(e0, e1))
+    e0 = (tcap_ref[0, 3] - ozv) * inv_dz
+    e1 = (tcap_ref[0, 6] - ozv) * inv_dz
+    t_exit = jnp.minimum(t_exit, jnp.maximum(e0, e1))
+    tcap_v = jnp.minimum(tcap, jnp.maximum(t_exit, 0.0) + 1e-3)
 
     t_ref[:] = jnp.full((RT_BH, RT_BW), jnp.inf, jnp.float32)
     idx_ref[:] = jnp.full((RT_BH, RT_BW), -1, jnp.int32)
     # block-open bound: dead rays contribute 0 so a partially-dead block
     # can still early-exit; an all-dead block never enters the loop
-    maxt_scr[0] = jnp.max(jnp.where(live_v, tcap, 0.0))
+    maxt_scr[0] = jnp.max(jnp.where(live_v, tcap_v, 0.0))
 
     nc = ncells
 
     def cond(i):
         ii = jnp.minimum(i, nc - 1)
-        return (i < nc) & (tnear_ref[lbase + ii] < maxt_scr[0])
+        return (i < nc) & (tnear_ref[0, ii, 0] < maxt_scr[0])
 
     def body(i):
-        c = slist_ref[lbase + i]
+        c = slist_ref[0, i, 0]
         base = c * cell
+
+        # whole-tile slab test against this cell's AABB: any live ray
+        # entering the box closer than its current best (and the cap)?
+        t0x = (cbox_ref[c, 0] - oxv) * inv_dx
+        t1x = (cbox_ref[c, 3] - oxv) * inv_dx
+        t0y = (cbox_ref[c, 1] - oyv) * inv_dy
+        t1y = (cbox_ref[c, 4] - oyv) * inv_dy
+        t0z = (cbox_ref[c, 2] - ozv) * inv_dz
+        t1z = (cbox_ref[c, 5] - ozv) * inv_dz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        enters = (
+            live_v
+            & (tf >= jnp.maximum(tn, 0.0))
+            & (tn < jnp.minimum(t_ref[:], tcap_v))
+        )
 
         def tri_group(gk, _):
             best = t_ref[:]
@@ -148,14 +193,16 @@ def _rt_kernel(tnear_ref, slist_ref, tab_ref, tcap_ref,
             idx_ref[:] = idx
             return 0
 
-        jax.lax.fori_loop(0, cell // 8, tri_group, 0)
+        @pl.when(jnp.any(enters))
+        def _():
+            jax.lax.fori_loop(0, cell // 8, tri_group, 0)
 
         # refresh the early-exit bound only while entries remain (the
         # vector->scalar max is the scan's most expensive scalar op)
-        @pl.when(tnear_ref[lbase + jnp.minimum(i + 1, nc - 1)] < _BIG)
+        @pl.when(tnear_ref[0, jnp.minimum(i + 1, nc - 1), 0] < _BIG)
         def _():
             maxt_scr[0] = jnp.max(
-                jnp.where(live_v, jnp.minimum(t_ref[:], tcap), 0.0)
+                jnp.where(live_v, jnp.minimum(t_ref[:], tcap_v), 0.0)
             )
 
         return i + 1
@@ -219,14 +266,8 @@ def intersect_rays_pallas(
     hp = -(-height // RT_BH) * RT_BH
     wp = -(-width // RT_BW) * RT_BW
     nby, nbx = hp // RT_BH, wp // RT_BW
-    nb = nby * nbx
 
-    # adaptive cell size: per-block SMEM shortlists hold nb*ncells
-    # entries; coarsen cells (multiple of the 8-wide inner unroll) until
-    # the tables fit the budget
-    max_nc = max(RT_SMEM_ENTRIES // nb, 1)
-    cell = max(RT_CELL, -(-tcount // max_nc))
-    cell = -(-cell // 8) * 8
+    cell = -(-RT_CELL // 8) * 8
     ncells = -(-tcount // cell)
     tp = ncells * cell
 
@@ -298,6 +339,13 @@ def intersect_rays_pallas(
         & reachable(cz0, cz1, obz0, obz1, dbz0, dbz1)
     )
 
+    # kernel-side slab-gate table: (ncells, 8) lane-padded AABBs (dead
+    # cells carry inverted boxes, so their slab test never passes)
+    cboxtab = jnp.stack(
+        [cx0, cy0, cz0, cx1, cy1, cz1,
+         jnp.zeros_like(cx0), jnp.zeros_like(cx0)], axis=1
+    )
+
     cell_alive = (cx0 <= cx1)[None, None, :]
     key = jnp.where(
         cell_alive & reach & (dist < t_cap), dist, _BIG
@@ -305,37 +353,55 @@ def intersect_rays_pallas(
     iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, 2)
     tnear, slist = jax.lax.sort([key, iota], num_keys=1, dimension=2)
 
-    tcap_arr = jnp.reshape(t_cap.astype(jnp.float32), (1, 1))
+    # scalar row: [t_cap | global scene AABB] — the kernel derives each
+    # ray's scene-exit cap from the box (sky rays stop bounding the block)
+    alive_c = cx0 <= cx1
+    tcap_arr = jnp.stack([
+        t_cap.astype(jnp.float32),
+        jnp.min(jnp.where(alive_c, cx0, _BIG)),
+        jnp.min(jnp.where(alive_c, cy0, _BIG)),
+        jnp.min(jnp.where(alive_c, cz0, _BIG)),
+        jnp.max(jnp.where(alive_c, cx1, -_BIG)),
+        jnp.max(jnp.where(alive_c, cy1, -_BIG)),
+        jnp.max(jnp.where(alive_c, cz1, -_BIG)),
+        jnp.float32(0.0),
+    ]).reshape(1, 8)
 
-    ray_spec = pl.BlockSpec((RT_BH, RT_BW), lambda i, j, tn, sl: (i, j))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    ray_spec = pl.BlockSpec((RT_BH, RT_BW), lambda i, j: (i, j))
+    # per-block shortlist rows: dynamic-sublane/static-lane VMEM reads in
+    # the kernel, one (ncells, 1) row per program
+    list_spec = pl.BlockSpec((1, ncells, 1), lambda i, j: (i * nbx + j, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_rt_kernel, cell=cell, ncells=ncells),
         grid=(nby, nbx),
         in_specs=[
+            list_spec,
+            list_spec,
             pl.BlockSpec(
-                (tp, 16), lambda i, j, tn, sl: (0, 0),
+                (tp, 16), lambda i, j: (0, 0),
                 memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
-            pl.BlockSpec((1, 1), lambda i, j, tn, sl: (0, 0)),
+            pl.BlockSpec(
+                (ncells, 8), lambda i, j: (0, 0),
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 8), lambda i, j: (0, 0)),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
         ],
         out_specs=[
-            pl.BlockSpec((RT_BH, RT_BW), lambda i, j, tn, sl: (i, j)),
-            pl.BlockSpec((RT_BH, RT_BW), lambda i, j, tn, sl: (i, j)),
+            pl.BlockSpec((RT_BH, RT_BW), lambda i, j: (i, j)),
+            pl.BlockSpec((RT_BH, RT_BW), lambda i, j: (i, j)),
         ],
-        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
-    )
-    out = pl.pallas_call(
-        functools.partial(_rt_kernel, cell=cell, ncells=ncells),
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
         interpret=interpret,
     )(
-        tnear.reshape(-1), slist.reshape(-1),
-        tab, tcap_arr, oxp, oyp, ozp, dxp, dyp, dzp,
+        tnear.reshape(nby * nbx, ncells, 1),
+        slist.reshape(nby * nbx, ncells, 1),
+        tab, cboxtab, tcap_arr, oxp, oyp, ozp, dxp, dyp, dzp,
     )
 
     t, idx = out

@@ -20,10 +20,12 @@ Layout:
 - `max_shadow_distance` caps the occluder distance from the shaded point —
   exactly trace_shadow's ray-length cap (3d_shader.wgsl:463-476).
 - `max_shadow_steps > 0` switches binary shadows to transparency-aware
-  ones via a multiplicative transmittance map baked from the opacity
-  batches (3d_shader.wgsl:479-515 loops over transparent layers bounded by
-  the step count; the map composes ALL layers in one order-independent
-  product — a documented superset).
+  ones: each map bakes up to min(max_shadow_steps, 4) DEPTH-PEELED
+  transparent layers (depth + alpha planes) from the opacity batches, and
+  the lookup composes (1 - alpha) over exactly the layers strictly
+  between light and receiver — the reference's trace_shadow stepping
+  semantics (3d_shader.wgsl:479-515), including its bias-advance
+  de-duplication of coincident two-sided panes (PEEL_MERGE_EPS).
 
 Depth is stored as f32 view-space distance; empty texels carry NO_OCCLUDER.
 """
@@ -99,34 +101,54 @@ def _depth_face(pos, uv, nrm, valid, view, proj, a, b, res: int):
     return jnp.where(hit, b / (z + a), NO_OCCLUDER)
 
 
-@partial(jax.jit, static_argnames=("res",))
-def _trans_face(pos, uv, nrm, valid, opac_cols, view, proj, res: int):
-    """Transmittance render of the opacity batches -> (res, res) f32 in
-    [0,1]: the product of (1 - alpha) over every transparent surface a
-    texel's light ray crosses (order-independent, so no sorting). alpha is
-    the batch-constant opacity column; per-texel texture alpha refines it
-    where the batch samples a texture."""
+#: transparent layers closer together than this (along the shadow camera's
+#: depth metric) merge into one — the reference's stepper advances past
+#: each hit by shadow_bias = 0.01 before tracing again
+#: (3d_shader.wgsl:464,509), so coincident two-sided panes count ONCE
+PEEL_MERGE_EPS = 0.01
+
+
+@partial(jax.jit, static_argnames=("res", "steps"))
+def _trans_face(pos, uv, nrm, valid, opac_cols, view, proj, a, b, res: int,
+                steps: int):
+    """Depth-peeled transparent layers for one shadow camera ->
+    (steps, 2, res, res) f32: [k, 0] = layer-k depth (linear view
+    distance; NO_OCCLUDER where absent), [k, 1] = layer-k alpha.
+
+    The reference's trace_shadow attenuates only through surfaces it
+    steps THROUGH strictly between the receiver and the light
+    (3d_shader.wgsl:479-515). Storing the nearest `steps` transparent
+    layers per texel WITH their depths lets the lookup compose
+    (1 - alpha) over exactly the layers in the light→receiver segment —
+    a pane behind the receiver no longer dims it — and the peel's
+    strict-beyond ordering plus PEEL_MERGE_EPS de-duplicates coincident
+    two-sided panes (they attenuate once, like the reference's
+    bias-advancing stepper). alpha is the batch-constant opacity column.
+    """
     cull = jnp.zeros(pos.shape[0], jnp.int32)
-    vis, attr, _bbox, alive, tri_id = setup_pass(
+    vis, _attr, _bbox, alive, tri_id = setup_pass(
         pos, uv, nrm, valid, cull, view, proj, res, res
     )
-    xs = jnp.arange(res, dtype=jnp.float32) + 0.5
-    ys = (jnp.arange(res, dtype=jnp.float32) + 0.5)[:, None]
+    alive_f = alive.astype(jnp.float32)
     alpha_tri = jnp.take(opac_cols, tri_id)  # (T2,)
-
-    def step(trans, cand):
-        pl, al, a_c = cand
-        e0 = (pl[0] * xs + pl[2]) + pl[1] * ys
-        e1 = (pl[3] * xs + pl[5]) + pl[4] * ys
-        e2 = (pl[6] * xs + pl[8]) + pl[7] * ys
-        cov = (jnp.minimum(jnp.minimum(e0, e1), e2) >= 0) & (al > 0.5)
-        return trans * jnp.where(cov, 1.0 - a_c, 1.0), None
-
-    trans0 = jnp.ones((res, res), jnp.float32)
-    trans, _ = jax.lax.scan(
-        step, trans0, (vis, alive.astype(jnp.float32), alpha_tri)
-    )
-    return trans
+    outs = []
+    ceil = None
+    prev_d = None
+    for _k in range(steps):
+        z, idx, hit, invz = visibility_pass(
+            vis, alive_f, res, res, z_ceil=ceil, return_invz=True
+        )
+        d = jnp.where(hit, b / (z + a), NO_OCCLUDER)
+        al = jnp.where(hit, jnp.take(alpha_tri, jnp.maximum(idx, 0)), 0.0)
+        if prev_d is None:
+            prev_d = d
+        else:
+            keep = d > prev_d + PEEL_MERGE_EPS
+            al = jnp.where(keep, al, 0.0)
+            prev_d = jnp.where(keep, d, prev_d)
+        outs.append(jnp.stack([d, al]))
+        ceil = invz
+    return jnp.stack(outs)
 
 
 def scene_bounds(pos: np.ndarray, valid: np.ndarray):
@@ -194,6 +216,7 @@ def bake_shadow_pack(
     res: int = 128,
     sun_res: int = 256,
     with_trans: bool = False,
+    trans_steps: int = 2,
     max_shadow_distance: float = 50.0,
     bias: float = 0.05,
     bounds=None,
@@ -208,9 +231,14 @@ def bake_shadow_pack(
     Returns (rows (S,128) f32 jnp array, params (40,) np.float32,
     spec) where spec is the STATIC layout tuple
     (sun_entry, cube_entries):
-      sun_entry    = (base_texel, sun_res, trans_base|-1) or None
-      cube_entries = ((light_row, base_texel, res, trans_base|-1), ...)
-    Base offsets are flat texel indices, multiples of 128.
+      sun_entry    = (base_texel, sun_res, trans_base|-1, trans_steps) or None
+      cube_entries = ((light_row, base_texel, res, trans_base|-1,
+                       trans_steps), ...)
+    Base offsets are flat texel indices, multiples of 128. The trans
+    region holds `trans_steps` depth-peeled layers, laid out k-major as
+    [k0 depth, k0 alpha, k1 depth, k1 alpha, ...] with one map-sized
+    plane each (map size = sun_res² / 6*res²), face-major inside a plane
+    so `flat - base` indexes every plane directly.
     """
     pos, uv, nrm, valid = d3["pos"], d3["uv"], d3["nrm"], d3["valid"]
     has_op = with_trans and d3_op is not None and bool(
@@ -248,10 +276,10 @@ def bake_shadow_pack(
             trans = _trans_face(
                 d3_op["pos"], d3_op["uv"], d3_op["nrm"], d3_op["valid"],
                 jnp.asarray(d3_op["opacity"], jnp.float32),
-                view, proj, sun_res,
+                view, proj, a, b, sun_res, trans_steps,
             )
             sun_trans_base = push(trans.reshape(-1))
-        sun_entry = (sun_base, sun_res, sun_trans_base)
+        sun_entry = (sun_base, sun_res, sun_trans_base, trans_steps)
         params[2:5] = sp["pos"]
         params[5:8] = sp["right"]
         params[8:11] = sp["up"]
@@ -277,12 +305,16 @@ def bake_shadow_pack(
                         d3_op["pos"], d3_op["uv"], d3_op["nrm"],
                         d3_op["valid"],
                         jnp.asarray(d3_op["opacity"], jnp.float32),
-                        view, proj, res,
+                        view, proj, a, b, res, trans_steps,
                     )
                 )
         base = push(jnp.stack(faces).reshape(-1))
-        tbase = push(jnp.stack(tfaces).reshape(-1)) if has_op else -1
-        cube_entries.append((int(li), base, res, tbase))
+        # (steps, 2, 6, res, res): k-major, kind (depth/alpha), face —
+        # reshape(-1) yields the documented plane layout
+        tbase = (
+            push(jnp.stack(tfaces, axis=2).reshape(-1)) if has_op else -1
+        )
+        cube_entries.append((int(li), base, res, tbase, trans_steps))
 
     if not maps:
         rows = jnp.full((1, 128), NO_OCCLUDER, jnp.float32)
@@ -323,7 +355,7 @@ def bake_shadow_cams(lights, spec, sun_dir=None, bounds=None):
         ei = 1
     positions = np.asarray(lights["position"])
     ends = np.asarray(lights["end"])
-    for li, _base, _res, _tb in cube_entries:
+    for li, _base, _res, _tb, _st in cube_entries:
         far = float(max(ends[li], SHADOW_NEAR * 2.0))
         a, b = depth_const(SHADOW_NEAR, far)
         proj = perspective_fov_rh_zo(np.pi / 2.0, 1.0, 1.0, SHADOW_NEAR, far)
@@ -358,14 +390,14 @@ def composite_dynamic_depth(rows_flat, spec, cams, pos, uv, nrm, valid):
     sun_entry, cube_entries = spec
     ei = 0
     if sun_entry is not None:
-        base, res, _tb = sun_entry
+        base, res, _tb, _st = sun_entry
         d = _depth_face(
             pos, uv, nrm, valid, cams[0, 0], cams[0, 1],
             cams[0, 2, 0, 0], cams[0, 2, 0, 1], res,
         )
         rows_flat = rows_flat.at[base : base + res * res].min(d.reshape(-1))
         ei = 1
-    for _li, base, res, _tb in cube_entries:
+    for _li, base, res, _tb, _st in cube_entries:
         proj = cams[ei, 6]
         a = cams[ei, 7, 0, 0]
         b = cams[ei, 7, 0, 1]
@@ -466,14 +498,19 @@ def shadow_factor_xla(
     """Shadow factor in [0,1] for every pixel — XLA formulation.
 
     rows_flat: the (S*128,) flattened table. spec_entry: a cube entry
-    (li, base, res, tbase) with lpos = light position (3,), or the sun
-    entry (base, res, tbase) with lpos=None. nx/ny/nz: the shading normal
-    (zeros allowed: no offset). The megakernel mirrors this expression
-    order exactly (tests/test_shadow.py asserts both agree)."""
+    (li, base, res, tbase, steps) with lpos = light position (3,), or the
+    sun entry (base, res, tbase, steps) with lpos=None. nx/ny/nz: the
+    shading normal (zeros allowed: no offset). The megakernel mirrors this
+    expression order exactly (tests/test_shadow.py asserts both agree).
+
+    Transparency: `steps` depth-peeled layers attenuate the factor by
+    (1 - alpha) — but ONLY layers strictly between the light and the
+    receiver and within the max_shadow_distance cap, the reference's
+    trace_shadow stepping semantics (3d_shader.wgsl:479-515)."""
     msd = params[0]
     bias = params[1]
     if lpos is None:
-        base, res, tbase = spec_entry
+        base, res, tbase, steps = spec_entry
         # texel footprint at the receiver: depth * 2 / (f * res)
         dx = wx - params[2]
         dy = wy - params[3]
@@ -487,8 +524,10 @@ def shadow_factor_xla(
         )
         stored = jnp.take(rows_flat, flat)
         blocked = in_range & (stored < d - bias) & (d - stored <= msd)
+        in_map = in_range
+        msize = res * res
     else:
-        _li, base, res, tbase = spec_entry
+        _li, base, res, tbase, steps = spec_entry
         tpx = wx - lpos[0]
         tpy = wy - lpos[1]
         tpz = wz - lpos[2]
@@ -502,8 +541,14 @@ def shadow_factor_xla(
         )
         stored = jnp.take(rows_flat, flat)
         blocked = (stored < d - bias) & (d - stored <= msd)
+        in_map = True
+        msize = 6 * res * res
     factor = jnp.where(blocked, 0.0, 1.0)
     if tbase >= 0:
-        trans = jnp.take(rows_flat, flat - base + tbase)
-        factor = factor * trans
+        rel = flat - base
+        for k in range(steps):
+            dk = jnp.take(rows_flat, tbase + (2 * k) * msize + rel)
+            ak = jnp.take(rows_flat, tbase + (2 * k + 1) * msize + rel)
+            between = in_map & (dk < d - bias) & (d - dk <= msd)
+            factor = factor * jnp.where(between, 1.0 - ak, 1.0)
     return factor

@@ -373,3 +373,146 @@ def test_sharded_light_spec_matches_generic(mesh8):
         use_pallas=True, light_spec=spec, sun_off=True,
     )
     np.testing.assert_array_equal(generic, specialized)
+
+
+def _feature_scene(width, height):
+    """Mirror floor + wall + blocker + transparent pane + point light +
+    sun: exercises shadows (incl. transmittance), AO, GGX, reflections,
+    sky light, fog and depth-peeled transparency in one frame."""
+    from rusterix_tpu import (
+        Assets, Batch3D, D3OrbitCamera, Light, LightType, PixelSource, Scene,
+    )
+    from rusterix_tpu.models.render_settings import RenderSettings
+    from rusterix_tpu.ops.raster import Rasterizer
+
+    floor = (
+        Batch3D.from_box(-3, -1.3, -3, 6, 0.2, 6)
+        .set_source(PixelSource.pixel((60, 60, 70, 255)))
+        .with_computed_normals()
+    )
+    wall = (
+        Batch3D.from_box(-2.5, -1.1, -2.7, 5.0, 2.8, 0.2)
+        .set_source(PixelSource.pixel((220, 220, 220, 255)))
+        .with_computed_normals()
+    )
+    blocker = (
+        Batch3D.from_box(-0.6, -0.8, -1.3, 1.2, 1.4, 0.2)
+        .set_source(PixelSource.pixel((90, 60, 60, 255)))
+        .with_computed_normals()
+    )
+    scene = Scene.from_static([], [floor, wall, blocker])
+    pane_v = np.array(
+        [[0.8, -1.0, -0.5, 1], [1.6, -1.0, -0.5, 1],
+         [1.6, 0.6, -0.5, 1], [0.8, 0.6, -0.5, 1]], np.float32,
+    )
+    pane_t = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    pane_uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    from rusterix_tpu import CullMode
+
+    scene.d3_dynamic_opacity.append(
+        Batch3D.new(pane_v, pane_t, pane_uv)
+        .set_cull_mode(CullMode.Off)
+        .set_source(PixelSource.pixel((120, 180, 220, 140)))
+    )
+    scene.set_lights(
+        [Light(LightType.Point).with_position([0.0, 0.6, 1.8])
+         .with_intensity(1.8).with_range(0.5, 30.0).compile()]
+    )
+    cam = D3OrbitCamera()
+    cam.azimuth = 0.4
+    cam.set_parameter_f32("distance", 5.0)
+    rast = Rasterizer.setup(
+        None, cam.view_matrix(), cam.projection_matrix(width, height)
+    )
+    rast.ambient((0.2, 0.2, 0.25, 1.0)).background((70, 90, 120, 255))
+    rast.sun_dir = np.array([0.3, -1.0, 0.2], np.float32)
+    rast.day_factor = 0.7
+    rast.set_brdf("ggx")
+    rast.set_shadows(True, res=64, sun_res=64)
+    rast.set_reflections(1)
+    rast.set_sky_light(True)
+    rast.set_ambient_occlusion(True)
+    rs = RenderSettings()
+    rs.fog_density = 0.05
+    rs.ao_samples = 4.0
+    rs.ao_radius = 0.6
+    rs.reflection_samples = 1.0
+    rast.apply_render_settings(rs)
+    rast.set_reflections(1)
+    return rast, scene
+
+
+def test_sharded_feature_frame_matches_single(mesh8):
+    """The whole SceneVM feature family — per-light geometry shadows
+    (with depth-peeled transmittance), SSAO, Cook-Torrance GGX, GGX
+    reflections (with shadowed hits), sky light, exp² fog and
+    depth-peeled transparency — shards byte-identically to the
+    single-chip XLA render (VERDICT r4 item 3)."""
+    from rusterix_tpu import Assets
+    from rusterix_tpu.parallel.mesh import render_frame_sharded
+
+    width, height = 64, 48
+    rast, scene = _feature_scene(width, height)
+    rast.use_pallas = False
+    rast.keep_frame_args = True
+    single = rast.rasterize(scene, width, height, 40, Assets.default())
+    fa = rast._frame_args
+    assert fa["shadow_spec"] is not None and fa["ao_taps"]
+    assert fa["refl_samples"] == 1 and fa["has_opacity"] and fa["has_fog"]
+
+    # mirror render_frame's in-graph dynamic concatenation (the sharded
+    # entry point takes pre-concatenated packs; engine loops concatenate
+    # host-side the same way)
+    d3_in, d3_op_in, d2_in = fa["d3"], fa["d3_op"], fa["d2"]
+    if fa["has_dyn"]:
+        d3_in = {
+            k: jnp.concatenate([d3_in[k], fa["d3_dyn"][k]]) for k in d3_in
+        }
+        d3_op_in = {
+            k: jnp.concatenate([d3_op_in[k], fa["d3_op_dyn"][k]])
+            for k in d3_op_in
+        }
+        d2_in = {
+            k: jnp.concatenate([d2_in[k], fa["d2_dyn"][k]]) for k in d2_in
+        }
+
+    sharded = np.asarray(
+        render_frame_sharded(
+            mesh8, d3_in, d2_in, fa["lights"], fa["atlas"],
+            fa["uniforms"], fa["background"], width, height,
+            sample_mode=fa["sample_mode"],
+            has_ambient=fa["has_ambient"], has_lights=fa["has_lights"],
+            has_d2=fa["has_d2"], use_pallas=False,
+            has_material=fa["has_material"], brdf_ggx=fa["brdf_ggx"],
+            tonemap=fa["tonemap"],
+            d3_op=d3_op_in, has_opacity=fa["has_opacity"],
+            transparency_layers=fa["transparency_layers"],
+            has_fog=fa["has_fog"], has_sky=fa["has_sky"],
+            sky_pre=fa["sky_pre"],
+            shadow_rows=fa["shadow_rows"],
+            shadow_params=fa["shadow_params"],
+            shadow_spec=fa["shadow_spec"],
+            ao_taps=fa["ao_taps"], refl_samples=fa["refl_samples"],
+            sky_light=fa["sky_light"],
+        )
+    )
+    np.testing.assert_array_equal(sharded, np.asarray(single))
+
+
+def test_rasterizer_mesh_entry_point(mesh8):
+    """rasterize(mesh=...) — the Rasterizer-level multi-chip entry point —
+    matches the single-chip frame byte-for-byte on the full feature scene
+    (including the dynamic-opacity concat + dynamic shadow composite that
+    render_frame normally does in-graph)."""
+    from rusterix_tpu import Assets
+
+    width, height = 64, 48
+    rast, scene = _feature_scene(width, height)
+    rast.use_pallas = False
+    single = rast.rasterize(scene, width, height, 40, Assets.default())
+    rast2, scene2 = _feature_scene(width, height)
+    rast2.use_pallas = False
+    sharded = rast2.rasterize(
+        scene2, width, height, 40, Assets.default(), mesh=mesh8
+    )
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))

@@ -378,3 +378,119 @@ def test_reflection_stride_matches_full_res_subsampled():
     np.testing.assert_allclose(
         np.asarray(lo), np.asarray(full)[sl], atol=1e-5, rtol=0
     )
+
+
+def test_reflection_hits_are_shadowed():
+    """A mirrored SHADOWED wall must read darker in the floor reflection
+    than the same wall unshadowed: the WGSL nests trace_shadow inside the
+    pbr_lighting it runs on every reflection hit (3d_shader.wgsl:578-580
+    via the hit shading at :846-852); here the hits sample the baked maps.
+
+    The reflection term is isolated per shadow setting as
+    (refl-on frame - refl-off frame), which cancels all primary-shading
+    differences — shadowing can only REMOVE reflected light."""
+    def build():
+        floor = (
+            Batch3D.from_box(-3, -1.3, -3, 6, 0.2, 6)
+            .set_source(PixelSource.pixel((40, 40, 50, 255)))
+            .with_computed_normals()
+            .set_shader(0)
+        )
+        wall = (
+            Batch3D.from_box(-2.5, -1.1, -2.7, 5.0, 2.8, 0.2)
+            .set_source(PixelSource.pixel((245, 245, 245, 255)))
+            .with_computed_normals()
+        )
+        blocker = (
+            Batch3D.from_box(-1.0, -0.8, -1.3, 2.0, 1.6, 0.2)
+            .set_source(PixelSource.pixel((60, 60, 60, 255)))
+            .with_computed_normals()
+        )
+        scene = Scene.from_static([], [floor, wall, blocker])
+        scene.add_shader(
+            "fn shade() { color = vec3(0.3, 0.3, 0.35); roughness = 0.08;"
+            " metallic = 0.95; }"
+        )
+        scene.set_lights(
+            [Light(LightType.Point).with_position([0.0, 0.5, 2.0])
+             .with_intensity(2.0).with_range(0.5, 30.0).compile()]
+        )
+        cam = D3OrbitCamera()
+        cam.azimuth = 0.0
+        cam.set_parameter_f32("distance", 4.5)
+        rast = Rasterizer.setup(
+            None, cam.view_matrix(), cam.projection_matrix(W, H)
+        )
+        rast.ambient((0.1, 0.1, 0.1, 1.0))
+        rast.background((90, 120, 160, 255))
+        rast.set_brdf("ggx")
+        return rast, scene
+
+    def refl_gain(shadows: bool):
+        gains = []
+        for samples in (0, 2):
+            rast, scene = build()
+            rast.set_shadows(shadows, res=128)
+            rast.set_reflections(samples)
+            gains.append(
+                rast.rasterize(scene, W, H, 40, Assets.default())
+                .astype(np.float32)[..., :3].mean(axis=-1)
+            )
+        return gains[1] - gains[0]
+
+    g_off = refl_gain(False)
+    g_on = refl_gain(True)
+    drop = g_off - g_on
+    # NOTE: no global pointwise monotonicity in u8 space — the display
+    # transfer's slope depends on the primary level, which the shadow
+    # setting also changes; the REGIONAL claim is the contract:
+    # the shadowed wall's mirrored image must visibly darken
+    assert drop.max() > 10.0, f"max reflected-shadow drop {drop.max()}"
+    assert (drop > 5.0).sum() > 30, f"only {(drop > 5.0).sum()} px darkened"
+    # and in aggregate the reflection term loses energy
+    assert drop.sum() > 0.0, f"net reflected energy rose: {drop.sum()}"
+
+
+def test_reflections_skip_transparency_layers_contract():
+    """CONTRACT test for the documented divergence (ops/raster.py
+    reflection dispatch): the reflection term composites on the OPAQUE
+    layer only, while the WGSL runs its reflection loop inside the peeled
+    transparency-layer loop too (3d_shader.wgsl:760-826). A transparent
+    pane floating against the sky (no opaque surface behind it) must
+    therefore be bit-identical with reflections on and off, while the
+    mirror floor below visibly changes."""
+    from rusterix_tpu import Batch3D, CullMode
+
+    def build():
+        rast, scene = _mirror_scene()
+        # pane high above the floor, seen against the background sky
+        v = np.array(
+            [[-1.2, 1.2, 0.0, 1], [1.2, 1.2, 0.0, 1],
+             [1.2, 2.4, 0.0, 1], [-1.2, 2.4, 0.0, 1]], np.float32,
+        )
+        t = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        scene.d3_dynamic_opacity.append(
+            Batch3D.new(v, t, uv)
+            .set_cull_mode(CullMode.Off)
+            .set_source(PixelSource.pixel((200, 120, 220, 130)))
+        )
+        return rast, scene
+
+    rast, scene = build()
+    off = _frame(rast, scene, 0)
+    rast, scene = build()
+    on = _frame(rast, scene, 2)
+
+    diff = np.abs(on.astype(np.int32) - off.astype(np.int32)).max(axis=-1)
+    # locate pane pixels: they differ from the pure-background frame
+    rast, scene_nopane = _mirror_scene()
+    base = _frame(rast, scene_nopane, 0)
+    pane_px = (np.abs(off.astype(np.int32) - base.astype(np.int32)).max(axis=-1) > 8)
+    sky_backed_pane = pane_px[: int(H * 0.45)]  # upper region: sky behind
+    assert sky_backed_pane.sum() > 50, "pane not visible against sky"
+    assert (diff[: int(H * 0.45)][sky_backed_pane] == 0).all(), (
+        "reflections leaked onto a transparency layer (contract: opaque only)"
+    )
+    # while the mirror floor still gains its reflections
+    assert diff[int(H * 0.55):].max() > 10

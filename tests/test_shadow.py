@@ -264,12 +264,18 @@ def test_transmittance_scales_factor():
             )[0]
         )
 
-    # behind the pane (x < -1): transmittance 1-0.25 = 0.75 applied twice?
-    # no — the pane is one surface; both coincident quads share coverage so
-    # the product sees (1-a) once per DISTINCT covering candidate. The two
-    # one-sided quads here are two candidates: expect 0.75^2.
+    # behind the pane (x < -1): exactly ONE attenuation of (1-0.25) even
+    # though the pane is two coincident one-sided quads — the depth peel's
+    # strict-beyond ordering + PEEL_MERGE_EPS merges them, matching the
+    # reference stepper's bias advance (3d_shader.wgsl:509)
     f_pane = factor([-3.0, 0.02, 0.0])
-    assert 0.5 < f_pane < 0.95, f_pane
+    assert abs(f_pane - 0.75) < 1e-5, f_pane
+    # a receiver BETWEEN the light and the pane is NOT dimmed: only
+    # surfaces strictly inside the light->receiver segment attenuate
+    # (3d_shader.wgsl:479-515). The texel ray crosses the pane BEYOND
+    # this receiver (light (0,1,0) -> (-0.8,0.55,0) extended hits the
+    # pane plane x=-1 at y~0.44 inside the pane)
+    assert factor([-0.8, 0.55, 0.0]) == 1.0
     # behind the opaque wall stays 0
     assert factor([4.0, 0.02, 0.0]) == 0.0
     # open floor stays 1
