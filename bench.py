@@ -364,6 +364,7 @@ def measure_tracer(width=320, height=240, n=100):
                 jnp.int32(0), width, height, tracer.bounces,
                 tracer.use_aabb_skip,
                 n_live_chunks=tracer._n_live_chunks,
+                has_tex=tracer._has_tex,
             )
             return acc + f.reshape(-1)[0].astype(jnp.float32) * 1e-30
         return jax.lax.fori_loop(0, n, body, 0.0)
@@ -625,7 +626,9 @@ def main():
             # client's progressive path renders at window size,
             # src/client/mod.rs:670-677) — fewer chained samples, same
             # methodology
-            dt_tr8 = measure_tracer(width=800, height=600, n=20)
+            # n=60: at ~10 ms/sample (post one-hot MXU gather) the 25 ms
+            # fixed dispatch cost amortizes to <0.5 ms
+            dt_tr8 = measure_tracer(width=800, height=600, n=60)
             results["tracer_800x600_samples_s"] = round(1.0 / dt_tr8, 2)
         except Exception as exc:  # additive metric; never sink the headline
             import sys as _s

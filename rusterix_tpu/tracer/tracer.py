@@ -5,12 +5,18 @@ camera rays, <= 8 bounces, brute-force Möller-Trumbore over all batches,
 direct lighting x10, specular/diffuse russian-roulette bounces, sky miss,
 running-average AccumBuffer src/tracer/buffer.rs).
 
-TPU design: the whole frame is one wavefront — rays are (P, 3) arrays, each
-bounce intersects every ray against triangle chunks (vectorized
-Möller-Trumbore with a running closest-hit reduce, the ray analogue of the
-visibility pass), shading/bounce decisions use `jax.random` per-lane. Dead
-lanes (missed/terminated) carry zero throughput; 8 bounces run always —
-lane-masked instead of branchy.
+TPU design: the whole frame is one wavefront — rays are (P,) component
+arrays, each bounce intersects every ray against triangle chunks
+(vectorized Möller-Trumbore with a running closest-hit reduce, the ray
+analogue of the visibility pass), shading/bounce decisions use
+`jax.random` per-lane. Dead lanes (missed/terminated) carry zero
+throughput; 8 bounces run always — lane-masked instead of branchy.
+Winner-hit attributes ride ONE fused selection per bounce: small packs
+select rows on the MXU as `onehot(ti, T) @ fused_table` (exact at
+Precision.HIGHEST — verified bit-equal to the gather on chip), large
+packs one 38-col row gather — TPU gathers are index-count bound, so the
+~25 per-component pulls this replaces were 3.5 ms/bounce @800x600
+(34.5 -> 9.8 ms/sample, 28.7 -> ~100 samples/s on the bench scene).
 """
 
 from __future__ import annotations
@@ -32,7 +38,6 @@ from ..ops.shade import (
     LT_DAYLIGHT,
     LT_POINT,
     LT_SPOT,
-    resolve_texel,
     take_iso,
 )
 from ..utils.color import srgb_to_linear_fast
@@ -119,6 +124,17 @@ def _morton_order(centroids: np.ndarray) -> np.ndarray:
 
 TRACER_CHUNK = 128
 
+#: largest pack (slots) shaded through the one-hot MXU gather. Winner
+#: attributes are selected as `onehot(ti, T) @ fused_table` — a (P, T) x
+#: (T, 39) matmul on the MXU — instead of an XLA gather: TPU gathers are
+#: INDEX-count bound (~4 ns/index regardless of row width; measured
+#: 1.8 ms/bounce for one 480K-index 39-col row gather @800x600) while the
+#: one-hot product is exact 0/1 selection at MXU speed (measured
+#: 34.5 -> 9.5 ms/sample on the bench scene). Past this limit the
+#: (P, T) one-hot operand outgrows the flops win and the row gather
+#: takes over.
+_ONEHOT_GATHER_LIMIT = 512
+
 
 def _pack_tracer_scene(scene, assets):
     """Triangle SoA + per-tri material for the tracer.
@@ -192,6 +208,10 @@ class Tracer:
         self._cache_key = None
         self._cache = None
         self._n_live_chunks = None
+        self._has_tex = True
+        #: pack-size ceiling for the one-hot MXU winner-attribute gather
+        #: (see _ONEHOT_GATHER_LIMIT; tests pin parity by forcing 0)
+        self.onehot_limit = _ONEHOT_GATHER_LIMIT
         self.sample_mode = 0
         self.background = None
         #: ShapeFX render graph (trace.rs:41-48,120-143 set_render_graph):
@@ -241,6 +261,11 @@ class Tracer:
             t_slots = packed.d3.valid.shape[0]
             chunk = min(TRACER_CHUNK, t_slots)
             self._n_live_chunks = max(1, -(-n_live // chunk))
+            # static texture specialization: a pack with no SRC_TEXTURE
+            # triangle skips the in-bounce atlas fetch entirely
+            from ..ops.shade import SRC_TEXTURE
+
+            self._has_tex = bool((packed.d3.kind == SRC_TEXTURE).any())
             self._cache = {
                 "d3": {k: jnp.asarray(v) for k, v in vars(packed.d3).items()},
                 "mats": {k: jnp.asarray(v) for k, v in mats.items()},
@@ -308,6 +333,8 @@ class Tracer:
         bounces = self.bounces
         aabb = self.use_aabb_skip
         nlc = self._n_live_chunks
+        htex = self._has_tex
+        ohl = self.onehot_limit
         w, h = buffer.width, buffer.height
 
         def shard_fn(seed, d3, mats, boxes, lights, atlas, sky):
@@ -320,6 +347,7 @@ class Tracer:
                 jax.random.PRNGKey(seed[0]),
                 jnp.int32(scene.animation_frame),
                 w, h, bounces, aabb, n_live_chunks=nlc, sky_pre=sky,
+                has_tex=htex, onehot_limit=ohl,
             )
             return linear[None]
 
@@ -366,6 +394,8 @@ class Tracer:
             self.use_aabb_skip,
             n_live_chunks=self._n_live_chunks,
             sky_pre=sky_pre,
+            has_tex=self._has_tex,
+            onehot_limit=self.onehot_limit,
         )
         buffer.accumulate(linear)
 
@@ -474,7 +504,8 @@ def _light_sum_soa(lights, wx, wy, wz, nx, ny, nz):
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "bounces", "use_aabb_skip", "n_live_chunks"
+        "width", "height", "bounces", "use_aabb_skip", "n_live_chunks",
+        "has_tex", "onehot_limit",
     ),
 )
 def _trace_frame(
@@ -498,6 +529,8 @@ def _trace_frame(
     use_aabb_skip: bool = False,
     n_live_chunks: int = None,
     sky_pre=None,
+    has_tex: bool = True,
+    onehot_limit: int = _ONEHOT_GATHER_LIMIT,
 ):
     """One progressive sample — SoA formulation.
 
@@ -539,6 +572,52 @@ def _trace_frame(
         pos[:, 2, 0] - t_ax, pos[:, 2, 1] - t_ay, pos[:, 2, 2] - t_az,
     )
     tri_valid = d3["valid"] > 0.5
+
+    # fused per-tri attribute table, built ONCE per frame (loop-invariant —
+    # hoists out of the bounce scan). Everything the bounce shading needs
+    # rides ONE winner selection instead of ~25 separate (P,) element
+    # gathers (measured 3.5 ms/bounce @800x600; the reflect.py fused-gather
+    # lesson, ops/reflect.py:224-230). Columns:
+    #   0-2 vertex A | 3-5 e1 | 6-8 e2 | 9-14 uv (ua ub uc va vb vc) |
+    #   15-23 nrm a/b/c xyz | 24 has_normals | 25 kind | 26-29 rgba |
+    #   30 repeat | 31 mat role | 32 mat modifier | 33 mat value |
+    #   34-37 atlas rect (x y w h) prefolded for THIS anim frame — the
+    #   tile_first/tile_count/rects gathers leave the bounce loop
+    #   (resolve_texel semantics, ops/shade.py:116-142, at (T,) cost)
+    slot_t = jnp.maximum(d3["tex_slot"], 0)
+    tex_id_t = jnp.take(atlas["tile_first"], slot_t) + jnp.remainder(
+        anim_frame, jnp.maximum(jnp.take(atlas["tile_count"], slot_t), 1)
+    )
+    rect_t = jnp.take(atlas["rects"], tex_id_t, axis=0).astype(jnp.float32)
+    fused_tab = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    t_ax, t_ay, t_az, t_e1x, t_e1y, t_e1z,
+                    t_e2x, t_e2y, t_e2z,
+                    d3["uv"][:, 0, 0], d3["uv"][:, 1, 0], d3["uv"][:, 2, 0],
+                    d3["uv"][:, 0, 1], d3["uv"][:, 1, 1], d3["uv"][:, 2, 1],
+                    d3["nrm"][:, 0, 0], d3["nrm"][:, 1, 0], d3["nrm"][:, 2, 0],
+                    d3["nrm"][:, 0, 1], d3["nrm"][:, 1, 1], d3["nrm"][:, 2, 1],
+                    d3["nrm"][:, 0, 2], d3["nrm"][:, 1, 2], d3["nrm"][:, 2, 2],
+                    d3["has_normals"],
+                    d3["kind"].astype(jnp.float32),
+                    d3["rgba"][:, 0], d3["rgba"][:, 1],
+                    d3["rgba"][:, 2], d3["rgba"][:, 3],
+                    d3["repeat"].astype(jnp.float32),
+                    mats["role"].astype(jnp.float32),
+                    mats["modifier"].astype(jnp.float32),
+                    mats["value"],
+                ],
+                axis=1,
+            ),
+            rect_t,
+        ],
+        axis=1,
+    )  # (T, 38)
+    n_fused = fused_tab.shape[1]
+    tcount_all = fused_tab.shape[0]
+    use_onehot = tcount_all <= onehot_limit
 
     def intersect_all(ox, oy, oz, dx, dy, dz):
         """Möller-Trumbore over all tris, chunked -> (t, tri, uhit, vhit).
@@ -643,29 +722,7 @@ def _trace_frame(
             step, init, jnp.arange(nchunks, dtype=jnp.int32)
         )
 
-        # winner u/v: one single-triangle Möller-Trumbore per ray on (P,)
-        # component arrays (gathered rows; misses index row 0 — masked by
-        # the caller's hit test)
-        wi = jnp.maximum(bi, 0)
-        w_ax, w_ay, w_az = take_iso(t_ax, wi), take_iso(t_ay, wi), take_iso(t_az, wi)
-        w_e1x, w_e1y, w_e1z = (
-            take_iso(t_e1x, wi), take_iso(t_e1y, wi), take_iso(t_e1z, wi),
-        )
-        w_e2x, w_e2y, w_e2z = (
-            take_iso(t_e2x, wi), take_iso(t_e2y, wi), take_iso(t_e2z, wi),
-        )
-        whx = dy * w_e2z - dz * w_e2y
-        why = dz * w_e2x - dx * w_e2z
-        whz = dx * w_e2y - dy * w_e2x
-        wdet = w_e1x * whx + w_e1y * why + w_e1z * whz
-        wf = jnp.where(jnp.abs(wdet) >= 1e-6, 1.0 / jnp.where(wdet == 0.0, 1.0, wdet), 0.0)
-        wsx, wsy, wsz = ox - w_ax, oy - w_ay, oz - w_az
-        bu = wf * (wsx * whx + wsy * why + wsz * whz)
-        wqx = wsy * w_e1z - wsz * w_e1y
-        wqy = wsz * w_e1x - wsx * w_e1z
-        wqz = wsx * w_e1y - wsy * w_e1x
-        bv = wf * (dx * wqx + dy * wqy + dz * wqz)
-        return bt, bi, bu, bv
+        return bt, bi
 
     def bounce(carry, kidx):
         ox, oy, oz, dx, dy, dz, ret_r, ret_g, ret_b, tp_r, tp_g, tp_b, active = carry
@@ -673,45 +730,80 @@ def _trace_frame(
         k2 = jax.random.fold_in(rng_key, kidx * 3 + 2)
         k3 = jax.random.fold_in(rng_key, kidx * 3 + 3)
 
-        t, tri, uu, vv = intersect_all(ox, oy, oz, dx, dy, dz)
+        t, tri = intersect_all(ox, oy, oz, dx, dy, dz)
         hit = (tri >= 0) & active
         ti = jnp.maximum(tri, 0)
 
-        w0 = 1.0 - uu - vv
-        # fusion-isolated per-COMPONENT row gathers (see ops.shade.take_iso:
-        # fused (P,)-indexed gathers degrade to element-at-a-time on TPU;
-        # additionally, gathering (P,3,k) rows and slicing components back
-        # out costs a strided (P,) extraction kernel per component —
-        # measured slower than one contiguous (P,) gather per component.
-        # The (T,) component tables are loop-invariant and hoist out of the
-        # bounce scan.)
-        def gpc(table, r, c):
-            return take_iso(table[:, r, c], ti)
+        # ---- winner attribute selection: ONE fused pull per bounce ----
+        # TPU gathers are INDEX-count bound (~4 ns/index regardless of row
+        # width), so ~25 per-component take_iso pulls cost 3.5 ms/bounce
+        # @800x600 even fully overlapped. Small packs instead select rows
+        # as `onehot(ti, T) @ fused_tab` — an exact 0/1 selection on the
+        # MXU (bf16x3 decomposition recovers x*1 bit-exactly; zeros add
+        # nothing) — measured 34.5 -> 9.5 ms/sample. Large packs keep one
+        # 38-col row gather (2.5x the matmul, still 1.8x the old pulls).
+        if use_onehot:
+            onehot = (
+                ti[:, None]
+                == jnp.arange(tcount_all, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)
+            # precision matters: the MXU's default single bf16 pass
+            # QUANTIZES the table (measured 8.6e-3 abs error on chip) and
+            # even bf16x3 (HIGH) leaves 3.4e-5 residue; HIGHEST is
+            # bit-exact vs the row gather on chip (verified max diff 0.0)
+            # at ~2% samples/s cost on the bench scene
+            g = jnp.matmul(
+                onehot, fused_tab,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
-        t_uv = d3["uv"]
-        uv_u = gpc(t_uv, 0, 0) * w0 + gpc(t_uv, 1, 0) * uu + gpc(t_uv, 2, 0) * vv
-        uv_v = gpc(t_uv, 0, 1) * w0 + gpc(t_uv, 1, 1) * uu + gpc(t_uv, 2, 1) * vv
-        has_n = take_iso(d3["has_normals"], ti) > 0.5
-        t_nrm = d3["nrm"]
-        g_e1x, g_e1y, g_e1z = (
-            take_iso(t_e1x, ti), take_iso(t_e1y, ti), take_iso(t_e1z, ti),
+            def col(i):
+                return g[:, i]
+        else:
+            g = take_iso(fused_tab, ti).reshape(height, width, n_fused)
+
+            def col(i):
+                return g[..., i].reshape(p)
+
+        # winner u/v: one single-triangle Möller-Trumbore per ray on the
+        # selected components (misses index row 0 — masked by `hit`)
+        w_ax, w_ay, w_az = col(0), col(1), col(2)
+        g_e1x, g_e1y, g_e1z = col(3), col(4), col(5)
+        g_e2x, g_e2y, g_e2z = col(6), col(7), col(8)
+        whx = dy * g_e2z - dz * g_e2y
+        why = dz * g_e2x - dx * g_e2z
+        whz = dx * g_e2y - dy * g_e2x
+        wdet = g_e1x * whx + g_e1y * why + g_e1z * whz
+        wf = jnp.where(
+            jnp.abs(wdet) >= 1e-6,
+            1.0 / jnp.where(wdet == 0.0, 1.0, wdet),
+            0.0,
         )
-        g_e2x, g_e2y, g_e2z = (
-            take_iso(t_e2x, ti), take_iso(t_e2y, ti), take_iso(t_e2z, ti),
-        )
+        wsx, wsy, wsz = ox - w_ax, oy - w_ay, oz - w_az
+        uu = wf * (wsx * whx + wsy * why + wsz * whz)
+        wqx = wsy * g_e1z - wsz * g_e1y
+        wqy = wsz * g_e1x - wsx * g_e1z
+        wqz = wsx * g_e1y - wsy * g_e1x
+        vv = wf * (dx * wqx + dy * wqy + dz * wqz)
+        w0 = 1.0 - uu - vv
+
+        uv_u = col(9) * w0 + col(10) * uu + col(11) * vv
+        uv_v = col(12) * w0 + col(13) * uu + col(14) * vv
+        has_n = col(24) > 0.5
         nx = jnp.where(
             has_n,
-            gpc(t_nrm, 0, 0) * w0 + gpc(t_nrm, 1, 0) * uu + gpc(t_nrm, 2, 0) * vv,
+            col(15) * w0 + col(16) * uu + col(17) * vv,
             g_e1y * g_e2z - g_e1z * g_e2y,
         )
         ny = jnp.where(
             has_n,
-            gpc(t_nrm, 0, 1) * w0 + gpc(t_nrm, 1, 1) * uu + gpc(t_nrm, 2, 1) * vv,
+            col(18) * w0 + col(19) * uu + col(20) * vv,
             g_e1z * g_e2x - g_e1x * g_e2z,
         )
         nz = jnp.where(
             has_n,
-            gpc(t_nrm, 0, 2) * w0 + gpc(t_nrm, 1, 2) * uu + gpc(t_nrm, 2, 2) * vv,
+            col(21) * w0 + col(22) * uu + col(23) * vv,
             g_e1x * g_e2y - g_e1y * g_e2x,
         )
         inv_nl = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-20)
@@ -720,11 +812,49 @@ def _trace_frame(
         flip = jnp.where(nx * dx + ny * dy + nz * dz > 0, -1.0, 1.0)
         nx, ny, nz = nx * flip, ny * flip, nz * flip
 
-        texel = resolve_texel(
-            take_iso(d3["kind"], ti), take_iso(d3["tex_slot"], ti),
-            take_iso(d3["rgba"], ti), take_iso(d3["repeat"], ti),
-            uv_u, uv_v, atlas, anim_frame, 0,
-        )
+        # texel resolve with the prefolded rect (resolve_texel semantics,
+        # ops/shade.py:116-142, nearest mode): the only remaining in-bounce
+        # gather is the atlas fetch itself — statically skipped when the
+        # pack has no SRC_TEXTURE triangles (has_tex, e.g. pixel-source
+        # scenes)
+        kind_c = col(25).astype(jnp.int32)
+        rgba_c = jnp.stack([col(26), col(27), col(28), col(29)], axis=-1)
+        if has_tex:
+            from ..ops.shade import (
+                SRC_PIXEL,
+                SRC_TEXTURE,
+                _round_half_away,
+                apply_repeat,
+            )
+
+            uu_r, vv_r = apply_repeat(uv_u, uv_v, col(30).astype(jnp.int32))
+            rw_f = col(36)
+            rh_f = col(37)
+            tx_i = jnp.clip(
+                _round_half_away(uu_r * (rw_f - 1.0)).astype(jnp.int32),
+                0, rw_f.astype(jnp.int32) - 1,
+            )
+            ty_i = jnp.clip(
+                _round_half_away(vv_r * (rh_f - 1.0)).astype(jnp.int32),
+                0, rh_f.astype(jnp.int32) - 1,
+            )
+            flat_ix = (
+                (col(35).astype(jnp.int32) + ty_i) * atlas["w"]
+                + col(34).astype(jnp.int32) + tx_i
+            )
+            tx4 = take_iso(atlas["flat"], flat_ix).astype(jnp.float32) * (
+                1.0 / 255.0
+            )
+            texel = jnp.where((kind_c == SRC_TEXTURE)[..., None], tx4, 0.0)
+            texel = jnp.where((kind_c == SRC_PIXEL)[..., None], rgba_c, texel)
+            is_other = (kind_c != SRC_TEXTURE) & (kind_c != SRC_PIXEL)
+        else:
+            from ..ops.shade import SRC_PIXEL
+
+            texel = jnp.where((kind_c == SRC_PIXEL)[..., None], rgba_c, 0.0)
+            is_other = kind_c != SRC_PIXEL
+        black = jnp.zeros_like(rgba_c).at[..., 3].set(1.0)
+        texel = jnp.where(is_other[..., None], black, texel)
         tex_r, tex_g, tex_b = texel[:, 0], texel[:, 1], texel[:, 2]
         alb_r = srgb_to_linear_fast(tex_r)
         alb_g = srgb_to_linear_fast(tex_g)
@@ -732,9 +862,9 @@ def _trace_frame(
 
         # material roles + per-hit modifier (trace.rs evaluate_hit:438-465:
         # modifier.modify(&texel, &material.value) on the SAMPLED texel)
-        role = take_iso(mats["role"], ti)
-        modifier = take_iso(mats["modifier"], ti)
-        raw_value = take_iso(mats["value"], ti)
+        role = col(31).astype(jnp.int32)
+        modifier = col(32).astype(jnp.int32)
+        raw_value = col(33)
         lum = 0.2126 * tex_r + 0.7152 * tex_g + 0.0722 * tex_b
         mx = jnp.maximum(jnp.maximum(tex_r, tex_g), tex_b)
         mn = jnp.minimum(jnp.minimum(tex_r, tex_g), tex_b)

@@ -176,3 +176,27 @@ def test_trace_render_graph_sky_miss():
     # sky colors are lit, not black (reference with no miss nodes adds
     # nothing; with the node it must contribute)
     assert float(b[..., :3].mean()) > 0.05
+
+
+def test_onehot_gather_matches_row_gather():
+    """Winner-attribute selection via `onehot(ti, T) @ fused_table` (the
+    MXU path for small packs) is exact 0/1 selection: pixel-identical to
+    the row-gather path (tracer.py _ONEHOT_GATHER_LIMIT rationale)."""
+    scene = _box_scene(
+        Material(MaterialRole.Glossy, MaterialModifier.Luminance, 0.7, 0.0)
+    )
+
+    def run(limit):
+        cam = D3OrbitCamera()
+        cam.azimuth = 0.9
+        cam.set_parameter_f32("distance", 2.0)
+        buf = AccumBuffer(32, 24)
+        tr = Tracer()
+        tr.onehot_limit = limit
+        for _ in range(2):
+            tr.trace(cam, scene, buf, 64, Assets.default())
+        return buf.pixels
+
+    a = run(0)        # row-gather path
+    b = run(1 << 20)  # one-hot MXU path
+    assert np.array_equal(a, b)
