@@ -83,6 +83,12 @@ _BIG = 1 << 30  # python int: jnp constants would be captured as kernel consts
 #: kernel drops the chunk gate (use_cbox=False) so huge scenes still compile
 _CBOX_SMEM_LIMIT = 512 << 10
 
+#: SMEM byte budget for the PER-TILE gate scratch of the HBM-streaming
+#: path (tmask_hbm): two (ns,) i32 rows DMA'd per tile. ns = supers, so
+#: 128K slots is 8KB and even 2M slots fits — the limit exists only as a
+#: compile-safety backstop before the scalar skip-ahead fallback.
+_TMASK_HBM_SMEM_LIMIT = 128 << 10
+
 
 def _pack_boxes16(boxes_flat: jnp.ndarray) -> jnp.ndarray:
     """Pack (n*4,) integer boxes into (n,) i32 at 16-px granularity,
@@ -243,20 +249,37 @@ def _row_gather_f32(table_ref, row, lane, mask=None):
 
 def _mega_kernel(
     n_attr, sample_mode, has_blend, has_material, has_matmap, hbm_tables,
-    use_cbox, use_tmask, light_spec, sun_off, stage_cut, shadow_spec, has_ao,
-    brdf_ggx, tonemap,
+    use_cbox, use_tmask, use_tmask_hbm, light_spec, sun_off, stage_cut,
+    shadow_spec, has_ao, brdf_ggx, tonemap,
     sbox_ref, cbox_ref, snear_ref, slist_ref, cmask_ref,
     params_ref, lights_ref, occ_ref,
     planes_ref, attr_ref, atlas_ref, bg_ref, shadow_ref, ao_ref,
+    slist_hbm_ref, cmask_hbm_ref,
     rgba_ref, zeff_ref,
     a_scr, idx_scr, minb_scr, *dma_scratch,
 ):
-    if hbm_tables:
+    if use_tmask_hbm:
+        planes_buf, dma_sems, slist_s, cmask_s, gate_sems = dma_scratch
+    elif hbm_tables:
         planes_buf, dma_sems = dma_scratch
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     y0 = ti * TILE_H
     x0 = tj * TILE_W
+
+    if use_tmask_hbm:
+        # this tile's precomputed gate rows: start the two tiny (ns,) DMAs
+        # first so they overlap the framebuffer init below
+        ns_g = slist_s.shape[0]
+        gbase = (ti * pl.num_programs(1) + tj) * ns_g
+        gate_cp_s = pltpu.make_async_copy(
+            slist_hbm_ref.at[pl.ds(gbase, ns_g)], slist_s, gate_sems.at[0]
+        )
+        gate_cp_c = pltpu.make_async_copy(
+            cmask_hbm_ref.at[pl.ds(gbase, ns_g)], cmask_s, gate_sems.at[1]
+        )
+        gate_cp_s.start()
+        gate_cp_c.start()
 
     # row-sharded framebuffers offset every pixel row by params[58]
     # (edge planes and lighting both live in GLOBAL screen coordinates)
@@ -466,48 +489,111 @@ def _mega_kernel(
                 dma_sems.at[slot, 0],
             )
 
-        # only bbox-passing supers are fetched; the NEXT passing super
-        # prefetches while the current one computes (slot parity tracked by
-        # the count of passing supers seen so far)
-        def next_hit(s0):
-            def cond(s):
-                return (s < ns) & ~_s_hit(s)
+        if use_tmask_hbm:
+            # per-tile precomputed gating at HBM scale: the tile's compacted
+            # front-to-back super list + chunk bit words were DMA'd into
+            # SMEM scratch in the prologue. The scalar core never box-tests
+            # anything — it walks the list (prefetching the next entry's
+            # table rows) and scans only the chunks whose bits are set.
+            gate_cp_s.wait()
+            gate_cp_c.wait()
 
-            return jax.lax.while_loop(cond, lambda s: s + 1, s0)
+            s0 = slist_s[0]
 
-        first = next_hit(0)
-
-        @pl.when(first < ns)
-        def _():
-            dma_super(first, 0).start()
-
-        def super_body(carry):
-            s, k = carry  # s = current passing super, k = its slot parity
-            slot = jax.lax.rem(k, 2)
-            nxt = next_hit(s + 1)
-
-            @pl.when(nxt < ns)
+            @pl.when(s0 < ns)
             def _():
-                dma_super(nxt, jax.lax.rem(k + 1, 2)).start()
+                dma_super(s0, 0).start()
 
-            dma_super(s, slot).wait()
-            _scan_super(
-                s,
-                lambda i, cf: planes_buf[slot, i, cf],
-                lambda i, ch: planes_buf[slot, i, 12 + ch],
+            def _not_done_th(carry):
+                i, _k = carry
+                s = slist_s[jnp.minimum(i, ns - 1)]
+                return (
+                    (i < ns)
+                    & (s < ns)
+                    & (snear_ref[jnp.minimum(s, ns - 1)] > minb_scr[0])
+                )
+
+            def super_body_th(carry):
+                i, k = carry
+                slot = jax.lax.rem(k, 2)
+                s = slist_s[i]
+                nxt = slist_s[jnp.minimum(i + 1, ns - 1)]
+                more = (i + 1 < ns) & (nxt < ns)
+
+                @pl.when(more)
+                def _():
+                    dma_super(nxt, jax.lax.rem(k + 1, 2)).start()
+
+                dma_super(s, slot).wait()
+                _scan_super(
+                    s,
+                    lambda r, cf: planes_buf[slot, r, cf],
+                    lambda r, ch: planes_buf[slot, r, 12 + ch],
+                    cmask_word=cmask_s[i],
+                )
+                # the early-out bound only matters while supers remain
+                # (same skip as the SMEM tmask path)
+                @pl.when(more)
+                def _():
+                    minb_scr[0] = jnp.min(zeff_ref[:])
+
+                return i + 1, k + 1
+
+            i_end, k_end = jax.lax.while_loop(
+                _not_done_th, super_body_th, (jnp.int32(0), jnp.int32(0))
             )
-            minb_scr[0] = jnp.min(zeff_ref[:])
-            return nxt, k + 1
+            # depth early-out can exit with entry i_end's prefetch in
+            # flight (started by the previous iteration, or the prologue
+            # when i_end == 0) — drain it so no DMA is left pending
+            s_end = slist_s[jnp.minimum(i_end, ns - 1)]
 
-        s_end, k_end = jax.lax.while_loop(
-            lambda c: _not_done(c[0]), super_body, (first, jnp.int32(0))
-        )
+            @pl.when((i_end < ns) & (s_end < ns))
+            def _():
+                dma_super(s_end, jax.lax.rem(k_end, 2)).wait()
+        else:
+            # only bbox-passing supers are fetched; the NEXT passing super
+            # prefetches while the current one computes (slot parity
+            # tracked by the count of passing supers seen so far)
+            def next_hit(s0):
+                def cond(s):
+                    return (s < ns) & ~_s_hit(s)
 
-        # depth early-out can exit with s_end's prefetch in flight (started
-        # by the previous iteration) — drain it so no DMA is left pending
-        @pl.when(s_end < ns)
-        def _():
-            dma_super(s_end, jax.lax.rem(k_end, 2)).wait()
+                return jax.lax.while_loop(cond, lambda s: s + 1, s0)
+
+            first = next_hit(0)
+
+            @pl.when(first < ns)
+            def _():
+                dma_super(first, 0).start()
+
+            def super_body(carry):
+                s, k = carry  # s = current passing super, k = slot parity
+                slot = jax.lax.rem(k, 2)
+                nxt = next_hit(s + 1)
+
+                @pl.when(nxt < ns)
+                def _():
+                    dma_super(nxt, jax.lax.rem(k + 1, 2)).start()
+
+                dma_super(s, slot).wait()
+                _scan_super(
+                    s,
+                    lambda i, cf: planes_buf[slot, i, cf],
+                    lambda i, ch: planes_buf[slot, i, 12 + ch],
+                )
+                minb_scr[0] = jnp.min(zeff_ref[:])
+                return nxt, k + 1
+
+            s_end, k_end = jax.lax.while_loop(
+                lambda c: _not_done(c[0]), super_body, (first, jnp.int32(0))
+            )
+
+            # depth early-out can exit with s_end's prefetch in flight
+            # (started by the previous iteration) — drain it so no DMA is
+            # left pending
+            @pl.when(s_end < ns)
+            def _():
+                dma_super(s_end, jax.lax.rem(k_end, 2)).wait()
 
     # tiles with no winner at all (pure sky/background — ~40% of the
     # 1080p map frame) skip the ENTIRE per-pixel pipeline below
@@ -1646,7 +1732,20 @@ def mega_render(
         and ns_t > 0
         and 2 * n_th * n_tw * ns_t * 4 <= _CBOX_SMEM_LIMIT
     )
-    if use_tmask:
+    # HBM-streamed scenes can't prefetch the whole (tiles x ns) gate table
+    # into SMEM — but the SAME precomputed lists fit in HBM at any scale,
+    # and the kernel DMAs just THIS tile's two (ns,) rows (8KB at 128K
+    # slots) into SMEM scratch in its prologue. That replaces the scalar
+    # skip-ahead box-test loop (tiles x ns SMEM reads+compares) AND gates
+    # chunk scans inside each DMA'd super by the precomputed bit words —
+    # the gate quality huge scenes lost past the cbox/tmask SMEM cliffs.
+    use_tmask_hbm = (
+        hbm_tables
+        and SUPER <= 32
+        and ns_t > 0
+        and 2 * ns_t * 4 <= _TMASK_HBM_SMEM_LIMIT
+    )
+    if use_tmask or use_tmask_hbm:
         y0g_i = params[58].astype(jnp.int32)
         tx0 = jnp.arange(n_tw, dtype=jnp.int32) * TILE_W
         ty0 = jnp.arange(n_th, dtype=jnp.int32) * TILE_H + y0g_i
@@ -1687,6 +1786,15 @@ def mega_render(
     else:
         slist_in = jnp.zeros(1, jnp.int32)
         cmask_in = jnp.zeros(1, jnp.int32)
+    if use_tmask_hbm:
+        # the lists ride as ordinary HBM tensor operands (per-tile DMA in
+        # the kernel), NOT scalar prefetch — swap them out of the SMEM slots
+        slist_hbm, cmask_hbm = slist_in, cmask_in
+        slist_in = jnp.zeros(1, jnp.int32)
+        cmask_in = jnp.zeros(1, jnp.int32)
+    else:
+        slist_hbm = jnp.zeros(8, jnp.int32)
+        cmask_hbm = jnp.zeros(8, jnp.int32)
 
     table_space = pl.ANY if (interpret or hbm_tables) else pltpu.VMEM
     if hbm_tables:
@@ -1723,6 +1831,12 @@ def mega_render(
             pltpu.VMEM((2, group, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 1)),
         ]
+    if use_tmask_hbm:
+        scratch += [
+            pltpu.SMEM((ns_t,), jnp.int32),  # this tile's super list
+            pltpu.SMEM((ns_t,), jnp.int32),  # matching chunk bit words
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
 
     if shadow_rows is None:
         shadow_rows = jnp.zeros((8, 128), jnp.float32)
@@ -1750,6 +1864,14 @@ def mega_render(
                 memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
             ao_spec,
+            # per-tile gate lists for the HBM path: stay in HBM; the kernel
+            # DMAs one (ns,) row pair per tile into SMEM scratch
+            pl.BlockSpec(
+                slist_hbm.shape, lambda i, j, *_: (0,), memory_space=pl.ANY
+            ),
+            pl.BlockSpec(
+                cmask_hbm.shape, lambda i, j, *_: (0,), memory_space=pl.ANY
+            ),
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j)),
@@ -1761,8 +1883,9 @@ def mega_render(
     rgba, zeff = pl.pallas_call(
         functools.partial(
             _mega_kernel, n_attr, sample_mode, has_blend, has_material,
-            has_matmap, hbm_tables, use_cbox, use_tmask, light_spec, sun_off,
-            stage_cut, shadow_spec, has_ao, brdf_ggx, tonemap,
+            has_matmap, hbm_tables, use_cbox, use_tmask, use_tmask_hbm,
+            light_spec, sun_off, stage_cut, shadow_spec, has_ao, brdf_ggx,
+            tonemap,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -1771,6 +1894,7 @@ def mega_render(
         ],
         interpret=interpret,
     )(sboxes, cboxes, s_near, slist_in, cmask_in, params, lights_packed,
-      occ_packed, planes_in, attr_in, atlas_rows, bg_u32, shadow_rows, ao_img)
+      occ_packed, planes_in, attr_in, atlas_rows, bg_u32, shadow_rows, ao_img,
+      slist_hbm, cmask_hbm)
 
     return rgba[:height, :width], zeff[:height, :width]

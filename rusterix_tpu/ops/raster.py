@@ -359,8 +359,9 @@ def render_frame(
         # GGX reflection rays (the reference's reflection_samples knob,
         # SceneVM 3d_shader.wgsl:764-826) — deferred wavefront pass over
         # the covered pixels, composited in linear space on the opaque
-        # layer only (the WGSL adds reflections per opaque layer too; our
-        # opacity pass is unlit and skips them by design)
+        # layer here; the transparency loop below runs the same pass per
+        # peeled layer (the WGSL reflection loop executes inside its layer
+        # loop, 3d_shader.wgsl:760-826)
         from .reflect import apply_reflections, reflection_pass_scaled
         from .rt_kernel import RT_SLOT_LIMIT
 
@@ -442,6 +443,37 @@ def render_frame(
                 z_o, idx_o, hit_o, attr_o, tri_id_o, d3_op, atlas, uniforms,
                 width, height, sample_mode, shaders,
             )
+            if refl_samples > 0:
+                # per-layer GGX reflections (the WGSL runs its reflection
+                # loop inside the transparency layer loop,
+                # 3d_shader.wgsl:760-826): the G-buffer comes from the
+                # layer's own surfaces, rays trace + shade against the
+                # OPAQUE scene pack (transparent geometry not
+                # self-reflecting is the documented divergence — the
+                # shipped content has no metallic glass)
+                from .reflect import (
+                    apply_reflections as _apply_refl_o,
+                    reflection_pass_scaled as _refl_scaled_o,
+                )
+                from .rt_kernel import RT_SLOT_LIMIT as _RT_LIM
+
+                refl_o, rmask_o = _refl_scaled_o(
+                    z_o, idx_o, hit_o, attr_o, tri_id_o, d3_op, atlas,
+                    lights, uniforms, width, height, sample_mode,
+                    refl_samples, shaders, has_blend, has_material,
+                    has_matmap, live_ranges=refl_ranges, scale=refl_scale,
+                    rt_pallas=(
+                        use_pallas and d3["pos"].shape[0] <= _RT_LIM
+                    ),
+                    shadow_rows=shadow_rows, shadow_params=shadow_params,
+                    shadow_spec=shadow_spec, scene_d3=d3,
+                )
+                # the layer color is display-encoded with the fast sRGB
+                # pair (_shade_opacity) regardless of the frame tonemap —
+                # decode/re-encode with that same transfer
+                color_o = _apply_refl_o(
+                    color_o, refl_o, rmask_o, tonemap=False
+                )
             layers.append((color_o, zeff_o))
             ceil_o = inv_o
         for color_o, zeff_o in reversed(layers):

@@ -518,10 +518,17 @@ def reflection_pass(
     has_material: bool = False, has_matmap: bool = False,
     live_ranges: tuple = None, stride: int = 1, rt_pallas: bool = False,
     shadow_rows=None, shadow_params=None, shadow_spec: tuple = None,
-    y0=0, full_height: int = None,
+    y0=0, full_height: int = None, scene_d3=None,
 ):
     """GGX reflection radiance for every covered pixel -> (H,W,3) linear
     plus a (H,W) applied-mask (pixels whose samples all faced away keep 0).
+
+    `scene_d3`: the pack reflection rays intersect and shade against.
+    Defaults to `d3` (the G-buffer pack). The transparency-layer pass
+    splits them — G-buffer from the layer's own (opacity) surfaces, rays
+    traced against the opaque scene (the WGSL's per-layer reflection loop,
+    3d_shader.wgsl:760-826, traces its unified scene; transparent
+    geometry not self-reflecting is the documented divergence).
 
     The sample loop is a static Python unroll (`samples` is tiny and the
     reference's loop is equally static per dispatch); each sample hashes
@@ -541,6 +548,8 @@ def reflection_pass(
     hash seeds use full-res pixel coordinates, so the strided pass is
     bit-equal to the full-res pass subsampled at the same pixels."""
     from .shade import gbuffer_pass
+
+    sd3 = d3 if scene_d3 is None else scene_d3
 
     fh = full_height if full_height is not None else height * stride
     g = gbuffer_pass(
@@ -636,14 +645,14 @@ def reflection_pass(
             from .rt_kernel import intersect_rays_pallas
 
             t, tri = intersect_rays_pallas(
-                d3["pos"], d3["valid"], o_x, o_y, o_z, d_x, d_y, d_z,
+                sd3["pos"], sd3["valid"], o_x, o_y, o_z, d_x, d_y, d_z,
                 max_dist, height, width,
                 interpret=jax.devices()[0].platform not in ("tpu", "axon"),
             )
             tri = jnp.where(ok, tri, -1)
         else:
             t, tri = intersect_rays(
-                d3["pos"], d3["valid"],
+                sd3["pos"], sd3["valid"],
                 o_x.reshape(p), o_y.reshape(p), o_z.reshape(p),
                 d_x.reshape(p), d_y.reshape(p), d_z.reshape(p), max_dist,
                 live_ranges=live_ranges,
@@ -651,7 +660,7 @@ def reflection_pass(
             t = t.reshape(height, width)
             tri = jnp.where(ok, tri.reshape(height, width), -1)
         color = _shade_reflection_hits(
-            t, tri, o_x, o_y, o_z, d_x, d_y, d_z, d3, atlas, lights,
+            t, tri, o_x, o_y, o_z, d_x, d_y, d_z, sd3, atlas, lights,
             uniforms, sample_mode, sky_rgb,
             shadow=(
                 (shadow_rows, shadow_params, shadow_spec)
@@ -768,6 +777,7 @@ def reflection_pass_scaled(
     has_material: bool = False, has_matmap: bool = False,
     live_ranges: tuple = None, scale: int = 1, rt_pallas: bool = False,
     shadow_rows=None, shadow_params=None, shadow_spec: tuple = None,
+    scene_d3=None,
 ):
     """reflection_pass at 1/scale resolution, bilinearly upsampled.
 
@@ -781,7 +791,7 @@ def reflection_pass_scaled(
             width, height, sample_mode, samples, shaders, has_blend,
             has_material, has_matmap, live_ranges, rt_pallas=rt_pallas,
             shadow_rows=shadow_rows, shadow_params=shadow_params,
-            shadow_spec=shadow_spec,
+            shadow_spec=shadow_spec, scene_d3=scene_d3,
         )
     hs, ws = height // scale, width // scale
     sl = (slice(0, hs * scale, scale), slice(0, ws * scale, scale))
@@ -791,6 +801,7 @@ def reflection_pass_scaled(
         has_material, has_matmap, live_ranges, stride=scale,
         rt_pallas=rt_pallas, shadow_rows=shadow_rows,
         shadow_params=shadow_params, shadow_spec=shadow_spec,
+        scene_d3=scene_d3,
     )
     refl_lo = jnp.where(mask_lo[..., None], refl_lo, 0.0)
     up = jax.image.resize(refl_lo, (height, width, 3), "bilinear")

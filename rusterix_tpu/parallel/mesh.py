@@ -324,6 +324,36 @@ def render_frame_sharded(
                     uniforms_r, width, rows_local, sample_mode,
                     shaders=shaders, y0=y0,
                 )
+                if refl_samples > 0:
+                    # per-layer GGX reflections (WGSL layer loop,
+                    # 3d_shader.wgsl:760-826): layer G-buffer is row-local,
+                    # rays trace against the replicated opaque scene pack —
+                    # matches the single-chip opacity loop byte-for-byte
+                    from ..ops.reflect import (
+                        apply_reflections as _apply_o,
+                        reflection_pass as _refl_o,
+                    )
+                    from ..ops.rt_kernel import RT_SLOT_LIMIT as _RT_LIM
+
+                    refl_o, rmask_o = _refl_o(
+                        z_o, idx_o, hit_o, attr_o, tri_id_o, d3_op_r,
+                        atlas_r, lights_r, uniforms_r, width, rows_local,
+                        sample_mode, refl_samples, shaders=shaders,
+                        has_blend=has_blend, has_matmap=has_matmap,
+                        has_material=has_material,
+                        rt_pallas=(
+                            use_pallas
+                            and d3_full["pos"].shape[0] <= _RT_LIM
+                        ),
+                        shadow_rows=shadow_rows_r,
+                        shadow_params=shadow_params_r,
+                        shadow_spec=shadow_spec, y0=y0, full_height=height,
+                        scene_d3=d3_full,
+                    )
+                    # layer colors are fast-sRGB encoded (_shade_opacity)
+                    # regardless of the frame tonemap
+                    color_o = _apply_o(color_o, refl_o, rmask_o,
+                                       tonemap=False)
                 layers.append((color_o, zeff_o))
                 ceil_o = inv_o
             for color_o, zeff_o in reversed(layers):

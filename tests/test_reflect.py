@@ -451,19 +451,19 @@ def test_reflection_hits_are_shadowed():
     assert drop.sum() > 0.0, f"net reflected energy rose: {drop.sum()}"
 
 
-def test_reflections_skip_transparency_layers_contract():
-    """CONTRACT test for the documented divergence (ops/raster.py
-    reflection dispatch): the reflection term composites on the OPAQUE
-    layer only, while the WGSL runs its reflection loop inside the peeled
-    transparency-layer loop too (3d_shader.wgsl:760-826). A transparent
-    pane floating against the sky (no opaque surface behind it) must
-    therefore be bit-identical with reflections on and off, while the
-    mirror floor below visibly changes."""
+def test_reflections_on_transparency_layers():
+    """The WGSL runs its reflection loop inside the peeled
+    transparency-layer loop (3d_shader.wgsl:760-826); the repo now does
+    too (ops/raster.py opacity loop): a mirror-material transparent pane
+    floating against the sky must gain reflection radiance when samples
+    turn on, with its rays traced against the OPAQUE scene (scene_d3).
+    Background (z-miss) pixels stay bit-identical."""
     from rusterix_tpu import Batch3D, CullMode
 
     def build():
         rast, scene = _mirror_scene()
-        # pane high above the floor, seen against the background sky
+        # pane high above the floor, seen against the background sky, with
+        # the same near-mirror shader material as the floor (shader 0)
         v = np.array(
             [[-1.2, 1.2, 0.0, 1], [1.2, 1.2, 0.0, 1],
              [1.2, 2.4, 0.0, 1], [-1.2, 2.4, 0.0, 1]], np.float32,
@@ -474,6 +474,8 @@ def test_reflections_skip_transparency_layers_contract():
             Batch3D.new(v, t, uv)
             .set_cull_mode(CullMode.Off)
             .set_source(PixelSource.pixel((200, 120, 220, 130)))
+            .with_computed_normals()
+            .set_shader(0)
         )
         return rast, scene
 
@@ -489,8 +491,10 @@ def test_reflections_skip_transparency_layers_contract():
     pane_px = (np.abs(off.astype(np.int32) - base.astype(np.int32)).max(axis=-1) > 8)
     sky_backed_pane = pane_px[: int(H * 0.45)]  # upper region: sky behind
     assert sky_backed_pane.sum() > 50, "pane not visible against sky"
-    assert (diff[: int(H * 0.45)][sky_backed_pane] == 0).all(), (
-        "reflections leaked onto a transparency layer (contract: opaque only)"
+    assert (diff[: int(H * 0.45)][sky_backed_pane] > 0).mean() > 0.5, (
+        "reflections did not reach the transparency layer"
     )
-    # while the mirror floor still gains its reflections
+    # pure background pixels stay untouched
+    assert np.array_equal(on[0, 0], off[0, 0])
+    # and the mirror floor still gains its reflections
     assert diff[int(H * 0.55):].max() > 10

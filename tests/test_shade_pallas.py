@@ -85,6 +85,37 @@ def test_hbm_dma_streaming_matches_vmem_tables():
     assert np.array_equal(ref, out)
 
 
+def test_hbm_skip_ahead_fallback_matches_tmask_hbm():
+    """force_hbm now engages the per-tile DMA'd gate lists (tmask_hbm);
+    scenes whose (ns,) rows exceed the SMEM scratch budget fall back to
+    the in-kernel scalar skip-ahead over sbox. Both must be pixel-equal —
+    force the fallback by zeroing the tmask_hbm budget under force_hbm."""
+    import rusterix_tpu.ops.megakernel as mk
+    from rusterix_tpu.ops import raster
+
+    orig_mr = mk.mega_render
+
+    def forced(*args, **kw):
+        kw["force_hbm"] = True
+        return orig_mr(*args, **kw)
+
+    mk.mega_render = forced
+    raster.render_frame.clear_cache()
+    orig_lim = mk._TMASK_HBM_SMEM_LIMIT
+    try:
+        ref = _render(LIGHT_SETS["mixed"], use_pallas=True)  # tmask_hbm
+        mk._TMASK_HBM_SMEM_LIMIT = 0  # scalar skip-ahead fallback
+        raster.render_frame.clear_cache()
+        orig_mr.clear_cache()
+        out = _render(LIGHT_SETS["mixed"], use_pallas=True)
+    finally:
+        mk._TMASK_HBM_SMEM_LIMIT = orig_lim
+        mk.mega_render = orig_mr
+        raster.render_frame.clear_cache()
+        orig_mr.clear_cache()
+    assert np.array_equal(ref, out)
+
+
 def test_scalar_gate_fallback_matches_tmask():
     """Small scenes gate via precomputed per-tile super lists + chunk bit
     words (tmask); when the masks exceed the SMEM budget the kernel falls

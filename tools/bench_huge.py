@@ -2,10 +2,13 @@
 
 Measures the scale story past the _CBOX_SMEM_LIMIT cliff (megakernel.py:84
 — the prefetched chunk-box SMEM gate costs 4*t2 bytes and compile-OOMs past
-~64K slots, so huge scenes drop to sbox-only scalar gates + HBM-DMA table
-streaming): first-compile wall time and steady-state chained fps, recorded
-in CLAUDE.md / BENCH notes (VERDICT r4 item 8). Matches the reference's
-chunked streaming intent (src/scenemanager.rs:272-285).
+~64K slots). Huge scenes now keep full per-tile gating via tmask_hbm
+(megakernel.py _TMASK_HBM_SMEM_LIMIT: each tile DMAs its own two (ns,)
+gate rows from HBM into SMEM scratch — no whole-table SMEM prefetch), on
+top of HBM-DMA table streaming; tools/bench_huge_ab.py A/Bs the two gate
+paths on the same scene. First-compile wall time and steady-state chained
+fps recorded in CLAUDE.md / BENCH notes (VERDICT r4 item 8). Matches the
+reference's chunked streaming intent (src/scenemanager.rs:272-285).
 
 Usage: timeout 1750 python tools/bench_huge.py [n_boxes] [width height]
 """
